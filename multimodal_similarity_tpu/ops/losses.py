@@ -1,0 +1,316 @@
+"""Metric-learning losses.
+
+Numerical semantics pinned to the reference implementations in
+``/root/reference/src/networks.py:721-914`` (triplet, weighted-triplet,
+batch-hard, lifted, DCCA) and the ``tf.contrib`` metric-learning ops the
+reference reaches through ``utils.metric_loss`` (utils.py:498-508): n-pairs
+and semi-hard triplet.
+
+All functions here are pure, jit-safe, and shape-static: the reference's
+ragged boolean_mask / map_fn constructs are replaced by masked reductions
+(±inf fills + where), and dynamic "are there any triplets?" staging
+(multimodal_model.py:292-297) is expected to be expressed by the caller as a
+zero validity mask instead of control flow.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+_NEG_INF = -1e30
+_POS_INF = 1e30
+
+
+# ---------------------------------------------------------------------------
+# Triplet family
+# ---------------------------------------------------------------------------
+
+def triplet_loss(anchor: Array, positive: Array, negative: Array,
+                 alpha=0.2) -> Array:
+    """max(|a-p|^2 - |a-n|^2 + alpha, 0), mean over the batch.
+
+    ``alpha`` may be a scalar or a per-triplet [N] tensor (the reference feeds
+    per-triplet adaptive margins for structure mining,
+    multimodal_model.py:282).  Reference: networks.py:721-728.
+    """
+    pos_dist = jnp.sum(jnp.square(anchor - positive), axis=1)
+    neg_dist = jnp.sum(jnp.square(anchor - negative), axis=1)
+    basic = pos_dist - neg_dist + alpha
+    return jnp.mean(jnp.maximum(basic, 0.0))
+
+
+def triplet_loss_masked(anchor: Array, positive: Array, negative: Array,
+                        mask: Array, alpha=0.2) -> Array:
+    """Triplet loss over a fixed-size padded triplet batch.
+
+    ``mask`` is [N] with 1.0 for real triplets, 0.0 for padding.  Equals the
+    reference loss evaluated on only the valid triplets; returns 0 when the
+    mask is empty (mirrors the reference skipping the step when no triplets
+    were mined, base_model.py:278-279).
+    """
+    pos_dist = jnp.sum(jnp.square(anchor - positive), axis=1)
+    neg_dist = jnp.sum(jnp.square(anchor - negative), axis=1)
+    basic = jnp.maximum(pos_dist - neg_dist + alpha, 0.0)
+    denom = jnp.maximum(jnp.sum(mask), 1.0)
+    return jnp.sum(basic * mask) / denom
+
+
+def weighted_triplet_loss(anchor: Array, positive: Array, negative: Array,
+                          prob_pos: Array, prob_neg: Array,
+                          alpha: float = 0.2) -> Tuple[Array, Array]:
+    """Soft 4-way triplet loss weighted by pair-similarity confidences.
+
+    With p1 = P(anchor~positive), p2 = P(anchor~negative):
+      w1 = p1(1-p2) * L(A,B,C),  w2 = (1-p1)p2 * L(A,C,B),
+      w3 = p1 p2    * [L(A,B,A; -2a) + L(A,C,A; -2a)]/2,
+      w4 = (1-p1)(1-p2) * [L(A,A,B; 2a) + L(A,A,C; 2a)]/2.
+    Returns (mean loss, [N,4] stacked weights).
+    Reference: networks.py:732-761 (duplicated verbatim at :763-792; single
+    copy here).
+    """
+
+    def _hinge(anc, pos, neg, a):
+        pos_dist = jnp.sum(jnp.square(anc - pos), axis=1)
+        neg_dist = jnp.sum(jnp.square(anc - neg), axis=1)
+        return jnp.maximum(pos_dist - neg_dist + a, 0.0)
+
+    w1 = prob_pos * (1.0 - prob_neg)
+    w2 = (1.0 - prob_pos) * prob_neg
+    w3 = prob_pos * prob_neg
+    w4 = (1.0 - prob_pos) * (1.0 - prob_neg)
+
+    loss = (
+        w1 * _hinge(anchor, positive, negative, alpha)
+        + w2 * _hinge(anchor, negative, positive, alpha)
+        + w3 * 0.5 * (_hinge(anchor, positive, anchor, -alpha * 2)
+                      + _hinge(anchor, negative, anchor, -alpha * 2))
+        + w4 * 0.5 * (_hinge(anchor, anchor, positive, alpha * 2)
+                      + _hinge(anchor, anchor, negative, alpha * 2))
+    )
+    return jnp.mean(loss), jnp.stack([w1, w2, w3, w4], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Batch-structured losses over a full distance matrix
+# ---------------------------------------------------------------------------
+
+def _pair_masks(pids: Array):
+    """(positive_mask, negative_mask) from a label vector.
+
+    positive excludes the diagonal; negative is label-inequality.
+    Reference: networks.py:802-806.
+    """
+    pids = pids.reshape(-1)
+    same = pids[:, None] == pids[None, :]
+    eye = jnp.eye(pids.shape[0], dtype=bool)
+    positive_mask = same & ~eye
+    negative_mask = ~same
+    return positive_mask, negative_mask
+
+
+def batch_hard(dists: Array, pids: Array, margin="soft",
+               weighted: bool = True):
+    """Batch-hard triplet loss ("In Defense of the Triplet Loss").
+
+    For each anchor: furthest positive minus closest negative; softplus for
+    margin == "soft", else hinge at ``margin``.  ``weighted`` reweights
+    anchors by their negative count (inverse class frequency) and masks out
+    background (pid == 0) anchors.  Returns
+    (loss, num_active, diff, weights, furthest_positive, closest_negative),
+    matching the reference tuple at networks.py:797-833.
+
+    The reference's ragged ``map_fn(boolean_mask)`` min is replaced by a
+    masked min (+inf fill) — identical values, one fused reduction on TPU.
+    """
+    pids = pids.reshape(-1).astype(dists.dtype)
+    batch_size = dists.shape[0]
+    positive_mask, negative_mask = _pair_masks(pids)
+
+    # reference multiplies by the mask (not a masked max): anchors with no
+    # positive contribute 0, since dists >= 0  (networks.py:808)
+    furthest_positive = jnp.max(dists * positive_mask.astype(dists.dtype), axis=1)
+    closest_negative = jnp.min(
+        jnp.where(negative_mask, dists, _POS_INF), axis=1)
+
+    diff = furthest_positive - closest_negative
+    if margin == "soft":
+        diff = jax.nn.softplus(diff)
+    else:
+        diff = jnp.maximum(diff + margin, 0.0)
+
+    foreground_mask = (pids != 0.0).astype(dists.dtype)
+    foreground_num = jnp.sum(foreground_mask)
+    if weighted:
+        weights = jnp.sum(negative_mask.astype(dists.dtype), axis=1)
+        weights = weights * foreground_mask
+        weights = weights / jnp.sum(weights)
+    else:
+        weights = jnp.full((batch_size,), 1.0 / batch_size, dtype=dists.dtype)
+
+    loss = jnp.sum(diff * weights)
+    num_active = jnp.sum((diff * foreground_mask > 1e-5).astype(dists.dtype))
+    num_active = num_active / foreground_num
+    return loss, num_active, diff, weights, furthest_positive, closest_negative
+
+
+def lifted_loss(dists: Array, pids: Array, margin: float,
+                weighted: bool = True):
+    """Lifted-structured loss, reference semantics (networks.py:835-870).
+
+    Note: the reference takes logsumexp over ``dists * positive_mask`` along
+    the full row — masked-out entries contribute exp(0) = 1 terms.  That is
+    the trained objective, so it is reproduced exactly here; the negative
+    side is a properly masked logsumexp of (margin - dists).
+    """
+    pids = pids.reshape(-1).astype(dists.dtype)
+    batch_size = dists.shape[0]
+    positive_mask, negative_mask = _pair_masks(pids)
+
+    furthest_positive = jax.nn.logsumexp(
+        dists * positive_mask.astype(dists.dtype), axis=1)
+    closest_negative = jax.nn.logsumexp(
+        jnp.where(negative_mask, margin - dists, _NEG_INF), axis=1)
+
+    diff = jnp.maximum(furthest_positive + closest_negative, 0.0)
+
+    foreground_mask = (pids != 0.0).astype(dists.dtype)
+    if weighted:
+        weights = jnp.sum(negative_mask.astype(dists.dtype), axis=1)
+        weights = weights * foreground_mask
+        weights = weights / jnp.sum(weights)
+    else:
+        weights = jnp.full((batch_size,), 1.0 / batch_size, dtype=dists.dtype)
+
+    loss = jnp.sum(diff * weights)
+    num_active = jnp.asarray(1.0, dtype=dists.dtype)
+    return loss, num_active, diff, weights, furthest_positive, closest_negative
+
+
+def npairs_loss(labels: Array, embeddings_anchor: Array,
+                embeddings_positive: Array,
+                reg_lambda: float = 0.002) -> Array:
+    """N-pairs loss (tf.contrib.losses.metric_learning.npairs_loss).
+
+    Cross entropy between the anchor-positive similarity logits and the
+    row-normalized label-equality matrix, plus 0.25*reg_lambda*(mean |a|^2 +
+    mean |p|^2).  Reference passthrough: utils.py:503-504.
+    """
+    labels = labels.reshape(-1)
+    reg_anchor = jnp.mean(jnp.sum(jnp.square(embeddings_anchor), axis=1))
+    reg_positive = jnp.mean(jnp.sum(jnp.square(embeddings_positive), axis=1))
+    l2loss = 0.25 * reg_lambda * (reg_anchor + reg_positive)
+
+    similarity = jnp.dot(embeddings_anchor, embeddings_positive.T,
+                         preferred_element_type=jnp.float32)
+    labels_equal = (labels[:, None] == labels[None, :]).astype(similarity.dtype)
+    targets = labels_equal / jnp.sum(labels_equal, axis=1, keepdims=True)
+
+    log_probs = jax.nn.log_softmax(similarity, axis=1)
+    xent = -jnp.sum(targets * log_probs, axis=1)
+    return jnp.mean(xent) + l2loss
+
+
+def triplet_semihard_loss(labels: Array, embeddings: Array,
+                          margin: float = 1.0) -> Array:
+    """Semi-hard triplet loss (tf.contrib.losses.metric_learning).
+
+    For every anchor-positive pair (i, j): pick the negative n minimizing
+    D(i, n) among negatives with D(i, n) > D(i, j) ("outside"); if none
+    exists, the furthest negative ("inside").  Hinge at ``margin``, averaged
+    over the number of positive pairs.  Distances are (non-squared) euclidean
+    of the Gram expansion, matching metric_loss_ops.pairwise_distance with
+    squared=False.  Reference passthrough: utils.py:499-500.
+    """
+    labels = labels.reshape(-1)
+    x = embeddings.astype(jnp.float32)
+    sq = jnp.sum(jnp.square(x), axis=1)
+    pdist_sq = jnp.maximum(
+        sq[:, None] + sq[None, :]
+        - 2.0 * jnp.dot(x, x.T, preferred_element_type=jnp.float32), 0.0)
+    error_mask = pdist_sq > 0.0
+    pdist = jnp.sqrt(pdist_sq + jnp.where(error_mask, 0.0, 1e-16))
+    pdist = pdist * error_mask.astype(pdist.dtype)
+
+    adjacency = labels[:, None] == labels[None, :]
+    adjacency_not = ~adjacency
+    n = labels.shape[0]
+
+    # For pair (i, j): among negatives k of anchor i, the smallest
+    # pdist[i, k] subject to pdist[i, k] > pdist[i, j].
+    # mask[i, j, k] = adjacency_not[i, k] & (pdist[i, k] > pdist[i, j])
+    greater = pdist[:, None, :] > pdist[:, :, None]          # [i, j, k]
+    mask_outside = adjacency_not[:, None, :] & greater        # [i, j, k]
+    neg_outside = jnp.min(
+        jnp.where(mask_outside, pdist[:, None, :], _POS_INF), axis=2)
+    has_outside = jnp.any(mask_outside, axis=2)
+
+    neg_inside = jnp.max(
+        jnp.where(adjacency_not, pdist, _NEG_INF), axis=1)    # [i]
+    neg_inside = jnp.broadcast_to(neg_inside[:, None], (n, n))
+
+    semi_hard_negatives = jnp.where(has_outside, neg_outside, neg_inside)
+    loss_mat = margin + pdist - semi_hard_negatives
+
+    mask_positives = adjacency & ~jnp.eye(n, dtype=bool)
+    num_positives = jnp.maximum(jnp.sum(mask_positives), 1e-16)
+    loss = jnp.sum(
+        jnp.maximum(loss_mat * mask_positives.astype(loss_mat.dtype), 0.0))
+    return loss / num_positives
+
+
+# ---------------------------------------------------------------------------
+# DCCA
+# ---------------------------------------------------------------------------
+
+def dcca_loss(x1: Array, x2: Array, k: int = 0,
+              rcov1: float = 1e-4, rcov2: float = 1e-4) -> Array:
+    """Deep CCA correlation loss: minus the sum of the top-K canonical
+    correlations of the two views.
+
+    Mean-center, regularized covariances, eigh-based inverse-sqrt whitening
+    with the reference's 1e-12 eigenvalue floor (directions below the floor
+    are dropped — expressed here as zero inverse-sqrt weights, which is
+    algebraically identical to the reference's gather at networks.py:900-905),
+    then SVD of the whitened cross-covariance.  Reference: networks.py:874-914
+    (validated there against sklearn CCA, preprocess/scripts.py:538-567).
+    """
+    n = x1.shape[0]
+    d1, d2 = x1.shape[1], x2.shape[1]
+    if k == 0:
+        k = min(d1, d2)
+
+    x1 = x1 - jnp.mean(x1, axis=0, keepdims=True)
+    x2 = x2 - jnp.mean(x2, axis=0, keepdims=True)
+
+    denom = jnp.asarray(n - 1, dtype=x1.dtype)
+    s11 = x1.T @ x1 / denom + rcov1 * jnp.eye(d1, dtype=x1.dtype)
+    s22 = x2.T @ x2 / denom + rcov2 * jnp.eye(d2, dtype=x2.dtype)
+    s12 = x1.T @ x2 / denom
+
+    def _inv_sqrt(s):
+        d, v = jnp.linalg.eigh(s)
+        valid = d > 1e-12
+        d_isqrt = jnp.where(valid, 1.0 / jnp.sqrt(jnp.where(valid, d, 1.0)), 0.0)
+        return (v * d_isqrt[None, :]) @ v.T
+
+    t = _inv_sqrt(s11) @ s12 @ _inv_sqrt(s22)
+    sv = jnp.linalg.svd(t, compute_uv=False)
+    return -jnp.sum(sv[:k])
+
+
+# ---------------------------------------------------------------------------
+# Classification
+# ---------------------------------------------------------------------------
+
+def classification_loss(logits: Array, labels: Array) -> Tuple[Array, Array]:
+    """Mean softmax cross entropy + accuracy (base_model_classifier.py:91-97)."""
+    labels = labels.reshape(-1)
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(log_probs, labels[:, None], axis=-1)[:, 0]
+    acc = jnp.mean((jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32))
+    return jnp.mean(nll), acc

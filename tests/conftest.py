@@ -1,0 +1,28 @@
+"""Test environment: force an 8-device CPU platform before jax import.
+
+Multi-chip sharding tests run on virtual CPU devices
+(xla_force_host_platform_device_count), per SURVEY.md §4.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The container's sitecustomize registers the axon TPU backend at interpreter
+# start and force-sets jax_platforms="axon,cpu"; override it back to pure CPU
+# so tests are fast, deterministic, and fp32-exact.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)

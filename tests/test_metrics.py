@@ -1,0 +1,101 @@
+import numpy as np
+import pytest
+
+from multimodal_similarity_tpu.eval import (
+    average_precision,
+    evaluate,
+    evaluate_simple,
+    precision_at_recall,
+    recall_at_K,
+    retrieval_metrics_device,
+)
+
+
+def _clustered(rng, n=60, n_classes=5, dim=8):
+    labels = rng.randint(0, n_classes, size=n)
+    centers = rng.randn(n_classes, dim) * 3
+    emb = (centers[labels] + 0.5 * rng.randn(n, dim)).astype(np.float32)
+    return emb, labels
+
+
+def test_average_precision_matches_sklearn(rng):
+    sk = pytest.importorskip("sklearn.metrics")
+    for _ in range(20):
+        y_true = rng.randint(0, 2, size=50)
+        if y_true.sum() == 0:
+            y_true[0] = 1
+        y_score = rng.randn(50)
+        np.testing.assert_allclose(
+            average_precision(y_true, y_score),
+            sk.average_precision_score(y_true, y_score), rtol=1e-10)
+
+
+def test_average_precision_ties_match_sklearn(rng):
+    sk = pytest.importorskip("sklearn.metrics")
+    y_true = rng.randint(0, 2, size=40)
+    y_true[0] = 1
+    y_score = rng.randint(0, 5, size=40).astype(float)  # heavy ties
+    np.testing.assert_allclose(
+        average_precision(y_true, y_score),
+        sk.average_precision_score(y_true, y_score), rtol=1e-10)
+
+
+def test_average_precision_no_positives():
+    assert np.isnan(average_precision(np.zeros(10), np.arange(10.0)))
+
+
+def test_precision_at_recall_semantics():
+    # 4 query-class items; alpha=0.5 -> target 2; sorted list below reaches
+    # the 2nd query item at position 3 (0-indexed) -> precision 2/4
+    labs = np.array([1, 2, 1, 1, 2, 1])
+    prec, d = precision_at_recall(labs, 1, alpha=0.5)
+    assert prec == 2 / 3  # break at i=2 (third item): 2 hits of label 1
+    # target 0 quirk: breaks at first non-query item
+    labs2 = np.array([2, 1, 2])
+    prec2, _ = precision_at_recall(labs2, 1, alpha=0.4)  # int(0.4*1)=0
+    assert prec2 == 0.0
+
+
+def test_recall_at_K():
+    labs = np.array([2, 3, 1, 1])
+    assert recall_at_K(labs, 1, 2) == 0
+    assert recall_at_K(labs, 1, 3) == 1
+
+
+def test_evaluate_simple_perfect_clusters(rng):
+    labels = np.repeat(np.arange(1, 4), 10)
+    centers = np.eye(3) * 100
+    emb = (centers[labels - 1] + 0.01 * rng.randn(30, 3)).astype(np.float32)
+    mAP, mPrec, recall = evaluate_simple(emb, labels)
+    assert mAP > 0.99
+    assert recall == 1.0
+
+
+def test_evaluate_full_outputs(rng):
+    emb, labels = _clustered(rng)
+    mAP, mAP_event, mPrec, confusion, count, recall = evaluate(emb, labels)
+    assert 0 <= mAP <= 1
+    assert set(mAP_event) <= set(np.unique(labels[labels > 0]).tolist())
+    assert len(recall) == 6
+    # recall@K is monotonically non-decreasing in K
+    assert all(recall[i] <= recall[i + 1] + 1e-9 for i in range(5))
+    cm = confusion["confusion_matrix"]
+    assert cm.shape == (len(np.unique(labels)),) * 2
+
+
+def test_device_metrics_match_oracle(rng):
+    emb, labels = _clustered(rng, n=50)
+    mAP_o, mPrec_o, rec1_o = evaluate_simple(emb, labels)
+    mAP_d, mPrec_d, recs = retrieval_metrics_device(emb, labels)
+    # same data, tie-free: device metrics must match the oracle closely
+    np.testing.assert_allclose(mAP_d, mAP_o, atol=1e-3)
+    np.testing.assert_allclose(recs[1], rec1_o, atol=1e-6)
+    np.testing.assert_allclose(mPrec_d, mPrec_o, atol=1e-3)
+
+
+def test_device_metrics_recall_monotone(rng):
+    emb, labels = _clustered(rng, n=70)
+    _, _, recs = retrieval_metrics_device(emb, labels)
+    ks = sorted(recs)
+    vals = [recs[k] for k in ks]
+    assert all(vals[i] <= vals[i + 1] + 1e-9 for i in range(len(vals) - 1))

@@ -1,0 +1,93 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multimodal_similarity_tpu.ops import (
+    mine_semihard_triplets, select_triplets_facenet, select_triplets_random)
+from multimodal_similarity_tpu.ops.mining import select_batch_balanced
+from multimodal_similarity_tpu.ops.distances import self_distance
+
+
+def _make_batch(rng, n=60, n_classes=5):
+    # overlapping clusters: semi-hard negatives only exist when
+    # neg_dist - pos_dist < alpha, so classes must not be fully separable
+    labels = rng.randint(0, n_classes, size=n)
+    centers = rng.randn(n_classes, 8) * 0.5
+    emb = centers[labels] + 1.0 * rng.randn(n, 8)
+    return emb.astype(np.float32), labels
+
+
+def test_host_facenet_semihard_property(rng):
+    emb, labels = _make_batch(rng)
+    dists = np.asarray(self_distance(jnp.array(emb)))
+    idx, active = select_triplets_facenet(labels, dists, 30, alpha=0.2)
+    assert len(idx) % 3 == 0 and len(idx) > 0
+    triplets = np.array(idx).reshape(-1, 3)
+    for a, p, n in triplets:
+        assert labels[a] == labels[p] and a != p
+        assert labels[a] != labels[n]
+        assert labels[a] != 0
+        # semi-hard constraint (utils.py:479-480)
+        assert dists[a, n] - dists[a, p] < 0.2
+        assert dists[a, p] < dists[a, n]
+    assert active >= 0
+
+
+def test_host_random_miner(rng):
+    emb, labels = _make_batch(rng)
+    idx = select_triplets_random(labels, 20)
+    triplets = np.array(idx).reshape(-1, 3)
+    assert len(triplets) >= 20
+    for a, p, n in triplets:
+        assert labels[a] == labels[p] and a != p
+        assert labels[a] != labels[n]
+        assert labels[a] != 0
+
+
+def test_device_miner_semihard_property(rng):
+    emb, labels = _make_batch(rng, n=80)
+    dists = self_distance(jnp.array(emb))
+    mined = mine_semihard_triplets(dists, jnp.array(labels),
+                                   jax.random.PRNGKey(0), 48, alpha=0.2)
+    a = np.asarray(mined.anchor)
+    p = np.asarray(mined.positive)
+    n = np.asarray(mined.negative)
+    m = np.asarray(mined.mask)
+    d = np.asarray(dists)
+    assert a.shape == (48,)
+    assert m.sum() > 0
+    for i in range(48):
+        if m[i] == 0:
+            continue
+        assert labels[a[i]] == labels[p[i]] and a[i] != p[i]
+        assert labels[a[i]] != labels[n[i]]
+        assert labels[a[i]] != 0
+        assert d[a[i], n[i]] - d[a[i], p[i]] < 0.2
+        assert d[a[i], p[i]] < d[a[i], n[i]]
+
+
+def test_device_miner_all_background(rng):
+    emb = rng.randn(16, 4).astype(np.float32)
+    labels = np.zeros(16, dtype=np.int32)
+    mined = mine_semihard_triplets(self_distance(jnp.array(emb)),
+                                   jnp.array(labels),
+                                   jax.random.PRNGKey(1), 12)
+    assert float(np.asarray(mined.mask).sum()) == 0.0
+
+
+def test_device_miner_jittable(rng):
+    emb, labels = _make_batch(rng, n=64)
+    fn = jax.jit(lambda d, l, k: mine_semihard_triplets(d, l, k, 24))
+    mined = fn(self_distance(jnp.array(emb)), jnp.array(labels),
+               jax.random.PRNGKey(2))
+    assert np.asarray(mined.mask).shape == (24,)
+
+
+def test_select_batch_balanced(rng):
+    labels = np.array([0] * 10 + [1] * 3 + [2] * 20 + [3] * 5)
+    idx = select_batch_balanced(labels, 30)
+    assert len(idx) == 30
+    sel = labels[idx]
+    assert (sel != 0).all()
+    counts = np.bincount(sel, minlength=4)[1:]
+    assert counts.max() - counts.min() <= 1
