@@ -1,0 +1,121 @@
+"""Pairwise similarity heads: PairSim, PairSim2, PDDM.
+
+Reference: networks.py:166-319.  Each head maps a pair of embeddings to a
+2-way similar/dissimilar distribution.  In addition to the reference's
+[B, 2, d] pair interface, each head exposes ``score`` on pre-split
+(x_i, x_j) tensors so the all-pairs pseudo-labeling pass
+(multimodal_model.py:459-480) can run blockwise on device via vmap/broadcast
+instead of an O(N^2) host loop of session.run calls.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jnp.ndarray
+
+Dense = functools.partial(
+    nn.Dense,
+    kernel_init=nn.initializers.xavier_uniform(),
+    bias_init=nn.initializers.zeros_init(),
+)
+
+
+def _l2_normalize(x: Array, eps: float = 1e-10) -> Array:
+    # tf.nn.l2_normalize semantics: x / max(||x||, eps) via rsqrt(max(ss, eps^2))
+    sq = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(jnp.maximum(sq, eps * eps))
+
+
+class PairSim(nn.Module):
+    """Concat-pair MLP -> 2-way softmax (networks.py:213-258).
+
+    Returns (logits, prob)."""
+
+    n_input: int = 128
+    keep_prob: float = 1.0
+
+    def __call__(self, x: Array, train: bool = False):
+        """x -- [B, 2, n_input] feature pairs."""
+        return self.score(x[:, 0], x[:, 1], train)
+
+    @nn.compact_name_scope
+    def score(self, x_a: Array, x_b: Array, train: bool = False):
+        h = jnp.concatenate([x_a, x_b], axis=-1)
+        h = nn.Dropout(1.0 - self.keep_prob, deterministic=not train)(h)
+        h = nn.relu(Dense(self.n_input, name="pairwise")(h))
+        h = nn.Dropout(1.0 - self.keep_prob, deterministic=not train)(h)
+        logits = Dense(2, name="out")(h)
+        return logits, jax.nn.softmax(logits)
+
+
+class PairSim2(nn.Module):
+    """Squared-difference MLP -> 2-way softmax (networks.py:166-211)."""
+
+    n_input: int = 128
+    keep_prob: float = 1.0
+
+    def __call__(self, x: Array, train: bool = False):
+        return self.score(x[:, 0], x[:, 1], train)
+
+    @nn.compact_name_scope
+    def score(self, x_a: Array, x_b: Array, train: bool = False):
+        h = jnp.square(x_a - x_b)
+        h = nn.relu(Dense(self.n_input, name="pairwise")(h))
+        h = nn.Dropout(1.0 - self.keep_prob, deterministic=not train)(h)
+        logits = Dense(2, name="out")(h)
+        return logits, jax.nn.softmax(logits)
+
+
+class PDDM(nn.Module):
+    """Position-Dependent Deep Metric unit (networks.py:260-319; "Local
+    Similarity-Aware Deep Feature Embedding").
+
+    u = |x_i - x_j|, v = (x_i + x_j)/2; each branch FC + relu + l2-norm; the
+    concat passes one more FC into a 2-way score.  Returns (logits, prob);
+    prob[:, 1] is the similarity confidence used for pseudo-labels."""
+
+    n_input: int = 128
+
+    def __call__(self, x: Array, train: bool = False):
+        return self.score(x[:, 0], x[:, 1])
+
+    @nn.compact_name_scope
+    def score(self, x_i: Array, x_j: Array, train: bool = False):
+        u = jnp.abs(x_i - x_j)
+        v = 0.5 * (x_i + x_j)
+        uu = _l2_normalize(nn.relu(Dense(self.n_input, name="u")(u)))
+        vv = _l2_normalize(nn.relu(Dense(self.n_input, name="v")(v)))
+        c = nn.relu(Dense(self.n_input, name="c")(
+            jnp.concatenate([uu, vv], axis=-1)))
+        logits = Dense(2, name="s")(c)
+        return logits, jax.nn.softmax(logits)
+
+
+def score_all_pairs(score_fn, embeddings: Array, block: int = 128) -> Array:
+    """[N, d] -> [N, N] similarity probabilities from a pair head.
+
+    Replaces the reference's O(N^2) host loop of session.run PDDM evaluations
+    (multimodal_model.py:459-475) with a blockwise device pass: rows are
+    processed ``block`` at a time, each block scoring against the full set in
+    one batched head evaluation (a few MXU matmuls).  ``score_fn(a, b)`` must
+    return (logits, prob) for matched [M, d] tensors — e.g.
+    ``functools.partial(model.apply, variables, method="score")``.
+    """
+    n, d = embeddings.shape
+    pad = (-n) % block
+    emb_pad = jnp.pad(embeddings, ((0, pad), (0, 0)))
+    rows = emb_pad.reshape(-1, block, d)                    # [nb, B, d]
+
+    def one_block(row_block):
+        a = jnp.repeat(row_block, n, axis=0)                # [B*N, d]
+        b = jnp.tile(embeddings, (block, 1))                # [B*N, d]
+        _, prob = score_fn(a, b)
+        return prob[:, 1].reshape(block, n)
+
+    sims = jax.lax.map(one_block, rows).reshape(-1, n)      # [nb*B, N]
+    return sims[:n]
