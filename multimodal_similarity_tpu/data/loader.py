@@ -1,0 +1,144 @@
+"""Host-side session loader.
+
+TPU-friendly replacement for the reference's tf.data + tf.py_func pipeline
+(data_io.py:166-260): plain Python + NumPy loading on a background prefetch
+thread, emitting **fixed-shape** batches (event budget + validity mask) so
+the jitted train step never recompiles.  The reference's "cap at 1000
+events via random permutation" (base_model.py:249-253) becomes the
+pad-or-subsample to ``event_budget``.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from multimodal_similarity_tpu.data.datasets import load_data_and_label
+
+
+class SessionBatchLoader:
+    """Iterates epochs of session groups, yielding padded event batches.
+
+    dataset -- rows of (feat_path, [feat2_path, ...,] label_path); one or
+        more modalities per row (prepare_funcs aligned with modalities).
+    sess_per_batch -- sessions concatenated per batch (data_io.py:182).
+    event_budget -- static event count per batch: longer batches are
+        randomly subsampled, shorter ones zero-padded (mask marks real rows).
+    prepare_funcs -- per-modality preprocess functions; modality 0's
+        function receives an optional ``rng`` kwarg if it accepts one.
+    """
+
+    def __init__(
+        self,
+        dataset: Sequence[Sequence[str]],
+        sess_per_batch: int = 3,
+        event_budget: int = 1024,
+        prepare_funcs: Optional[Sequence[Callable]] = None,
+        shuffle: bool = True,
+        transfer: bool = True,
+        seed: int = 12345,
+        prefetch: int = 2,
+    ):
+        self.dataset = [list(row) for row in dataset]
+        self.sess_per_batch = sess_per_batch
+        self.event_budget = event_budget
+        self.num_modalities = len(self.dataset[0]) - 1
+        if prepare_funcs is None:
+            prepare_funcs = [None] * self.num_modalities
+        self.prepare_funcs = list(prepare_funcs)
+        self.shuffle = shuffle
+        self.transfer = transfer
+        self.rng = np.random.RandomState(seed)
+        self.prefetch = prefetch
+
+    @property
+    def batches_per_epoch(self) -> int:
+        return len(self.dataset) // self.sess_per_batch
+
+    def _load_group(self, rows: List[List[str]]) -> Dict[str, np.ndarray]:
+        events = [[] for _ in range(self.num_modalities)]
+        labels: List[np.ndarray] = []
+        sess: List[str] = []
+        for row in rows:
+            label_path = row[-1]
+            lab0 = None
+            for m in range(self.num_modalities):
+                eve, lab, _ = load_data_and_label(
+                    row[m], label_path, self.prepare_funcs[m], self.transfer)
+                events[m].append(eve)
+                if m == 0:
+                    lab0 = lab
+            labels.append(lab0)
+            session_id = os.path.basename(row[0]).split(".")[0]
+            sess.extend([session_id] * lab0.shape[0])
+
+        evs = [np.concatenate(e, axis=0) for e in events]
+        lab = np.concatenate(labels, axis=0).reshape(-1)
+        sess_arr = np.asarray(sess)
+
+        n = lab.shape[0]
+        if self.shuffle:
+            perm = self.rng.permutation(n)
+            evs = [e[perm] for e in evs]
+            lab = lab[perm]
+            sess_arr = sess_arr[perm]
+
+        budget = self.event_budget
+        if n > budget:  # random subsample (base_model.py:249-253)
+            idx = self.rng.permutation(n)[:budget]
+            evs = [e[idx] for e in evs]
+            lab = lab[idx]
+            sess_arr = sess_arr[idx]
+            n = budget
+
+        mask = np.zeros(budget, dtype=np.float32)
+        mask[:n] = 1.0
+        out: Dict[str, np.ndarray] = {
+            "labels": np.zeros(budget, dtype=np.int32),
+            "mask": mask,
+            "num_events": n,
+            "sessions": sess_arr,
+        }
+        out["labels"][:n] = lab
+        for m, e in enumerate(evs):
+            padded = np.zeros((budget,) + e.shape[1:], dtype=np.float32)
+            padded[:n] = e
+            out["events" if m == 0 else f"events{m + 1}"] = padded
+        return out
+
+    def _epoch_groups(self) -> List[List[List[str]]]:
+        order = list(range(len(self.dataset)))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        groups = []
+        for start in range(0, self.batches_per_epoch * self.sess_per_batch,
+                           self.sess_per_batch):
+            groups.append([self.dataset[i]
+                           for i in order[start:start + self.sess_per_batch]])
+        return groups
+
+    def epoch(self):
+        """Yield one epoch of batches with background prefetch."""
+        groups = self._epoch_groups()
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for g in groups:
+                    q.put(self._load_group(g))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+        t.join()

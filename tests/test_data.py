@@ -1,0 +1,224 @@
+import os
+import pickle
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multimodal_similarity_tpu.configs import TrainConfig, write_configure_to_file
+from multimodal_similarity_tpu.data import (
+    LABEL_TRANSFER, MAX_LENGTH, MIN_LENGTH, MIN_LENGTH_BACKGROUND,
+    SessionBatchLoader, generate_synthetic_honda, load_data_and_label,
+    load_validation_set, prepare_dataset, prepare_multimodal_dataset,
+    tsn_prepare_input, tsn_prepare_input_test, rnn_prepare_input,
+    tsn_sample_offsets, tsn_center_offsets, mean_pool_input, max_pool_input)
+from multimodal_similarity_tpu.data.tfrecords import (
+    crc32c, encode_sequence_example, parse_sequence_example, read_tfrecord,
+    write_tfrecord)
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("honda")
+    splits = generate_synthetic_honda(
+        str(root), n_sessions=4, frames_per_session=300,
+        modal_dims={"resnet": (2, 2, 8), "sensors": (8,), "segment": (16,)},
+        seed=0)
+    return str(root), splits
+
+
+def test_synthetic_contract(synth_root):
+    root, splits = synth_root
+    assert len(splits["all"]) == 4
+    sess = splits["all"][0]
+    assert os.path.exists(os.path.join(root, "features", sess + ".npy"))
+    assert os.path.exists(
+        os.path.join(root, "features", sess + "_sensors_normalized.npy"))
+    assert os.path.exists(os.path.join(root, "labels", sess + "_goal.pkl"))
+    assert os.path.exists(os.path.join(root, "train_session.txt"))
+
+
+def test_load_data_and_label_slicing(synth_root):
+    root, splits = synth_root
+    sess = splits["all"][0]
+    feat_path = os.path.join(root, "features", sess + ".npy")
+    label_path = os.path.join(root, "labels", sess + "_goal.pkl")
+    eve, lab, bou = load_data_and_label(feat_path, label_path)
+    with open(label_path, "rb") as f:
+        raw = pickle.load(f)
+    # every kept event obeys the length rules and the label transfer
+    kept = 0
+    for i in range(len(raw["G"])):
+        length = raw["s"][i + 1] - raw["s"][i]
+        if length <= MIN_LENGTH:
+            continue
+        if raw["G"][i] == 0 and length < MIN_LENGTH_BACKGROUND:
+            continue
+        s, e = bou[kept]
+        assert s == raw["s"][i]
+        assert e - s == min(length, MAX_LENGTH)
+        assert lab[kept, 0] == LABEL_TRANSFER[raw["G"][i]]
+        kept += 1
+    assert kept == lab.shape[0] > 0
+    # no-transfer keeps raw labels
+    _, lab_raw, _ = load_data_and_label(feat_path, label_path, transfer=False)
+    assert lab_raw.max() >= lab.max()
+
+
+def test_tsn_prepare_input(rng):
+    feat = rng.randn(30, 2, 2, 4).astype(np.float32)
+    out = tsn_prepare_input(3, feat, rng=np.random.RandomState(0))
+    assert out.shape == (1, 3, 2, 2, 4)
+    out_t = tsn_prepare_input_test(3, feat)
+    # center offsets: avg=10 -> [5, 15, 25]
+    np.testing.assert_array_equal(out_t[0], feat[[5, 15, 25]])
+    with pytest.raises(NotImplementedError):
+        tsn_prepare_input(3, feat[:2])
+
+
+def test_rnn_and_pool_prepare(rng):
+    feat = rng.randn(10, 4).astype(np.float32)
+    out = rnn_prepare_input(16, feat)
+    assert out.shape == (1, 16, 4)
+    np.testing.assert_array_equal(out[0, :10], feat)
+    np.testing.assert_array_equal(out[0, 10:], 0)
+    assert rnn_prepare_input(6, feat).shape == (1, 6, 4)
+    assert mean_pool_input(feat).shape == (1, 4)
+    assert max_pool_input(feat).shape == (1, 4)
+
+
+def test_device_tsn_offsets():
+    seq_len = jnp.array([30, 9, 3, 4])
+    offs = tsn_sample_offsets(jax.random.PRNGKey(0), seq_len, 3)
+    offs = np.asarray(offs)
+    assert offs.shape == (4, 3)
+    for b, sl in enumerate([30, 9, 3, 4]):
+        assert (offs[b] >= 0).all() and (offs[b] < sl).all()
+        avg = max(sl // 3, 1)
+        for s in range(3):
+            assert offs[b, s] >= min(s * avg, sl - 1)
+    cent = np.asarray(tsn_center_offsets(seq_len, 3))
+    np.testing.assert_array_equal(cent[0], [5, 15, 25])
+
+
+def test_session_batch_loader(synth_root):
+    root, splits = synth_root
+    ds = prepare_dataset(os.path.join(root, "features"), splits["all"], "resnet",
+                         os.path.join(root, "labels"))
+    import functools
+    loader = SessionBatchLoader(
+        ds, sess_per_batch=2, event_budget=64,
+        prepare_funcs=[functools.partial(tsn_prepare_input, 3)], seed=1)
+    batches = list(loader.epoch())
+    assert len(batches) == loader.batches_per_epoch == 2
+    for b in batches:
+        assert b["events"].shape[0] == 64
+        assert b["events"].shape[1] == 3          # n_seg
+        assert b["labels"].shape == (64,)
+        assert b["mask"].shape == (64,)
+        n = int(b["num_events"])
+        assert b["mask"][:n].all() and not b["mask"][n:].any()
+        assert (b["labels"][:n] <= 6).all()
+        assert (b["labels"][n:] == 0).all()
+
+
+def test_multimodal_loader_alignment(synth_root):
+    root, splits = synth_root
+    ds = prepare_multimodal_dataset(
+        os.path.join(root, "features"), splits["all"],
+        ["resnet", "sensors", "segment"], os.path.join(root, "labels"))
+    import functools
+    prep = functools.partial(tsn_prepare_input, 3)
+    loader = SessionBatchLoader(ds, sess_per_batch=2, event_budget=64,
+                                prepare_funcs=[prep, prep, prep], seed=2)
+    b = next(iter(loader.epoch()))
+    n = int(b["num_events"])
+    assert b["events"].shape[:2] == (64, 3)
+    assert b["events2"].shape == (64, 3, 8)       # sensors
+    assert b["events3"].shape == (64, 3, 16)      # segment
+    assert n > 0
+
+
+def test_validation_preload(synth_root):
+    root, splits = synth_root
+    import functools
+    ds = prepare_dataset(os.path.join(root, "features"), splits["val"],
+                         "sensors", os.path.join(root, "labels"))
+    feats, labels, sess, bou = load_validation_set(
+        ds, functools.partial(tsn_prepare_input_test, 3))
+    assert feats.shape[0] == labels.shape[0] == len(sess) == len(bou)
+    assert feats.shape[1:] == (3, 8)
+
+
+# ---------------------------------------------------------------------------
+# TFRecords
+# ---------------------------------------------------------------------------
+
+def test_crc32c_known_values():
+    # RFC 3720 test vector: 32 bytes of zeros
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+    assert crc32c(b"123456789") == 0xE3069283
+
+
+def test_sequence_example_roundtrip(rng):
+    ctx = {"label": 3, "length": 7, "session_id": "20170001", "event_id": 12}
+    fl = {"resnet": rng.randn(7, 32).astype(np.float32),
+          "sensors": rng.randn(7, 8).astype(np.float32)}
+    buf = encode_sequence_example(ctx, fl)
+    ctx2, fl2 = parse_sequence_example(buf)
+    assert ctx2["label"] == 3 and ctx2["length"] == 7
+    assert ctx2["session_id"] == b"20170001" and ctx2["event_id"] == 12
+    np.testing.assert_allclose(fl2["resnet"], fl["resnet"])
+    np.testing.assert_allclose(fl2["sensors"], fl["sensors"])
+
+
+def test_tfrecord_file_roundtrip(tmp_path, rng):
+    recs = [encode_sequence_example({"label": i},
+                                    {"x": rng.randn(3, 4).astype(np.float32)})
+            for i in range(5)]
+    path = str(tmp_path / "test.tfrecords")
+    assert write_tfrecord(path, recs) == 5
+    back = list(read_tfrecord(path))
+    assert len(back) == 5
+    for orig, got in zip(recs, back):
+        assert orig == got
+    # corruption detection
+    blob = bytearray(open(path, "rb").read())
+    blob[20] ^= 0xFF
+    with open(path, "wb") as f:
+        f.write(blob)
+    with pytest.raises(ValueError):
+        list(read_tfrecord(path))
+
+
+# ---------------------------------------------------------------------------
+# Configs
+# ---------------------------------------------------------------------------
+
+def test_train_config_cli(tmp_path):
+    data_root = str(tmp_path)
+    for split in ("all", "train", "val", "test"):
+        with open(os.path.join(data_root, f"{split}_session.txt"), "w") as f:
+            f.write("s1\ns2")
+    cfg = TrainConfig.parse([
+        "--DATA_ROOT", data_root, "--network", "convrtsn",
+        "--triplet_select", "facenet", "--emb_dim", "128",
+        "--no_normalized", "--feat", "resnet,sensors"])
+    assert cfg.network == "convrtsn"
+    assert cfg.normalized is False
+    assert cfg.emb_dim == 128
+    assert cfg.feat == ["resnet", "sensors"]
+    assert cfg.train_session == ["s1", "s2"]
+    assert cfg.feature_root.endswith("features/")
+    assert cfg.feat_dict == {"resnet": 98304, "sensors": 8}
+
+
+def test_config_defaults_and_dump(tmp_path):
+    cfg = TrainConfig(DATA_ROOT=str(tmp_path), train_session=["a"],
+                      val_session=["b"], test_session=["c"],
+                      all_session=["a", "b", "c"]).resolve()
+    assert cfg.alpha == 0.2 and cfg.optimizer == "ADAM"
+    write_configure_to_file(cfg, str(tmp_path))
+    text = open(os.path.join(str(tmp_path), "config.txt")).read()
+    assert "alpha: 0.2" in text
