@@ -1,0 +1,27 @@
+"""Parallelism: device meshes, data-parallel steps, sharded-gallery eval.
+
+The reference is strictly single-GPU (SURVEY.md §2.8) — these are new
+first-class components: batch data-parallelism over ICI via sharding
+annotations (XLA SPMD inserts the collectives), and model-parallel
+retrieval where the gallery is sharded across chips.
+"""
+
+from multimodal_similarity_tpu.parallel.mesh import (
+    create_mesh,
+    replicate,
+    shard_batch,
+)
+from multimodal_similarity_tpu.parallel.data_parallel import (
+    make_dp_triplet_step,
+)
+from multimodal_similarity_tpu.parallel.sharded_eval import (
+    sharded_retrieval_topk,
+)
+
+__all__ = [
+    "create_mesh",
+    "shard_batch",
+    "replicate",
+    "make_dp_triplet_step",
+    "sharded_retrieval_topk",
+]

@@ -1,0 +1,83 @@
+"""Data-parallel training step.
+
+Batch axis sharded over the ``data`` mesh axis; parameters replicated.  The
+step body is the same fused embed -> mine -> re-forward -> loss triangle as
+the single-chip step (train/steps.py); sharding annotations on inputs plus
+with_sharding_constraint on the embeddings let XLA's SPMD partitioner run
+the encoder batch-parallel, all-gather the (small) embedding matrix over ICI
+for the global O(N^2) mining, and reduce the gradients with a psum — no
+hand-written collectives on this path (the Pallas ring variants live in
+ops/pallas for the cases XLA can't fuse).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from multimodal_similarity_tpu.ops.losses import triplet_loss_masked
+from multimodal_similarity_tpu.ops.mining import mine_semihard_triplets
+from multimodal_similarity_tpu.train.steps import (
+    l2_normalize,
+    masked_self_distance,
+)
+
+
+def make_dp_triplet_step(
+    model,
+    mesh: Mesh,
+    *,
+    triplet_per_batch: int,
+    alpha: float = 0.2,
+    num_negative: int = 3,
+    metric: str = "squaredeuclidean",
+    normalized: bool = True,
+) -> Callable:
+    """step(state, events, labels, mask, key, lr) with events sharded on the
+    batch axis over mesh axis 'data' and state replicated."""
+    data_sharding = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+
+    def step(state, events, labels, mask, key, learning_rate):
+        k_mine, k_drop = jax.random.split(key)
+
+        def loss_fn(params):
+            emb = model.apply({"params": params}, events)
+            if normalized:
+                emb = l2_normalize(emb)
+            # embeddings gathered for the global mining pass
+            emb = jax.lax.with_sharding_constraint(
+                emb, NamedSharding(mesh, P()))
+            emb = jax.lax.stop_gradient(emb)
+            dists = masked_self_distance(emb, mask, metric)
+            mined = mine_semihard_triplets(
+                dists, labels, k_mine, triplet_per_batch, alpha=alpha,
+                num_negative=num_negative, valid=mask)
+
+            tri_idx = jnp.concatenate(
+                [mined.anchor, mined.positive, mined.negative])
+            tri_events = jnp.take(events, tri_idx, axis=0)
+            tri_events = jax.lax.with_sharding_constraint(
+                tri_events, NamedSharding(mesh, P("data")))
+            tri_emb = model.apply({"params": params}, tri_events, train=True,
+                                  rngs={"dropout": k_drop})
+            if normalized:
+                tri_emb = l2_normalize(tri_emb)
+            t = mined.anchor.shape[0]
+            a, p, n = tri_emb[:t], tri_emb[t:2 * t], tri_emb[2 * t:]
+            loss = triplet_loss_masked(a, p, n, mined.mask, alpha)
+            return loss, {"loss": loss, "triplet_num": jnp.sum(mined.mask),
+                          "active_count": mined.active_count}
+
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        state = state.apply_gradients(grads, learning_rate=learning_rate)
+        return state, aux
+
+    in_shardings = (None,                      # state: leave placement as-is
+                    data_sharding,             # events
+                    repl, repl, repl, repl)    # labels, mask, key, lr
+    return jax.jit(step, in_shardings=in_shardings)

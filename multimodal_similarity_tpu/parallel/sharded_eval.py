@@ -1,0 +1,57 @@
+"""Sharded-gallery retrieval: distances + top-k with the corpus split over
+chips.
+
+Each device holds a gallery shard, computes one MXU matmul of the query
+block against its shard, takes a local top-k, and the per-device candidate
+lists are all-gathered over ICI and re-reduced — the N x Q distance matrix
+never exists in any one chip's HBM.  This is the corpus-scale version of the
+reference's leave-one-out eval (utils.py:140-229), which looped queries on
+the host.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from multimodal_similarity_tpu.ops.distances import pairwise_distance
+
+
+def sharded_retrieval_topk(mesh: Mesh, queries, gallery, k: int = 32,
+                           metric: str = "euclidean"):
+    """-> (dists [Q, k], global indices [Q, k]), ascending distance.
+
+    gallery rows are sharded over mesh axis 'data'; queries are replicated.
+    Gallery size must divide evenly by the mesh size (pad upstream with
+    +inf-distance sentinels if needed).
+    """
+    n = gallery.shape[0]
+    n_dev = mesh.devices.size
+    if n % n_dev:
+        raise ValueError(f"gallery size {n} not divisible by mesh {n_dev}")
+    gallery_idx = jnp.arange(n, dtype=jnp.int32)
+
+    def local(q, g_shard, idx_shard):
+        d = pairwise_distance(q, g_shard, metric)          # [Q, N/n_dev]
+        kk = min(k, g_shard.shape[0])
+        neg_vals, loc = jax.lax.top_k(-d, kk)              # local candidates
+        cand_d = -neg_vals                                 # [Q, kk]
+        cand_i = jnp.take(idx_shard, loc)                  # global ids
+        # merge candidates from every shard over ICI
+        all_d = jax.lax.all_gather(cand_d, "data", axis=1, tiled=True)
+        all_i = jax.lax.all_gather(cand_i, "data", axis=1, tiled=True)
+        neg_best, best_loc = jax.lax.top_k(-all_d, min(k, all_d.shape[1]))
+        return -neg_best, jnp.take_along_axis(all_i, best_loc, axis=1)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P("data"), P("data")),
+        out_specs=(P(), P()),
+        # outputs are replicated by the trailing all_gather + top_k; the
+        # static varying-axes checker can't see through the merge
+        check_vma=False,
+    )
+    return fn(queries, gallery, gallery_idx)

@@ -1,0 +1,169 @@
+"""Jitted step builders.
+
+The reference's hot loop is a three-way host round trip per batch: embed all
+events on device, copy to host, mine in NumPy, copy selected triplet
+features back, forward+backward (base_model.py:258-287).  Here the whole
+triangle is ONE jitted function: eval-mode embed for mining (stop-gradient),
+on-device semi-hard mining, gather, train-mode re-forward of the selected
+triplets, loss, grad, update.  Batches are fixed-shape (event budget +
+mask), so each trainer compiles exactly once.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_similarity_tpu.ops.distances import pairwise_distance
+from multimodal_similarity_tpu.ops.losses import triplet_loss_masked
+from multimodal_similarity_tpu.ops.mining import mine_semihard_triplets
+from multimodal_similarity_tpu.train.state import TrainState, l2_regularization
+
+Array = jnp.ndarray
+_PAD_DIST = 1e30
+
+
+def l2_normalize(x: Array, eps: float = 1e-10) -> Array:
+    sq = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(jnp.maximum(sq, eps * eps))
+
+
+def masked_self_distance(emb: Array, mask: Array, metric: str) -> Array:
+    """Self-distance with padding rows pushed to +inf off-diagonal."""
+    d = pairwise_distance(emb, emb, metric)
+    n = d.shape[0]
+    d = d * (1.0 - jnp.eye(n, dtype=d.dtype))
+    invalid = (1.0 - mask.astype(d.dtype))
+    return d + invalid[None, :] * _PAD_DIST + invalid[:, None] * _PAD_DIST
+
+
+def make_embed_fn(model, normalized: bool = True,
+                  method=None) -> Callable:
+    """Eval-mode embedding function (jitted)."""
+
+    @jax.jit
+    def embed(params, x):
+        emb = model.apply({"params": params}, x, method=method)
+        return l2_normalize(emb) if normalized else emb
+
+    return embed
+
+
+def embed_in_chunks(embed_fn, params, events, chunk: int = 256):
+    """Fixed-chunk embedding of a host array (one compile for any N)."""
+    import numpy as np
+
+    n = events.shape[0]
+    out = []
+    for start in range(0, n, chunk):
+        block = events[start:start + chunk]
+        pad = chunk - block.shape[0]
+        if pad:
+            block = np.concatenate(
+                [block, np.zeros((pad,) + block.shape[1:], block.dtype)])
+        out.append(np.asarray(embed_fn(params, jnp.asarray(block)))[:chunk - pad
+                                                                    or None])
+    return np.concatenate(out, axis=0)[:n]
+
+
+def make_triplet_train_step(
+    model,
+    *,
+    triplet_per_batch: int,
+    alpha: float = 0.2,
+    num_negative: int = 3,
+    metric: str = "squaredeuclidean",
+    normalized: bool = True,
+    lambda_l2: float = 0.0,
+) -> Callable:
+    """Fused embed -> mine -> re-forward -> triplet-loss step.
+
+    Returns step(state, events, labels, mask, key, learning_rate) ->
+    (state, metrics dict).  Mining runs on eval-mode embeddings
+    (stop-gradient, dropout off) exactly as the reference mines on
+    dropout-free embeddings (base_model.py:262); the gradient flows through
+    a train-mode re-forward of only the selected triplets.
+    """
+
+    def step(state: TrainState, events: Array, labels: Array, mask: Array,
+             key: jax.Array, learning_rate: Array):
+        k_mine, k_drop = jax.random.split(key)
+
+        def loss_fn(params):
+            emb_mine = model.apply({"params": params}, events)
+            if normalized:
+                emb_mine = l2_normalize(emb_mine)
+            emb_mine = jax.lax.stop_gradient(emb_mine)
+            dists = masked_self_distance(emb_mine, mask, metric)
+            mined = mine_semihard_triplets(
+                dists, labels, k_mine, triplet_per_batch, alpha=alpha,
+                num_negative=num_negative, valid=mask)
+
+            tri_idx = jnp.concatenate(
+                [mined.anchor, mined.positive, mined.negative])
+            tri_events = jnp.take(events, tri_idx, axis=0)
+            tri_emb = model.apply({"params": params}, tri_events, train=True,
+                                  rngs={"dropout": k_drop})
+            if normalized:
+                tri_emb = l2_normalize(tri_emb)
+            t = mined.anchor.shape[0]
+            a, p, n = tri_emb[:t], tri_emb[t:2 * t], tri_emb[2 * t:]
+            metric_loss = triplet_loss_masked(a, p, n, mined.mask, alpha)
+            total = metric_loss
+            if lambda_l2:
+                total = total + lambda_l2 * l2_regularization(params)
+            aux = {
+                "loss": total,
+                "metric_loss": metric_loss,
+                "active_count": mined.active_count,
+                "triplet_num": jnp.sum(mined.mask),
+            }
+            return total, aux
+
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        state = state.apply_gradients(grads, learning_rate=learning_rate)
+        return state, aux
+
+    return jax.jit(step)
+
+
+def make_gathered_triplet_step(
+    model,
+    *,
+    alpha: float = 0.2,
+    normalized: bool = True,
+    lambda_l2: float = 0.0,
+) -> Callable:
+    """Step for host-mined triplets: feed [a; p; n]-ordered indices + mask.
+
+    Mirrors the reference flow for --triplet_select random (host miner needs
+    no embeddings).  step(state, events, tri_idx [3T], tri_mask [T], key,
+    lr) -> (state, metrics)."""
+
+    def step(state: TrainState, events: Array, tri_idx: Array,
+             tri_mask: Array, key: jax.Array, learning_rate: Array):
+        def loss_fn(params):
+            tri_events = jnp.take(events, tri_idx, axis=0)
+            emb = model.apply({"params": params}, tri_events, train=True,
+                              rngs={"dropout": key})
+            if normalized:
+                emb = l2_normalize(emb)
+            t = tri_mask.shape[0]
+            a, p, n = emb[:t], emb[t:2 * t], emb[2 * t:]
+            metric_loss = triplet_loss_masked(a, p, n, tri_mask, alpha)
+            total = metric_loss
+            if lambda_l2:
+                total = total + lambda_l2 * l2_regularization(params)
+            return total, {"loss": total, "metric_loss": metric_loss,
+                           "triplet_num": jnp.sum(tri_mask)}
+
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        state = state.apply_gradients(grads, learning_rate=learning_rate)
+        return state, aux
+
+    return jax.jit(step)

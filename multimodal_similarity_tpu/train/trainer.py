@@ -1,0 +1,52 @@
+"""Shared trainer scaffolding: experiment setup, validation, checkpoint cadence.
+
+Mirrors the skeleton every reference trainer repeats (build graph ->
+iterators -> session -> epoch loop -> mine -> train -> validate ->
+checkpoint, SURVEY.md §2.5) as plain composable helpers.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_similarity_tpu.configs import write_configure_to_file
+from multimodal_similarity_tpu.eval.metrics import retrieval_metrics_device
+from multimodal_similarity_tpu.train.steps import embed_in_chunks
+from multimodal_similarity_tpu.utils.logging import (
+    MetricsLogger,
+    write_projector_metadata,
+)
+
+
+def setup_experiment(cfg, timestamp: bool = True,
+                     result_dir: Optional[str] = None) -> str:
+    """Create the result dir (<result_root>/<name>_<ts>, or the explicit
+    ``result_dir``) and dump config (base_model.py:91-95)."""
+    if result_dir is None:
+        name = cfg.name
+        if timestamp:
+            name = name + "_" + datetime.now().strftime("%Y%m%d-%H%M%S")
+        result_dir = os.path.join(cfg.result_root, name)
+    os.makedirs(result_dir, exist_ok=True)
+    write_configure_to_file(cfg, result_dir)
+    np.random.seed(cfg.seed)
+    return result_dir
+
+
+def validate(embed_fn, params, val_feats, val_labels, chunk: int = 256):
+    """Per-epoch validation: chunked embed + device leave-one-out metrics
+    (replaces base_model.py:307-313's host loop)."""
+    emb = embed_in_chunks(embed_fn, params, val_feats, chunk=chunk)
+    mAP, mPrec, recalls = retrieval_metrics_device(emb, val_labels.reshape(-1))
+    return {"val_mAP": mAP, "val_mPrec": mPrec,
+            "val_recall@1": recalls[1]}, emb
+
+
+def epoch_of_step(step: int, batch_per_epoch: int) -> int:
+    """Resume-accurate epoch derivation (base_model.py:216-217)."""
+    return int(step) // max(batch_per_epoch, 1)

@@ -1,0 +1,171 @@
+"""Unimodal triplet baseline trainer.
+
+Reference: src/base_model.py:87-323 (FaceNet-style semi-hard triplet
+training over hierarchically sampled sessions).  TPU-first rework: the
+embed-all / host-mine / re-forward triangle is one jitted step
+(train/steps.py); the session loader feeds fixed-shape padded batches.
+
+Run:  python -m multimodal_similarity_tpu.train.trainers.base_model \
+          --DATA_ROOT ... --network convrtsn --triplet_select facenet ...
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_similarity_tpu.configs import TrainConfig
+from multimodal_similarity_tpu.data import (
+    SessionBatchLoader,
+    load_validation_set,
+    prepare_dataset,
+    tsn_prepare_input,
+    tsn_prepare_input_test,
+)
+from multimodal_similarity_tpu.models import build_encoder
+from multimodal_similarity_tpu.ops.mining import select_triplets_random
+from multimodal_similarity_tpu.train.checkpoints import CheckpointManager
+from multimodal_similarity_tpu.train.state import (
+    TrainState,
+    build_optimizer,
+    learning_rate_schedule,
+)
+from multimodal_similarity_tpu.train.steps import (
+    make_embed_fn,
+    make_gathered_triplet_step,
+    make_triplet_train_step,
+)
+from multimodal_similarity_tpu.train.trainer import (
+    epoch_of_step,
+    setup_experiment,
+    validate,
+)
+from multimodal_similarity_tpu.utils.logging import (
+    MetricsLogger,
+    write_projector_metadata,
+)
+
+
+def train(cfg: TrainConfig, event_budget: Optional[int] = None,
+          result_dir: Optional[str] = None):
+    """Returns (final TrainState, final val metrics dict, result_dir)."""
+    result_dir = setup_experiment(cfg, result_dir=result_dir)
+    logger = MetricsLogger(result_dir)
+    event_budget = event_budget or cfg.event_per_batch
+
+    feat = cfg.feat if isinstance(cfg.feat, str) else cfg.feat[0]
+    train_set = prepare_dataset(cfg.feature_root, cfg.train_session, feat,
+                                cfg.label_root, cfg.label_type)
+    train_set = train_set[: cfg.label_num]
+    val_set = prepare_dataset(cfg.feature_root, cfg.val_session, feat,
+                              cfg.label_root, cfg.label_type)
+
+    loader = SessionBatchLoader(
+        train_set, sess_per_batch=cfg.sess_per_batch,
+        event_budget=event_budget,
+        prepare_funcs=[functools.partial(tsn_prepare_input, cfg.num_seg)],
+        seed=cfg.seed)
+    batch_per_epoch = loader.batches_per_epoch
+    if batch_per_epoch < 1:
+        raise ValueError(
+            f"{len(train_set)} train sessions < sess_per_batch="
+            f"{cfg.sess_per_batch}; nothing to iterate")
+
+    val_feats, val_labels, val_sess, val_bound = load_validation_set(
+        val_set, functools.partial(tsn_prepare_input_test, cfg.num_seg))
+    write_projector_metadata(result_dir, val_labels, val_sess, val_bound)
+
+    model = build_encoder(cfg.network, num_seg=cfg.num_seg,
+                          emb_dim=cfg.emb_dim, n_input=cfg.n_input,
+                          n_h=cfg.n_h, n_w=cfg.n_w, n_C=cfg.n_C,
+                          keep_prob=cfg.keep_prob)
+    rng = jax.random.PRNGKey(cfg.seed)
+    variables = model.init(rng, jnp.asarray(
+        np.zeros((2,) + val_feats.shape[1:], np.float32)))
+    tx = build_optimizer(cfg.optimizer, cfg.learning_rate)
+    state = TrainState.create(variables["params"], tx)
+
+    ckpt = CheckpointManager(result_dir, cfg.name)
+    if cfg.model_path:
+        from multimodal_similarity_tpu.train.checkpoints import load_pytree
+        state = load_pytree(cfg.model_path, state)
+
+    embed_fn = make_embed_fn(model, cfg.normalized)
+    if cfg.triplet_select == "facenet":
+        step_fn = make_triplet_train_step(
+            model, triplet_per_batch=cfg.triplet_per_batch, alpha=cfg.alpha,
+            num_negative=cfg.num_negative, metric=cfg.metric,
+            normalized=cfg.normalized, lambda_l2=cfg.lambda_l2)
+    elif cfg.triplet_select == "random":
+        step_fn = make_gathered_triplet_step(
+            model, alpha=cfg.alpha, normalized=cfg.normalized,
+            lambda_l2=cfg.lambda_l2)
+    else:
+        raise NotImplementedError(cfg.triplet_select)
+
+    metrics = {}
+    epoch = epoch_of_step(int(state.step), batch_per_epoch)
+    while epoch < cfg.max_epochs:
+        lr = learning_rate_schedule(epoch, cfg.learning_rate,
+                                    cfg.static_epochs, cfg.max_epochs)
+        for batch in loader.epoch():
+            t0 = time.time()
+            rng, key = jax.random.split(rng)
+            events = jnp.asarray(batch["events"])
+            if cfg.triplet_select == "facenet":
+                state, aux = step_fn(
+                    state, events, jnp.asarray(batch["labels"]),
+                    jnp.asarray(batch["mask"]), key, jnp.float32(lr))
+            else:
+                n = int(batch["num_events"])
+                idx = select_triplets_random(batch["labels"][:n],
+                                             cfg.triplet_per_batch,
+                                             cfg.num_negative)
+                t_cap = cfg.triplet_per_batch
+                tri = np.zeros(3 * t_cap, np.int32)
+                tri_mask = np.zeros(t_cap, np.float32)
+                m = min(len(idx) // 3, t_cap)
+                arr = np.asarray(idx[: 3 * m], np.int32).reshape(-1, 3)
+                tri[:m] = arr[:, 0]
+                tri[t_cap:t_cap + m] = arr[:, 1]
+                tri[2 * t_cap:2 * t_cap + m] = arr[:, 2]
+                tri_mask[:m] = 1.0
+                state, aux = step_fn(state, events, jnp.asarray(tri),
+                                     jnp.asarray(tri_mask), key,
+                                     jnp.float32(lr))
+            aux = {k: float(v) for k, v in aux.items()}
+            aux["train_time"] = time.time() - t0
+            aux["learning_rate"] = lr
+            if not cfg.silent_mode:
+                print(f"[{cfg.name}] epoch {epoch + 1} step {int(state.step)} "
+                      f"loss {aux['loss']:.4f} triplets {aux['triplet_num']:.0f} "
+                      f"({aux['train_time']:.2f}s)")
+            logger.log(int(state.step), aux)
+
+        metrics, val_emb = validate(embed_fn, state.params, val_feats,
+                                    val_labels)
+        logger.log(int(state.step), metrics)
+        if not cfg.silent_mode:
+            print(f"[{cfg.name}] epoch {epoch + 1} "
+                  f"val mAP {metrics['val_mAP']:.4f} "
+                  f"R@1 {metrics['val_recall@1']:.4f}")
+        ckpt.save(state, int(state.step))
+        epoch = epoch_of_step(int(state.step), batch_per_epoch)
+
+    logger.close()
+    return state, metrics, result_dir
+
+
+def main(argv=None):
+    cfg = TrainConfig.parse(argv)
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,60 @@
+"""Metrics logging.
+
+Replaces the reference's TensorBoard scalar/histogram writers
+(base_model.py:293-297) with a JSONL stream (always) plus TensorBoard when
+the optional dependency is present.  Also writes the embedding-projector
+metadata TSV the reference emits per epoch (base_model.py:187-192).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+
+class MetricsLogger:
+    def __init__(self, result_dir: str, use_tensorboard: bool = True):
+        self.result_dir = result_dir
+        os.makedirs(result_dir, exist_ok=True)
+        self._jsonl = open(os.path.join(result_dir, "metrics.jsonl"), "a")
+        self._tb = None
+        if use_tensorboard:
+            try:  # torch's tensorboard writer, if the package exists
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(result_dir)
+            except Exception:
+                self._tb = None
+
+    def log(self, step: int, scalars: Dict[str, float],
+            prefix: str = "") -> None:
+        rec = {"step": int(step), "time": time.time()}
+        for k, v in scalars.items():
+            key = f"{prefix}{k}"
+            rec[key] = float(v)
+            if self._tb is not None:
+                self._tb.add_scalar(key, float(v), int(step))
+        self._jsonl.write(json.dumps(rec) + "\n")
+        self._jsonl.flush()
+
+    def close(self) -> None:
+        self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()
+
+
+def write_projector_metadata(result_dir: str, labels, sessions=None,
+                             boundaries=None,
+                             filename: str = "metadata_val.tsv") -> str:
+    """id/label/session/start/end TSV (base_model.py:188-192)."""
+    path = os.path.join(result_dir, filename)
+    with open(path, "w") as fout:
+        fout.write("id\tlabel\tsession_id\tstart\tend\n")
+        for i in range(len(labels)):
+            lab = labels[i][0] if hasattr(labels[i], "__len__") else labels[i]
+            sess = sessions[i] if sessions is not None else ""
+            s, e = boundaries[i] if boundaries is not None else ("", "")
+            fout.write(f"{i}\t{lab}\t{sess}\t{s}\t{e}\n")
+    return path

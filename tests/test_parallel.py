@@ -1,0 +1,66 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multimodal_similarity_tpu.models import build_encoder
+from multimodal_similarity_tpu.ops.distances import pairwise_distance
+from multimodal_similarity_tpu.parallel import (
+    create_mesh, make_dp_triplet_step, replicate, shard_batch,
+    sharded_retrieval_topk)
+from multimodal_similarity_tpu.train.state import TrainState, build_optimizer
+
+
+def test_create_mesh():
+    mesh = create_mesh(8)
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("data",)
+
+
+def test_sharded_retrieval_matches_dense(rng):
+    mesh = create_mesh(8)
+    q = jnp.array(rng.randn(16, 12).astype(np.float32))
+    g = jnp.array(rng.randn(64, 12).astype(np.float32))
+    d_top, i_top = sharded_retrieval_topk(mesh, q, g, k=8)
+    dense = np.asarray(pairwise_distance(q, g, "euclidean"))
+    want_i = np.argsort(dense, axis=1)[:, :8]
+    want_d = np.sort(dense, axis=1)[:, :8]
+    np.testing.assert_allclose(np.asarray(d_top), want_d, rtol=1e-4,
+                               atol=1e-5)
+    # indices may permute within distance ties; compare via distances only
+    got_d = np.take_along_axis(dense, np.asarray(i_top), axis=1)
+    np.testing.assert_allclose(got_d, want_d, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_retrieval_requires_divisible(rng):
+    mesh = create_mesh(8)
+    with pytest.raises(ValueError):
+        sharded_retrieval_topk(mesh, jnp.zeros((4, 8)), jnp.zeros((30, 8)))
+
+
+def test_dp_triplet_step_runs_and_matches_semantics(rng):
+    mesh = create_mesh(8)
+    n, n_seg, d_in = 64, 3, 8
+    labels = rng.randint(0, 4, size=n).astype(np.int32)
+    x = rng.randn(n, n_seg, d_in).astype(np.float32)
+
+    model = build_encoder("rtsn", num_seg=n_seg, emb_dim=16, n_input=d_in)
+    variables = model.init(jax.random.PRNGKey(0), jnp.array(x[:2]))
+    tx = build_optimizer("ADAM", 0.01)
+    state = TrainState.create(variables["params"], tx)
+    state = jax.device_put(state, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec()))
+
+    step = make_dp_triplet_step(model, mesh, triplet_per_batch=24)
+    batch = shard_batch({"events": jnp.array(x)}, mesh)
+    labels_r, mask_r = replicate(
+        (jnp.array(labels), jnp.ones(n, jnp.float32)), mesh)
+    key, lr = replicate((jax.random.PRNGKey(1), jnp.float32(0.01)), mesh)
+
+    state2, aux = step(state, batch["events"], labels_r, mask_r, key, lr)
+    assert int(state2.step) == 1
+    assert np.isfinite(float(aux["loss"]))
+    # params actually changed
+    leaf0 = jax.tree.leaves(state.params)[0]
+    leaf1 = jax.tree.leaves(state2.params)[0]
+    assert not np.allclose(np.asarray(leaf0), np.asarray(leaf1))
