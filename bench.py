@@ -1,14 +1,17 @@
-"""Benchmark: flagship ConvRTSN embedding throughput + fused train-step
-throughput on one chip.
+"""Benchmark: fused train-step throughput for the flagship ConvRTSN encoder
+on one chip, vs a reference-style host-mining loop on the same hardware.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 The reference publishes no numbers (BASELINE.md), so vs_baseline is the
-ratio against a fixed host-measured reference implementation cost model —
-here: the reference's three-hop host round trip (embed-all on device, mine
-on host CPU, re-forward) measured in this same process, so the ratio
-reflects the fused-step speedup on identical hardware.
+measured speedup of the fused single-program step (embed -> on-device mine
+-> re-forward -> update) over the reference's architecture on identical
+hardware: device embed, host copy-out, NumPy semi-hard mining
+(utils.select_triplets_facenet), device gather + re-forward.  Benchmark
+data is generated on device; the host round trip the reference design pays
+is the embeddings copy + index feed (its feature re-upload cost is NOT
+charged here, which favors the baseline).
 """
 
 import json
@@ -20,32 +23,39 @@ import numpy as np
 
 def main():
     import jax
+
+    # persistent compile cache: repeat runs skip the slow remote compiles
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from multimodal_similarity_tpu.models import build_encoder
-    from multimodal_similarity_tpu.ops.distances import cdist, all_diffs
     from multimodal_similarity_tpu.ops.mining import select_triplets_facenet
     from multimodal_similarity_tpu.train.state import TrainState, build_optimizer
     from multimodal_similarity_tpu.train.steps import (
-        make_embed_fn, make_triplet_train_step, l2_normalize)
+        make_embed_fn, make_triplet_train_step)
 
-    rng = np.random.RandomState(0)
-    n_events, n_seg = 512, 3
+    n_events, n_seg = 256, 3
     shape = (n_events, n_seg, 8, 8, 1536)
+    rng = np.random.RandomState(0)
     labels_np = rng.randint(0, 7, size=n_events).astype(np.int32)
 
     model = build_encoder("convrtsn", num_seg=n_seg, emb_dim=256,
                           n_input=1536, n_h=8, n_w=8, n_C=20, keep_prob=0.9)
 
-    x_np = rng.randn(*shape).astype(np.float32)
-    x = jnp.asarray(x_np)
-    variables = model.init(jax.random.PRNGKey(0), x[:2])
+    # synthesize features on device (class centers + noise) — no host upload
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    centers = jax.random.normal(k1, (7, 1, 8, 8, 1536), jnp.float32)
+    x = centers[jnp.asarray(labels_np)] + jax.random.normal(k2, shape)
+    x = jax.block_until_ready(x)
+
+    variables = model.init(jax.random.PRNGKey(1), x[:2])
     state = TrainState.create(variables["params"],
                               build_optimizer("ADAM", 0.01))
 
     embed = make_embed_fn(model, normalized=True)
-    emb = embed(state.params, x)
-    jax.block_until_ready(emb)
+    emb = jax.block_until_ready(embed(state.params, x))
 
     # --- embedding throughput -------------------------------------------
     reps = 10
@@ -59,28 +69,52 @@ def main():
     step = make_triplet_train_step(model, triplet_per_batch=100, alpha=0.2)
     labels = jnp.asarray(labels_np)
     mask = jnp.ones(n_events, jnp.float32)
-    key = jax.random.PRNGKey(1)
     lr = jnp.float32(0.01)
+    key = jax.random.PRNGKey(2)
     state, aux = step(state, x, labels, mask, key, lr)  # compile
     jax.block_until_ready(aux["loss"])
-    reps = 5
+    reps = 10
     t0 = time.time()
     for _ in range(reps):
         state, aux = step(state, x, labels, mask, key, lr)
     jax.block_until_ready(aux["loss"])
     fused_eps = n_events * reps / (time.time() - t0)
 
-    # --- reference-style step: device embed, HOST mine, device re-forward -
+    # --- reference-style step: device embed -> host mine -> device gather
+    #     + re-forward.  The device<->host copies here ride a development
+    #     tunnel whose latency is not representative of co-located PCIe, so
+    #     the host-mining cost is measured on local arrays and added to the
+    #     device-side times; the copies themselves are charged at zero,
+    #     which FAVORS the baseline. ------------------------------------
+    from multimodal_similarity_tpu.train.steps import l2_normalize
+
+    @jax.jit
+    def gather_embed(params, x, idx):
+        tri = jnp.take(x, idx, axis=0)
+        e = model.apply({"params": params}, tri)
+        return l2_normalize(e)
+
+    warm_idx = jnp.zeros((300,), jnp.int32)
+    jax.block_until_ready(gather_embed(state.params, x, warm_idx))
+
+    # device: embed-all + re-forward of gathered triplets
+    reps_ref = 5
     t0 = time.time()
-    reps_ref = 2
     for _ in range(reps_ref):
-        emb_host = np.asarray(embed(state.params, x))
-        dists = cdist(all_diffs(emb_host, emb_host))
-        idx, _ = select_triplets_facenet(labels_np, np.asarray(dists), 100)
-        tri = jnp.asarray(x_np[np.asarray(idx, np.int64)]) if idx else x[:300]
-        e2 = embed(state.params, tri)
-        jax.block_until_ready(e2)
-    ref_eps = n_events * reps_ref / (time.time() - t0)
+        e1 = embed(state.params, x)
+        e2 = gather_embed(state.params, x, warm_idx)
+    jax.block_until_ready((e1, e2))
+    t_device = (time.time() - t0) / reps_ref
+
+    # host: O(N^2) distance matrix + FaceNet semi-hard mining in NumPy
+    emb_host = np.asarray(embed(state.params, x))
+    t0 = time.time()
+    for _ in range(reps_ref):
+        diff = emb_host[:, None, :] - emb_host[None, :, :]
+        dists = np.sum(diff * diff, axis=-1)
+        idx, _ = select_triplets_facenet(labels_np, dists, 100)
+    t_host = (time.time() - t0) / reps_ref
+    ref_eps = n_events / (t_device + t_host)
 
     result = {
         "metric": "fused_train_step_events_per_sec",

@@ -60,6 +60,33 @@ def triplet_loss_masked(anchor: Array, positive: Array, negative: Array,
     return jnp.sum(basic * mask) / denom
 
 
+def weighted_triplet_loss_per_triplet(
+        anchor: Array, positive: Array, negative: Array,
+        prob_pos: Array, prob_neg: Array,
+        alpha: float = 0.2) -> Tuple[Array, Array]:
+    """Per-triplet [N] soft 4-way weighted loss (see
+    :func:`weighted_triplet_loss`); returns (loss_vec, [N,4] weights)."""
+
+    def _hinge(anc, pos, neg, a):
+        pos_dist = jnp.sum(jnp.square(anc - pos), axis=1)
+        neg_dist = jnp.sum(jnp.square(anc - neg), axis=1)
+        return jnp.maximum(pos_dist - neg_dist + a, 0.0)
+
+    w1 = prob_pos * (1.0 - prob_neg)
+    w2 = (1.0 - prob_pos) * prob_neg
+    w3 = prob_pos * prob_neg
+    w4 = (1.0 - prob_pos) * (1.0 - prob_neg)
+    loss = (
+        w1 * _hinge(anchor, positive, negative, alpha)
+        + w2 * _hinge(anchor, negative, positive, alpha)
+        + w3 * 0.5 * (_hinge(anchor, positive, anchor, -alpha * 2)
+                      + _hinge(anchor, negative, anchor, -alpha * 2))
+        + w4 * 0.5 * (_hinge(anchor, anchor, positive, alpha * 2)
+                      + _hinge(anchor, anchor, negative, alpha * 2))
+    )
+    return loss, jnp.stack([w1, w2, w3, w4], axis=1)
+
+
 def weighted_triplet_loss(anchor: Array, positive: Array, negative: Array,
                           prob_pos: Array, prob_neg: Array,
                           alpha: float = 0.2) -> Tuple[Array, Array]:
@@ -73,26 +100,9 @@ def weighted_triplet_loss(anchor: Array, positive: Array, negative: Array,
     Reference: networks.py:732-761 (duplicated verbatim at :763-792; single
     copy here).
     """
-
-    def _hinge(anc, pos, neg, a):
-        pos_dist = jnp.sum(jnp.square(anc - pos), axis=1)
-        neg_dist = jnp.sum(jnp.square(anc - neg), axis=1)
-        return jnp.maximum(pos_dist - neg_dist + a, 0.0)
-
-    w1 = prob_pos * (1.0 - prob_neg)
-    w2 = (1.0 - prob_pos) * prob_neg
-    w3 = prob_pos * prob_neg
-    w4 = (1.0 - prob_pos) * (1.0 - prob_neg)
-
-    loss = (
-        w1 * _hinge(anchor, positive, negative, alpha)
-        + w2 * _hinge(anchor, negative, positive, alpha)
-        + w3 * 0.5 * (_hinge(anchor, positive, anchor, -alpha * 2)
-                      + _hinge(anchor, negative, anchor, -alpha * 2))
-        + w4 * 0.5 * (_hinge(anchor, anchor, positive, alpha * 2)
-                      + _hinge(anchor, anchor, negative, alpha * 2))
-    )
-    return jnp.mean(loss), jnp.stack([w1, w2, w3, w4], axis=1)
+    loss, weights = weighted_triplet_loss_per_triplet(
+        anchor, positive, negative, prob_pos, prob_neg, alpha)
+    return jnp.mean(loss), weights
 
 
 # ---------------------------------------------------------------------------

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import itertools
 import random
-from typing import List, NamedTuple, Tuple
+from typing import List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -50,11 +50,14 @@ def mine_semihard_triplets(
     triplet_per_batch: int,
     alpha: float = 0.2,
     num_negative: int = 3,
+    valid: Optional[Array] = None,
 ) -> MinedTriplets:
     """Sample semi-hard triplets entirely on device.
 
     dists  -- [N, N] pairwise distance matrix (any metric)
     labels -- [N] int labels; 0 is background and never anchors/positives
+    valid  -- optional [N] bool/float mask; padding rows (valid == 0) are
+              excluded from anchors, positives, AND negatives
 
     Strategy: draw ceil(T / num_negative) anchor-positive pairs with
     class-balanced anchors (weight 1/class-count, foreground classes with
@@ -66,13 +69,17 @@ def mine_semihard_triplets(
     labels = labels.reshape(-1)
     n = labels.shape[0]
     num_pairs = -(-triplet_per_batch // num_negative)
+    if valid is None:
+        valid_b = jnp.ones((n,), dtype=bool)
+    else:
+        valid_b = valid.reshape(-1).astype(bool)
 
     same = labels[:, None] == labels[None, :]
     eye = jnp.eye(n, dtype=bool)
-    pos_mask = same & ~eye                       # admissible positives per row
-    foreground = labels != 0
+    pos_mask = same & ~eye & valid_b[None, :]    # admissible positives per row
+    foreground = (labels > 0) & valid_b
 
-    class_count = jnp.sum(same, axis=1)          # members of my class (incl me)
+    class_count = jnp.sum(same & valid_b[None, :], axis=1)  # incl. self
     can_anchor = foreground & (class_count >= 2)
     anchor_logw = jnp.where(can_anchor, -jnp.log(class_count.astype(jnp.float32)),
                             _NEG_INF)
@@ -88,6 +95,7 @@ def mine_semihard_triplets(
     neg_rows = dists[anchors]                                        # [P, N]
     diff_class = ~same[anchors]                                      # [P, N]
     semihard = (diff_class
+                & valid_b[None, :]
                 & (neg_rows - pos_dist[:, None] < alpha)
                 & (pos_dist[:, None] < neg_rows))                    # [P, N]
     has_neg = jnp.any(semihard, axis=1)                              # [P]

@@ -51,9 +51,18 @@ class TrainState(struct.PyTreeNode):
                    opt_state=tx.init(params), tx=tx)
 
 
+def _path_matches(path, scope: str) -> bool:
+    """True if the param path starts with the '/'-joined scope prefix."""
+    parts = scope.split("/")
+    if len(path) < len(parts):
+        return False
+    return all(getattr(path[i], "key", None) == parts[i]
+               for i in range(len(parts)))
+
+
 def _branch_scale(scopes: Sequence[str], scale: float):
-    """Gradient transformation scaling top-level subtrees named in
-    ``scopes`` by ``scale``."""
+    """Gradient transformation scaling subtrees whose path starts with any
+    of the '/'-joined ``scopes`` prefixes by ``scale``."""
 
     def init_fn(params):
         del params
@@ -63,12 +72,19 @@ def _branch_scale(scopes: Sequence[str], scale: float):
         del params
 
         def scale_tree(path, g):
-            top = path[0].key if path else None
-            return g * scale if top in scopes else g
+            if any(_path_matches(path, s) for s in scopes):
+                return g * scale
+            return g
 
         return (jax.tree_util.tree_map_with_path(scale_tree, updates), state)
 
     return optax.GradientTransformation(init_fn, update_fn)
+
+
+def freeze_scopes(scopes: Sequence[str]):
+    """Zero updates for '/'-joined path prefixes — the functional analog of
+    the reference's train_var_list exclusion (multimodal_model.py:285-290)."""
+    return _branch_scale(tuple(scopes), 0.0)
 
 
 def build_optimizer(
@@ -76,11 +92,13 @@ def build_optimizer(
     learning_rate: float = 0.05,
     branch_scopes: Sequence[str] = PRETRAINED_BRANCH_SCOPES,
     branch_scale: float = 0.1,
+    frozen_scopes: Sequence[str] = (),
 ) -> optax.GradientTransformation:
     """Optimizer keyed by the reference --optimizer flag.
 
     The returned transformation exposes ``learning_rate`` through
-    inject_hyperparams so schedules can set it per step.
+    inject_hyperparams so schedules can set it per step.  ``frozen_scopes``
+    ('/'-joined path prefixes) receive zero updates.
     """
 
     def core(learning_rate):
@@ -97,9 +115,11 @@ def build_optimizer(
             return optax.sgd(learning_rate, momentum=0.9, nesterov=True)
         return optax.sgd(learning_rate)
 
+    frozen = tuple(frozen_scopes)
     tx = optax.inject_hyperparams(
         lambda learning_rate: optax.chain(
             _branch_scale(tuple(branch_scopes), branch_scale),
+            freeze_scopes(frozen) if frozen else optax.identity(),
             core(learning_rate),
         ))(learning_rate=learning_rate)
     return tx

@@ -1,0 +1,114 @@
+"""Shared scaffolding for the Honda-track trainers.
+
+Factors the boilerplate every reference trainer repeats (dataset prep,
+session loader, validation preload, result dir, logging, checkpointing —
+e.g. base_model.py:87-211) so each experiment module only defines its
+models, its jitted step, and its mining policy.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from multimodal_similarity_tpu.configs import TrainConfig
+from multimodal_similarity_tpu.data import (
+    SessionBatchLoader,
+    load_validation_set,
+    prepare_dataset,
+    prepare_multimodal_dataset,
+    tsn_prepare_input,
+    tsn_prepare_input_test,
+)
+from multimodal_similarity_tpu.train.checkpoints import CheckpointManager
+from multimodal_similarity_tpu.train.trainer import setup_experiment
+from multimodal_similarity_tpu.utils.logging import (
+    MetricsLogger,
+    write_projector_metadata,
+)
+
+
+class HondaExperiment:
+    """Loaders + validation arrays + bookkeeping for one experiment run."""
+
+    def __init__(self, cfg: TrainConfig, *, modalities: Optional[List[str]] = None,
+                 event_budget: Optional[int] = None,
+                 result_dir: Optional[str] = None,
+                 limit_label_num: bool = True,
+                 val_sessions: Optional[Sequence[str]] = None):
+        self.cfg = cfg
+        self.result_dir = setup_experiment(cfg, result_dir=result_dir)
+        self.logger = MetricsLogger(self.result_dir)
+        self.ckpt = CheckpointManager(self.result_dir, cfg.name)
+        event_budget = event_budget or cfg.event_per_batch
+
+        if modalities is None:
+            feat = cfg.feat if isinstance(cfg.feat, str) else cfg.feat[0]
+            modalities = [feat]
+        self.modalities = modalities
+
+        prep_train = functools.partial(tsn_prepare_input, cfg.num_seg)
+        prep_test = functools.partial(tsn_prepare_input_test, cfg.num_seg)
+
+        if len(modalities) == 1:
+            train_set = prepare_dataset(cfg.feature_root, cfg.train_session,
+                                        modalities[0], cfg.label_root,
+                                        cfg.label_type)
+        else:
+            train_set = prepare_multimodal_dataset(
+                cfg.feature_root, cfg.train_session, modalities,
+                cfg.label_root, cfg.label_type)
+        if limit_label_num:
+            train_set = train_set[: cfg.label_num]
+        self.train_set = train_set
+        self.labeled_sessions = set(cfg.train_session[: cfg.label_num])
+
+        self.loader = SessionBatchLoader(
+            train_set, sess_per_batch=cfg.sess_per_batch,
+            event_budget=event_budget,
+            prepare_funcs=[prep_train] * len(modalities), seed=cfg.seed)
+        self.batch_per_epoch = self.loader.batches_per_epoch
+        if self.batch_per_epoch < 1:
+            raise ValueError(
+                f"{len(train_set)} train sessions < sess_per_batch="
+                f"{cfg.sess_per_batch}")
+
+        val_ids = list(val_sessions or cfg.val_session)
+        if len(modalities) == 1:
+            val_set = prepare_dataset(cfg.feature_root, val_ids,
+                                      modalities[0], cfg.label_root,
+                                      cfg.label_type)
+            self.val_feats, self.val_labels, val_sess, val_bound = \
+                load_validation_set(val_set, prep_test)
+            self.val_extra = []
+        else:
+            val_set = prepare_multimodal_dataset(
+                cfg.feature_root, val_ids, modalities, cfg.label_root,
+                cfg.label_type)
+            self.val_feats, self.val_labels, val_sess, val_bound = \
+                load_validation_set([[r[0], r[-1]] for r in val_set],
+                                    prep_test)
+            self.val_extra = []
+            for m in range(1, len(modalities)):
+                feats_m, _, _, _ = load_validation_set(
+                    [[r[m], r[-1]] for r in val_set], prep_test)
+                self.val_extra.append(feats_m)
+
+        write_projector_metadata(self.result_dir, self.val_labels, val_sess,
+                                 val_bound)
+        self.rng = jax.random.PRNGKey(cfg.seed)
+
+    def next_key(self):
+        self.rng, key = jax.random.split(self.rng)
+        return key
+
+    def log(self, step: int, scalars, echo: str = ""):
+        self.logger.log(step, {k: float(v) for k, v in scalars.items()})
+        if echo and not self.cfg.silent_mode:
+            print(echo)
+
+    def close(self):
+        self.logger.close()

@@ -1,0 +1,128 @@
+"""Batch-hard trainer on class-balanced batches.
+
+Reference: src/base_model_batchhard.py:68-260 — round-robin class-balanced
+batch builder + the "In Defense of the Triplet Loss" batch-hard objective.
+TPU-first: the pairwise distance matrix + hardest-pair reduction run in the
+fused Pallas kernel (ops/pallas/batch_hard.py); the balanced batch indices
+stay host-side in the loader.
+
+Run:  python -m multimodal_similarity_tpu.train.trainers.base_model_batchhard
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_similarity_tpu.configs import TrainConfig
+from multimodal_similarity_tpu.models import build_encoder
+from multimodal_similarity_tpu.ops.losses import lifted_loss
+from multimodal_similarity_tpu.ops.mining import select_batch_balanced
+from multimodal_similarity_tpu.ops.pallas import batch_hard_pallas
+from multimodal_similarity_tpu.train.state import (
+    TrainState, build_optimizer, l2_regularization, learning_rate_schedule)
+from multimodal_similarity_tpu.train.steps import l2_normalize, make_embed_fn
+from multimodal_similarity_tpu.train.trainer import epoch_of_step, validate
+from multimodal_similarity_tpu.train.trainers._honda import HondaExperiment
+
+
+def make_balanced_batch_step(model, cfg: TrainConfig, loss_kind: str):
+    """step(state, events [B], labels [B], key, lr) for batch-structured
+    losses over a class-balanced batch."""
+    margin = "soft" if (loss_kind == "batchhard" and not cfg.no_soft) \
+        else cfg.alpha
+
+    def step(state, events, labels, key, learning_rate):
+        def loss_fn(params):
+            emb = model.apply({"params": params}, events, train=True,
+                              rngs={"dropout": key})
+            if cfg.normalized:
+                emb = l2_normalize(emb)
+            if loss_kind == "batchhard":
+                loss, num_active, *_ = batch_hard_pallas(
+                    emb, labels, margin, weighted=True)
+            else:
+                from multimodal_similarity_tpu.ops.distances import (
+                    self_distance)
+                loss, num_active, *_ = lifted_loss(
+                    self_distance(emb, cfg.metric),
+                    labels.astype(jnp.float32), cfg.alpha, weighted=True)
+            total = loss
+            if cfg.lambda_l2:
+                total = total + cfg.lambda_l2 * l2_regularization(params)
+            return total, {"loss": total, "metric_loss": loss,
+                           "active_count": num_active}
+
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        state = state.apply_gradients(grads, learning_rate=learning_rate)
+        return state, aux
+
+    return jax.jit(step)
+
+
+def train(cfg: TrainConfig, loss_kind: str = "batchhard",
+          event_budget: Optional[int] = None,
+          result_dir: Optional[str] = None):
+    exp = HondaExperiment(cfg, event_budget=event_budget,
+                          result_dir=result_dir)
+    model = build_encoder(cfg.network, num_seg=cfg.num_seg,
+                          emb_dim=cfg.emb_dim, n_input=cfg.n_input,
+                          n_h=cfg.n_h, n_w=cfg.n_w, n_C=cfg.n_C,
+                          keep_prob=cfg.keep_prob)
+    variables = model.init(exp.next_key(), jnp.asarray(
+        np.zeros((2,) + exp.val_feats.shape[1:], np.float32)))
+    state = TrainState.create(variables["params"],
+                              build_optimizer(cfg.optimizer,
+                                              cfg.learning_rate))
+    if cfg.model_path:
+        from multimodal_similarity_tpu.train.checkpoints import load_pytree
+        state = load_pytree(cfg.model_path, state)
+
+    embed_fn = make_embed_fn(model, cfg.normalized)
+    step_fn = make_balanced_batch_step(model, cfg, loss_kind)
+    batch_size = cfg.batch_size if cfg.batch_size > 8 else 64
+
+    metrics = {}
+    epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
+    while epoch < cfg.max_epochs:
+        lr = learning_rate_schedule(epoch, cfg.learning_rate,
+                                    cfg.static_epochs, cfg.max_epochs)
+        for batch in exp.loader.epoch():
+            n = int(batch["num_events"])
+            idx = select_batch_balanced(batch["labels"][:n], batch_size)
+            if idx.size == 0:
+                continue
+            state, aux = step_fn(
+                state, jnp.asarray(batch["events"][idx]),
+                jnp.asarray(batch["labels"][idx]), exp.next_key(),
+                jnp.float32(lr))
+            exp.log(int(state.step),
+                    {**{k: float(v) for k, v in aux.items()},
+                     "learning_rate": lr},
+                    f"[{cfg.name}] epoch {epoch + 1} step {int(state.step)} "
+                    f"loss {float(aux['loss']):.4f}")
+        metrics, _ = validate(embed_fn, state.params, exp.val_feats,
+                              exp.val_labels)
+        exp.log(int(state.step), metrics,
+                f"[{cfg.name}] epoch {epoch + 1} val mAP "
+                f"{metrics['val_mAP']:.4f}")
+        exp.ckpt.save(state, int(state.step))
+        epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
+
+    exp.close()
+    return state, metrics, exp.result_dir
+
+
+def main(argv=None):
+    cfg = TrainConfig.parse(argv)
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,440 @@
+"""Flagship semi-supervised multimodal trainer.
+
+Reference: src/multimodal_model.py:144-580.  Three branches: a trainable
+core video encoder, plus frozen-tower sensors/segment RTSN+PDDM branches
+restored from pddm_model runs.  Each batch:
+
+1. facenet semi-hard triplets from core embeddings (labeled supervision);
+2. from epoch >= multimodal_epochs, an all-pairs fused PDDM pseudo-
+   similarity matrix (0.5 * (sensors + segment), reference :264-266) —
+   computed blockwise ON DEVICE instead of the reference's O(N^2) host
+   scoring loop (:459-475);
+3. hard mining (same-label low-sim positives / diff-label high-sim
+   negatives) and structure mining (same-class-as-hard-negative far
+   negatives with per-class adaptive margins from dist_dict)
+   (select_triplets_mul, reference :72-142);
+4. one jitted step with three masked triplet groups replacing the
+   reference's nested tf.cond loss staging (:292-297).
+
+The dist_dict (per-class mean pairwise validation distance) is initialized
+before training and appended at epoch 50 / every 200 epochs (:383-391,
+:566-573).
+"""
+
+from __future__ import annotations
+
+import functools
+import itertools
+import os
+import pickle
+import random
+import sys
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_similarity_tpu.configs import TrainConfig
+from multimodal_similarity_tpu.models import (
+    PDDM, RTSN, build_encoder, score_all_pairs)
+from multimodal_similarity_tpu.ops.distances import all_diffs, cdist
+from multimodal_similarity_tpu.ops.losses import triplet_loss_masked
+from multimodal_similarity_tpu.ops.mining import select_triplets_facenet
+from multimodal_similarity_tpu.train.checkpoints import load_pytree
+from multimodal_similarity_tpu.train.state import (
+    TrainState, build_optimizer, l2_regularization, learning_rate_schedule)
+from multimodal_similarity_tpu.train.steps import l2_normalize, make_embed_fn
+from multimodal_similarity_tpu.train.trainer import epoch_of_step, validate
+from multimodal_similarity_tpu.train.trainers._honda import HondaExperiment
+
+SENSORS_EMB_DIM = 32
+SEGMENT_EMB_DIM = 32
+
+
+def select_triplets_mul(triplet_input_idx, lab, sim_prob, dist_dict,
+                        triplet_per_batch, triplet_per_event=2,
+                        threshold_up=0.65, threshold_down=0.35):
+    """Hard + structure mining from pseudo-similarities
+    (reference :72-142, semantics-exact)."""
+    lab = np.asarray(lab).reshape(-1, 1)
+
+    triplet_selected = []
+    for i in range(0, len(triplet_input_idx), 3):
+        triplet = (triplet_input_idx[i], triplet_input_idx[i + 1],
+                   triplet_input_idx[i + 2])
+        if triplet not in triplet_selected:
+            triplet_selected.append(triplet)
+
+    triplet_count = len(triplet_selected)
+    adjacency = np.equal(lab, lab.T)
+
+    struct_selected: List[tuple] = []
+    margins: List[float] = []
+    for i in np.random.permutation(lab.shape[0]):
+        if lab[i] > 0:
+            hard_pos = np.where(np.logical_and(
+                adjacency[i], sim_prob[i] < threshold_down))[0]
+            hard_neg = np.where(np.logical_and(
+                ~adjacency[i], sim_prob[i] > threshold_up))[0]
+
+            if len(hard_pos) == 0:
+                all_pos = np.where(adjacency[i])[0]
+                if len(all_pos) == 1:
+                    continue
+                sim = sim_prob[i, all_pos]
+                hard_pos = np.array([all_pos[np.nanargmin(sim)]], "int32")
+            if len(hard_neg) == 0:
+                all_neg = np.where(~adjacency[i])[0]
+                if len(all_neg) == 1:
+                    continue
+                sim = sim_prob[i, all_neg]
+                hard_neg = np.array([all_neg[np.nanargmax(sim)]], "int32")
+
+            hard_comb = [(hp, hn) for hn in hard_neg for hp in hard_pos]
+            random.shuffle(hard_comb)
+            for count in range(min(triplet_per_event, len(hard_comb))):
+                hp, hn = hard_comb[count]
+                triplet = (i, hp, hn)
+                if triplet not in triplet_selected:
+                    triplet_selected.append(triplet)
+                    far_neg = np.where(np.logical_and(
+                        np.squeeze(lab) == lab[hn],
+                        sim_prob[i] < threshold_down))[0]
+                    if len(far_neg):
+                        fn = np.random.choice(far_neg)
+                        triplet = (i, hn, fn)
+                        if triplet not in struct_selected:
+                            struct_selected.append(triplet)
+                            margins.append(dist_dict[int(lab[fn, 0])][-1])
+
+        if (len(struct_selected) + len(triplet_selected) - triplet_count
+                >= triplet_per_batch):
+            break
+
+    hard_count = len(triplet_selected) - triplet_count
+    struct_selected = struct_selected[: triplet_per_batch - hard_count]
+    struct_count = len(struct_selected)
+    margins = margins[:struct_count]
+
+    triplet_input_idx = [idx for tri in triplet_selected + struct_selected
+                         for idx in tri]
+    return triplet_input_idx, margins, triplet_count, hard_count, struct_count
+
+
+def init_dist_dict(val_embeddings, val_labels, metric) -> Dict[int, list]:
+    """Per-class mean pairwise distance on validation embeddings
+    (reference :383-391)."""
+    val_labels = np.asarray(val_labels).reshape(-1)
+    dist_dict: Dict[int, list] = {}
+    for i in range(int(np.max(val_labels)) + 1):
+        temp = val_embeddings[np.where(val_labels == i)[0]]
+        dist_dict[i] = [float(np.mean(cdist(all_diffs(
+            jnp.asarray(temp), jnp.asarray(temp)), metric)))
+            if temp.shape[0] else 0.0]
+    return dist_dict
+
+
+def build_models(cfg: TrainConfig):
+    core = build_encoder(cfg.network, num_seg=cfg.num_seg,
+                         emb_dim=cfg.emb_dim, n_input=cfg.n_input,
+                         n_h=cfg.n_h, n_w=cfg.n_w, n_C=cfg.n_C,
+                         keep_prob=cfg.keep_prob)
+    sensors_enc = RTSN(n_seg=cfg.num_seg, emb_dim=SENSORS_EMB_DIM, n_input=8,
+                       keep_prob=cfg.keep_prob)
+    sensors_pddm = PDDM(n_input=SENSORS_EMB_DIM)
+    segment_enc = RTSN(n_seg=cfg.num_seg, emb_dim=SEGMENT_EMB_DIM,
+                       n_input=cfg.feat_dim.get("segment", (357,))[0],
+                       keep_prob=cfg.keep_prob)
+    segment_pddm = PDDM(n_input=SEGMENT_EMB_DIM)
+    return core, sensors_enc, sensors_pddm, segment_enc, segment_pddm
+
+
+def make_mm_train_step(core, cfg: TrainConfig, tri_cap: int):
+    """step over [3 * tri_cap] gathered core-events with three masked
+    triplet groups: labeled / hard / struct(margins)."""
+
+    def step(state, tri_events, mask_lab, mask_hard, mask_struct, margins,
+             key, learning_rate):
+        def loss_fn(params):
+            emb = core.apply({"params": params["modality_core"]}, tri_events,
+                             train=True, rngs={"dropout": key})
+            if cfg.normalized:
+                emb = l2_normalize(emb)
+            tri = emb.reshape(tri_cap, 3, -1)
+            a, p, n = tri[:, 0], tri[:, 1], tri[:, 2]
+            loss1 = triplet_loss_masked(a, p, n, mask_lab, cfg.alpha)
+            loss2 = triplet_loss_masked(a, p, n, mask_hard, cfg.alpha)
+            pd = jnp.sum(jnp.square(a - p), axis=1)
+            nd = jnp.sum(jnp.square(a - n), axis=1)
+            basic = jnp.maximum(pd - nd + margins, 0.0)
+            loss3 = jnp.sum(basic * mask_struct) / jnp.maximum(
+                jnp.sum(mask_struct), 1.0)
+            total = loss1 + (loss2 + loss3 * 0.3) * cfg.lambda_multimodal
+            if cfg.lambda_l2:
+                total = total + cfg.lambda_l2 * l2_regularization(params)
+            return total, {"loss": total, "metric_loss1": loss1,
+                           "metric_loss2": loss2, "metric_loss3": loss3}
+
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        state = state.apply_gradients(grads, learning_rate=learning_rate)
+        return state, aux
+
+    return jax.jit(step)
+
+
+def make_fused_sim_fn(sensors_enc, sensors_pddm, segment_enc, segment_pddm,
+                      cfg):
+    """[N] sensors+segment events -> fused [N, N] PDDM similarity matrix."""
+
+    @jax.jit
+    def fused_sim(params, eve_sensors, eve_segment):
+        es = sensors_enc.apply(
+            {"params": params["modality_sensors"]["encoder"]}, eve_sensors)
+        eg = segment_enc.apply(
+            {"params": params["modality_segment"]["encoder"]}, eve_segment)
+        block = min(128, es.shape[0])
+        sim_s = score_all_pairs(functools.partial(
+            sensors_pddm.apply, {"params": params["modality_sensors"]["pddm"]},
+            method="score"), es, block=block)
+        sim_g = score_all_pairs(functools.partial(
+            segment_pddm.apply, {"params": params["modality_segment"]["pddm"]},
+            method="score"), eg, block=block)
+        return 0.5 * (sim_s + sim_g)
+
+    return fused_sim
+
+
+def _pad_triplets(idx: List[int], margins: List[float], counts, tri_cap: int):
+    """[a,p,n,...] flat list -> fixed arrays: gather index [3*tri_cap],
+    per-group masks [tri_cap], margins [tri_cap]."""
+    triplet_count, hard_count, struct_count = counts
+    total = triplet_count + hard_count + struct_count
+    total = min(total, tri_cap)
+    gather = np.zeros(3 * tri_cap, np.int32)
+    flat = np.asarray(idx[: 3 * total], np.int32).reshape(-1, 3)
+    gather[: 3 * total] = flat.reshape(-1)
+    m_lab = np.zeros(tri_cap, np.float32)
+    m_hard = np.zeros(tri_cap, np.float32)
+    m_struct = np.zeros(tri_cap, np.float32)
+    marg = np.zeros(tri_cap, np.float32)
+    m_lab[: min(triplet_count, total)] = 1.0
+    h_end = min(triplet_count + hard_count, total)
+    m_hard[min(triplet_count, total): h_end] = 1.0
+    s_end = min(total, tri_cap)
+    m_struct[h_end: s_end] = 1.0
+    marg[h_end: s_end] = np.asarray(margins[: s_end - h_end], np.float32)
+    return gather, m_lab, m_hard, m_struct, marg
+
+
+def train(cfg: TrainConfig, hard_only: bool = False,
+          event_budget: Optional[int] = None,
+          result_dir: Optional[str] = None):
+    modalities = cfg.feat if isinstance(cfg.feat, list) else \
+        ["resnet", "sensors", "segment"]
+    exp = HondaExperiment(cfg, modalities=modalities,
+                          event_budget=event_budget, result_dir=result_dir,
+                          limit_label_num=(cfg.task == "supervised"))
+    core, sensors_enc, sensors_pddm, segment_enc, segment_pddm = \
+        build_models(cfg)
+
+    x0 = jnp.asarray(np.zeros((2,) + exp.val_feats.shape[1:], np.float32))
+    s0 = jnp.asarray(np.zeros((2,) + exp.val_extra[0].shape[1:], np.float32))
+    g0 = jnp.asarray(np.zeros((2,) + exp.val_extra[1].shape[1:], np.float32))
+    e32 = jnp.zeros((2, SENSORS_EMB_DIM), jnp.float32)
+
+    params = {
+        "modality_core": core.init(exp.next_key(), x0)["params"],
+        "modality_sensors": {
+            "encoder": sensors_enc.init(exp.next_key(), s0)["params"],
+            "pddm": sensors_pddm.init(exp.next_key(), e32, e32,
+                                      method="score")["params"],
+        },
+        "modality_segment": {
+            "encoder": segment_enc.init(exp.next_key(), g0)["params"],
+            "pddm": segment_pddm.init(exp.next_key(), e32, e32,
+                                      method="score")["params"],
+        },
+    }
+
+    # restore pretrained PDDM branches (reference :376-379)
+    for scope, path in (("modality_sensors", cfg.sensors_path),
+                        ("modality_segment", cfg.segment_path)):
+        if path:
+            ckpt_state = load_pytree(path, None)
+            branch = ckpt_state.get("params", ckpt_state)
+            params[scope] = _graft(params[scope], branch)
+
+    # frozen RTSN towers unless no_joint (reference :285-290)
+    if cfg.no_joint:
+        frozen = ("modality_sensors", "modality_segment")
+    else:
+        frozen = ("modality_sensors/encoder", "modality_segment/encoder")
+    state = TrainState.create(params, build_optimizer(
+        cfg.optimizer, cfg.learning_rate, frozen_scopes=frozen))
+    if cfg.model_path:
+        state = load_pytree(cfg.model_path, state)
+
+    embed_fn = make_embed_fn(core, cfg.normalized)
+    tri_cap = cfg.triplet_per_batch * 2
+    step_fn = make_mm_train_step(core, cfg, tri_cap)
+    fused_sim = make_fused_sim_fn(sensors_enc, sensors_pddm, segment_enc,
+                                  segment_pddm, cfg)
+
+    def core_embed(params, feats):
+        from multimodal_similarity_tpu.train.steps import embed_in_chunks
+        return embed_in_chunks(lambda p, x: embed_fn(p, x),
+                               params["modality_core"], feats)
+
+    val_emb = core_embed(state.params, exp.val_feats)
+    dist_dict = init_dist_dict(val_emb, exp.val_labels, cfg.metric)
+
+    metrics = {}
+    epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
+    while epoch < cfg.max_epochs:
+        lr = learning_rate_schedule(epoch, cfg.learning_rate,
+                                    cfg.static_epochs, cfg.max_epochs)
+        for batch in exp.loader.epoch():
+            n = int(batch["num_events"])
+            emb = core_embed(state.params, batch["events"][:n])
+            dists = cdist(all_diffs(emb, emb), cfg.metric)
+            idx, active_count = select_triplets_facenet(
+                batch["labels"][:n], np.asarray(dists),
+                cfg.triplet_per_batch, cfg.alpha, cfg.num_negative)
+            if not idx:
+                continue
+            triplet_count = len(idx) // 3
+            hard_count = struct_count = 0
+            margins: List[float] = []
+            if epoch >= cfg.multimodal_epochs:
+                sim = np.array(fused_sim(
+                    state.params, jnp.asarray(batch["events2"][:n]),
+                    jnp.asarray(batch["events3"][:n])))
+                np.fill_diagonal(sim, np.nan)
+                if hard_only:
+                    idx, triplet_count, hard_count = \
+                        select_triplets_mul_hard(
+                            idx, batch["labels"][:n].reshape(-1, 1), sim,
+                            cfg.triplet_per_batch, 3, 0.8, 0.2)
+                    margins, struct_count = [], 0
+                else:
+                    idx, margins, triplet_count, hard_count, struct_count = \
+                        select_triplets_mul(
+                            idx, batch["labels"][:n], sim, dist_dict,
+                            cfg.triplet_per_batch, 3, 0.8, 0.2)
+
+            gather, m_lab, m_hard, m_struct, marg = _pad_triplets(
+                idx, margins, (triplet_count, hard_count, struct_count),
+                tri_cap)
+            tri_events = jnp.asarray(batch["events"][:n][gather])
+            state, aux = step_fn(state, tri_events, jnp.asarray(m_lab),
+                                 jnp.asarray(m_hard), jnp.asarray(m_struct),
+                                 jnp.asarray(marg), exp.next_key(),
+                                 jnp.float32(lr))
+            exp.log(int(state.step),
+                    {**{k: float(v) for k, v in aux.items()},
+                     "active_count": active_count,
+                     "triplet_count": triplet_count,
+                     "hard_count": hard_count,
+                     "struct_count": struct_count, "learning_rate": lr},
+                    f"[{cfg.name}] epoch {epoch + 1} step {int(state.step)} "
+                    f"loss {float(aux['loss']):.4f} "
+                    f"tri/hard/struct {triplet_count}/{hard_count}/"
+                    f"{struct_count}")
+
+        val_emb = core_embed(state.params, exp.val_feats)
+        from multimodal_similarity_tpu.eval.metrics import (
+            retrieval_metrics_device)
+        mAP, mPrec, recalls = retrieval_metrics_device(
+            val_emb, exp.val_labels.reshape(-1))
+        metrics = {"val_mAP": mAP, "val_mPrec": mPrec,
+                   "val_recall@1": recalls[1]}
+        exp.log(int(state.step), metrics,
+                f"[{cfg.name}] epoch {epoch + 1} val mAP {mAP:.4f}")
+
+        # dist_dict update cadence (reference :566-573)
+        if (epoch + 1) == 50 or (epoch + 1) % 200 == 0:
+            for i in dist_dict:
+                temp = val_emb[np.where(exp.val_labels.reshape(-1) == i)[0]]
+                dist_dict[i].append(float(np.mean(cdist(all_diffs(
+                    jnp.asarray(temp), jnp.asarray(temp)), cfg.metric)))
+                    if temp.shape[0] else 0.0)
+            with open(os.path.join(exp.result_dir, "dist_dict.pkl"),
+                      "wb") as f:
+                pickle.dump(dist_dict, f)
+
+        exp.ckpt.save(state, int(state.step))
+        epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
+
+    exp.close()
+    return state, metrics, exp.result_dir
+
+
+def select_triplets_mul_hard(triplet_input_idx, lab, sim_prob,
+                             triplet_per_batch, triplet_per_event=2,
+                             threshold_up=0.65, threshold_down=0.35):
+    """Hard-mining-only ablation (multimodal_model_hardonly.py:71-126)."""
+    lab = np.asarray(lab).reshape(-1, 1)
+    triplet_selected = []
+    for i in range(0, len(triplet_input_idx), 3):
+        triplet = (triplet_input_idx[i], triplet_input_idx[i + 1],
+                   triplet_input_idx[i + 2])
+        if triplet not in triplet_selected:
+            triplet_selected.append(triplet)
+    triplet_count = len(triplet_selected)
+    adjacency = np.equal(lab, lab.T)
+
+    for i in np.random.permutation(lab.shape[0]):
+        if lab[i] > 0:
+            hard_pos = np.where(np.logical_and(
+                adjacency[i], sim_prob[i] < threshold_down))[0]
+            hard_neg = np.where(np.logical_and(
+                ~adjacency[i], sim_prob[i] > threshold_up))[0]
+            if len(hard_pos) == 0:
+                all_pos = np.where(adjacency[i])[0]
+                if len(all_pos) == 1:
+                    continue
+                hard_pos = np.array(
+                    [all_pos[np.nanargmin(sim_prob[i, all_pos])]], "int32")
+            if len(hard_neg) == 0:
+                all_neg = np.where(~adjacency[i])[0]
+                if len(all_neg) == 1:
+                    continue
+                hard_neg = np.array(
+                    [all_neg[np.nanargmax(sim_prob[i, all_neg])]], "int32")
+            hard_comb = [(hp, hn) for hn in hard_neg for hp in hard_pos]
+            random.shuffle(hard_comb)
+            for count in range(min(triplet_per_event, len(hard_comb))):
+                hp, hn = hard_comb[count]
+                triplet = (i, hp, hn)
+                if triplet not in triplet_selected:
+                    triplet_selected.append(triplet)
+        if len(triplet_selected) - triplet_count >= triplet_per_batch:
+            break
+
+    triplet_selected = triplet_selected[: triplet_count + triplet_per_batch]
+    mul_count = len(triplet_selected) - triplet_count
+    flat = [idx for tri in triplet_selected for idx in tri]
+    return flat, triplet_count, mul_count
+
+
+def _graft(template, branch):
+    """Copy matching keys of ``branch`` over ``template`` (scope-stripped
+    restore, reference :200-217)."""
+    if not isinstance(template, dict):
+        return branch
+    out = dict(template)
+    for k in template:
+        if isinstance(branch, dict) and k in branch:
+            out[k] = _graft(template[k], branch[k])
+    return out
+
+
+def main(argv=None):
+    cfg = TrainConfig.parse(argv)
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,110 @@
+"""Pallas kernels vs dense XLA oracles (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multimodal_similarity_tpu.ops.distances import self_distance, pairwise_distance
+from multimodal_similarity_tpu.ops.losses import batch_hard
+from multimodal_similarity_tpu.ops.pallas import (
+    batch_hard_pallas, fused_batch_hard_stats, pallas_sqdist)
+
+
+def _clustered(rng, n=70, n_classes=5, dim=24):
+    labels = rng.randint(0, n_classes, size=n)
+    centers = rng.randn(n_classes, dim)
+    emb = (centers[labels] + 0.8 * rng.randn(n, dim)).astype(np.float32)
+    return jnp.array(emb), jnp.array(labels)
+
+
+def test_pallas_sqdist_matches_dense(rng):
+    a = jnp.array(rng.randn(70, 24).astype(np.float32))
+    b = jnp.array(rng.randn(50, 24).astype(np.float32))
+    got = np.asarray(pallas_sqdist(a, b, block_m=32, block_n=32))
+    want = np.asarray(pairwise_distance(a, b, "squaredeuclidean"))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_fused_stats_match_dense(rng):
+    emb, labels = _clustered(rng)
+    fp, cn, nc = fused_batch_hard_stats(emb, labels, None, 32, "f32")
+    dists = self_distance(emb)
+    same = np.asarray(labels)[:, None] == np.asarray(labels)[None, :]
+    pos_m = same & ~np.eye(70, dtype=bool)
+    neg_m = ~same
+    d = np.asarray(dists)
+    want_fp = (d * pos_m).max(axis=1)
+    want_cn = np.where(neg_m, d, 1e30).min(axis=1)
+    np.testing.assert_allclose(np.asarray(fp), want_fp, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cn), want_cn, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(nc), neg_m.sum(1))
+
+
+def test_fused_stats_respects_valid_mask(rng):
+    emb, labels = _clustered(rng, n=40)
+    valid = jnp.array((np.arange(40) < 30).astype(np.float32))
+    fp, cn, nc = fused_batch_hard_stats(emb, labels, valid, 16, "f32")
+    d = np.asarray(self_distance(emb))
+    lab = np.asarray(labels)
+    same = lab[:, None] == lab[None, :]
+    pos_m = same & ~np.eye(40, dtype=bool) & (np.arange(40) < 30)[None, :]
+    neg_m = ~same & (np.arange(40) < 30)[None, :]
+    np.testing.assert_allclose(np.asarray(fp), (d * pos_m).max(1),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cn),
+                               np.where(neg_m, d, 1e30).min(1),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("margin", ["soft", 0.5])
+def test_batch_hard_pallas_matches_reference_loss(rng, margin):
+    emb, labels = _clustered(rng, n=60)
+    labels = labels.at[:3].set(1)
+    dists = self_distance(emb)
+    want = batch_hard(dists, labels.astype(jnp.float32), margin, True)
+    got = batch_hard_pallas(emb, labels, margin, True, block=32, precision="f32")
+    np.testing.assert_allclose(float(got[0]), float(want[0]), rtol=1e-4)
+    np.testing.assert_allclose(float(got[1]), float(want[1]), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got[4]), np.asarray(want[4]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got[5]), np.asarray(want[5]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_batch_hard_pallas_gradients_match(rng):
+    emb, labels = _clustered(rng, n=48, dim=16)
+    labels = labels.at[:3].set(1)
+
+    def loss_dense(e):
+        return batch_hard(self_distance(e), labels.astype(jnp.float32),
+                          "soft", True)[0]
+
+    def loss_pallas(e):
+        return batch_hard_pallas(e, labels, "soft", True, block=16, precision="f32")[0]
+
+    g_dense = jax.grad(loss_dense)(emb)
+    g_pallas = jax.grad(loss_pallas)(emb)
+    np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_dense),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_batch_hard_pallas_nonaligned_n(rng):
+    # n not a multiple of the block: padding path
+    emb, labels = _clustered(rng, n=37, dim=8)
+    labels = labels.at[:3].set(1)
+    got = batch_hard_pallas(emb, labels, 0.3, True, block=16, precision="f32")
+    want = batch_hard(self_distance(emb), labels.astype(jnp.float32),
+                      0.3, True)
+    np.testing.assert_allclose(float(got[0]), float(want[0]), rtol=1e-4)
+
+
+def test_fused_stats_bf16_close(rng):
+    """Default bf16 matmul stays within bf16 tolerance of the exact stats."""
+    emb, labels = _clustered(rng, n=64)
+    fp16, cn16, _ = fused_batch_hard_stats(emb, labels, None, 32, "bf16")
+    fp32, cn32, _ = fused_batch_hard_stats(emb, labels, None, 32, "f32")
+    np.testing.assert_allclose(np.asarray(fp16), np.asarray(fp32),
+                               rtol=5e-2, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(cn16), np.asarray(cn32),
+                               rtol=5e-2, atol=5e-2)

@@ -1,0 +1,190 @@
+"""End-to-end smoke tests for each trainer on tiny synthetic data."""
+
+import numpy as np
+import pytest
+
+from multimodal_similarity_tpu.configs import TrainConfig
+from multimodal_similarity_tpu.data import generate_synthetic_honda
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("honda_tr"))
+    generate_synthetic_honda(
+        root, n_sessions=5, frames_per_session=300,
+        modal_dims={"resnet": (2, 2, 8), "sensors": (8,), "segment": (16,)},
+        class_scale=1.0, noise_scale=1.0, seed=0)
+    return root
+
+
+def _cfg(root, **kw):
+    d = dict(DATA_ROOT=root, name="t", network="rtsn", feat="sensors",
+             n_input=8, emb_dim=16, num_seg=3, sess_per_batch=2,
+             max_epochs=1, triplet_per_batch=24, batch_size=32,
+             learning_rate=0.01, keep_prob=0.9, silent_mode=True)
+    d.update(kw)
+    return TrainConfig(**d).resolve()
+
+
+def test_batchhard_trainer(synth_root, tmp_path):
+    from multimodal_similarity_tpu.train.trainers import base_model_batchhard
+    cfg = _cfg(synth_root)
+    state, metrics, _ = base_model_batchhard.train(
+        cfg, event_budget=48, result_dir=str(tmp_path / "bh"))
+    assert int(state.step) >= 1
+    assert np.isfinite(metrics["val_mAP"])
+
+
+def test_lifted_trainer(synth_root, tmp_path):
+    from multimodal_similarity_tpu.train.trainers import base_model_lifted
+    cfg = _cfg(synth_root)
+    state, metrics, _ = base_model_lifted.train(
+        cfg, event_budget=48, result_dir=str(tmp_path / "li"))
+    assert int(state.step) >= 1
+
+
+def test_classifier_trainer(synth_root, tmp_path):
+    from multimodal_similarity_tpu.train.trainers import base_model_classifier
+    cfg = _cfg(synth_root, network="convtsn", feat="resnet", n_h=2, n_w=2,
+               n_C=4)
+    state, metrics, _ = base_model_classifier.train(
+        cfg, event_budget=48, result_dir=str(tmp_path / "cl"))
+    assert 0.0 <= metrics["val_accuracy"] <= 1.0
+
+
+def test_multitask_trainer(synth_root, tmp_path):
+    from multimodal_similarity_tpu.train.trainers import multitask_model
+    cfg = _cfg(synth_root, lambda_ver=0.5)
+    state, metrics, _ = multitask_model.train(
+        cfg, event_budget=48, result_dir=str(tmp_path / "mt"))
+    assert int(state.step) >= 1
+    assert np.isfinite(metrics["val_mAP"])
+
+
+def test_pairsim_trainer(synth_root, tmp_path):
+    from multimodal_similarity_tpu.train.trainers import pairsim_model
+    cfg = _cfg(synth_root, batch_size=16, negative_epochs=0)
+    state, metrics, _ = pairsim_model.train(
+        cfg, event_budget=48, result_dir=str(tmp_path / "ps"))
+    assert 0.0 <= metrics["val_acc"] <= 1.0
+
+
+def test_pddm_trainer(synth_root, tmp_path):
+    from multimodal_similarity_tpu.train.trainers import pddm_model
+    cfg = _cfg(synth_root)
+    state, metrics, _ = pddm_model.train(
+        cfg, event_budget=48, result_dir=str(tmp_path / "pd"))
+    assert np.isfinite(metrics["val_mAP_PDDM"])
+
+
+def test_multimodal_trainer(synth_root, tmp_path):
+    from multimodal_similarity_tpu.train.trainers import multimodal_model
+    cfg = _cfg(synth_root, network="convrtsn", feat=["resnet", "sensors",
+                                                    "segment"],
+               n_h=2, n_w=2, n_C=4, lambda_multimodal=0.5,
+               multimodal_epochs=0, label_num=3)
+    cfg.feat_dim["segment"] = (16,)
+    state, metrics, rd = multimodal_model.train(
+        cfg, event_budget=48, result_dir=str(tmp_path / "mm"))
+    assert int(state.step) >= 1
+    assert np.isfinite(metrics["val_mAP"])
+
+
+def test_multimodal_hardonly_trainer(synth_root, tmp_path):
+    from multimodal_similarity_tpu.train.trainers import (
+        multimodal_model_hardonly)
+    cfg = _cfg(synth_root, network="convrtsn",
+               feat=["resnet", "sensors", "segment"], n_h=2, n_w=2, n_C=4,
+               lambda_multimodal=0.5, multimodal_epochs=0, label_num=3)
+    cfg.feat_dim["segment"] = (16,)
+    state, metrics, _ = multimodal_model_hardonly.train(
+        cfg, event_budget=48, result_dir=str(tmp_path / "mh"))
+    assert int(state.step) >= 1
+
+
+def test_multimodal_weak_trainer(synth_root, tmp_path):
+    from multimodal_similarity_tpu.train.trainers import multimodal_model_weak
+    cfg = _cfg(synth_root, network="convrtsn", feat=["resnet", "sensors"],
+               n_h=2, n_w=2, n_C=4, lambda_multimodal=0.5,
+               multimodal_epochs=0, label_num=2,
+               multimodal_select="confidence")
+    state, metrics, _ = multimodal_model_weak.train(
+        cfg, event_budget=48, result_dir=str(tmp_path / "mw"))
+    assert int(state.step) >= 1
+
+
+def test_hallucination_trainer(synth_root, tmp_path):
+    from multimodal_similarity_tpu.train.trainers import (
+        modality_hallucination)
+    cfg = _cfg(synth_root, network="convrtsn",
+               feat=["resnet", "sensors", "segment"], n_h=2, n_w=2, n_C=4,
+               lambda_multimodal=0.1)
+    cfg.feat_dim["segment"] = (16,)
+    state, metrics, _ = modality_hallucination.train(
+        cfg, event_budget=48, result_dir=str(tmp_path / "hal"))
+    assert int(state.step) >= 1
+    assert np.isfinite(metrics["val_mAP"])
+
+
+def test_dcca_trainer(synth_root, tmp_path):
+    from multimodal_similarity_tpu.train.trainers import multitask_dcca
+    cfg = _cfg(synth_root, network="convrtsn",
+               feat=["resnet", "sensors", "segment"], n_h=2, n_w=2, n_C=4,
+               lambda_multimodal=0.1, multimodal_epochs=0, label_num=3,
+               triplet_per_batch=16)
+    cfg.feat_dim["segment"] = (16,)
+    state, metrics, _ = multitask_dcca.train(
+        cfg, event_budget=48, result_dir=str(tmp_path / "dc"))
+    assert int(state.step) >= 1
+
+
+def test_cross_prediction_multitask_trainer(synth_root, tmp_path):
+    from multimodal_similarity_tpu.train.trainers import (
+        multitask_cross_prediction)
+    cfg = _cfg(synth_root, network="convrtsn",
+               feat=["resnet", "sensors", "segment"], n_h=2, n_w=2, n_C=4,
+               lambda_multimodal=0.1, multimodal_epochs=0, label_num=3,
+               triplet_per_batch=16)
+    cfg.feat_dim["segment"] = (16,)
+    state, metrics, _ = multitask_cross_prediction.train(
+        cfg, event_budget=48, result_dir=str(tmp_path / "cp"))
+    assert int(state.step) >= 1
+
+
+def test_cross_prediction_trainer(synth_root, tmp_path):
+    from multimodal_similarity_tpu.train.trainers import cross_prediction
+    cfg = _cfg(synth_root, network="convrtsn", feat=["resnet", "sensors"],
+               n_h=2, n_w=2, n_C=4)
+    state, metrics, _ = cross_prediction.train(
+        cfg, event_budget=48, result_dir=str(tmp_path / "cx"))
+    assert np.isfinite(metrics["train_mse"])
+
+
+def test_pretrain_sae_trainer(synth_root, tmp_path):
+    from multimodal_similarity_tpu.train.trainers import unimodal_pretrain_sae
+    cfg = _cfg(synth_root)
+    state, metrics, _ = unimodal_pretrain_sae.train(
+        cfg, event_budget=48, result_dir=str(tmp_path / "sae"))
+    assert np.isfinite(metrics["val_mse"])
+
+
+def test_pretrain_cluster_and_pairsim(synth_root, tmp_path):
+    from multimodal_similarity_tpu.train.trainers import (
+        unimodal_pretrain_cluster, unimodal_pretrain_pairsim,
+        unimodal_pretrain_sae)
+    cfg = _cfg(synth_root, max_epochs=1)
+    state, _, sae_dir = unimodal_pretrain_sae.train(
+        cfg, event_budget=48, result_dir=str(tmp_path / "sae2"))
+    ckpt = [p for p in __import__("os").listdir(sae_dir)
+            if ".ckpt-" in p][0]
+    cfg.model_path = str(tmp_path / "sae2" / ckpt)
+    kdir = unimodal_pretrain_cluster.run(
+        cfg, result_dir=str(tmp_path / "km"))
+    import os
+    assert os.path.exists(os.path.join(kdir, "train_data.pkl"))
+    cfg2 = _cfg(synth_root, max_epochs=1)
+    cfg2.model_path = cfg.model_path
+    state, metrics, _ = unimodal_pretrain_pairsim.train(
+        cfg2, train_data_path=os.path.join(kdir, "train_data.pkl"),
+        result_dir=str(tmp_path / "pp"))
+    assert 0.0 <= metrics["val_acc"] <= 1.0
