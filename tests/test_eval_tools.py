@@ -1,0 +1,116 @@
+"""Evaluation tools drive a trained checkpoint end to end."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from multimodal_similarity_tpu.configs import EvalConfig, TrainConfig
+from multimodal_similarity_tpu.data import generate_synthetic_honda
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("honda_eval"))
+    generate_synthetic_honda(
+        root, n_sessions=6, frames_per_session=400,
+        modal_dims={"resnet": (2, 2, 8), "sensors": (8,)},
+        class_scale=1.5, noise_scale=1.0, seed=2)
+    cfg = TrainConfig(
+        DATA_ROOT=root, name="ev", network="rtsn", feat="sensors",
+        n_input=8, emb_dim=16, num_seg=3, sess_per_batch=2, max_epochs=1,
+        triplet_per_batch=24, triplet_select="facenet", learning_rate=0.01,
+        silent_mode=True).resolve()
+    from multimodal_similarity_tpu.train.trainers import base_model
+    state, _, result_dir = base_model.train(
+        cfg, event_budget=48,
+        result_dir=os.path.join(root, "results", "run"))
+    ckpt = sorted(glob.glob(os.path.join(result_dir, "*.ckpt-*")))[-1]
+    return root, ckpt
+
+
+def test_evaluate_model(setup):
+    from multimodal_similarity_tpu.eval import evaluate_model
+    root, ckpt = setup
+    cfg = EvalConfig(DATA_ROOT=root, model_path=ckpt, network="rtsn",
+                     feat="sensors", n_input=8, emb_dim=16).resolve()
+    results = evaluate_model.run(cfg)
+    assert 0.0 <= results["mAP"] <= 1.0
+    assert len(results["recall"]) == 6
+    assert os.path.exists(os.path.join(os.path.dirname(ckpt),
+                                       "results.pkl"))
+
+
+def test_evaluate_baseline(setup):
+    from multimodal_similarity_tpu.eval import evaluate_baseline
+    root, _ = setup
+    cfg = EvalConfig(DATA_ROOT=root, feat="sensors",
+                     preprocess_func="mean").resolve()
+    results = evaluate_baseline.run(cfg)
+    assert 0.0 <= results["mAP"] <= 1.0
+
+
+def test_check_inconsistent_and_pairsim_eval(setup, tmp_path):
+    root, _ = setup
+    # train a tiny pairsim model (encoder+ver subtrees)
+    from multimodal_similarity_tpu.eval import (
+        check_inconsistent, evaluate_pairsim)
+    from multimodal_similarity_tpu.train.trainers import pairsim_model
+    cfg = TrainConfig(
+        DATA_ROOT=root, name="ps", network="rtsn", feat="sensors",
+        n_input=8, emb_dim=16, num_seg=3, sess_per_batch=2, max_epochs=1,
+        batch_size=8, silent_mode=True).resolve()
+    state, _, rd = pairsim_model.train(cfg, event_budget=48,
+                                       result_dir=str(tmp_path / "ps"))
+    ckpt = sorted(glob.glob(str(tmp_path / "ps" / "*.ckpt-*")))[-1]
+
+    ecfg = EvalConfig(DATA_ROOT=root, model_path=ckpt, network="rtsn",
+                      feat="sensors", n_input=8, emb_dim=16,
+                      normalized=False).resolve()
+    out = evaluate_pairsim.run(ecfg)
+    assert 0.0 <= out["accuracy"] <= 1.0
+    out2 = check_inconsistent.run(ecfg, head_kind="pairsim", threshold=0.8)
+    assert "false_pos" in out2
+
+
+def test_late_fusion_and_hallucination_eval(setup, tmp_path):
+    root, ckpt = setup
+    from multimodal_similarity_tpu.eval import (
+        evaluate_hallucination, evaluate_late_fusion)
+    from multimodal_similarity_tpu.train.trainers import (
+        modality_hallucination, pddm_model)
+    # sensors branch ckpt for late fusion
+    cfg_s = TrainConfig(
+        DATA_ROOT=root, name="pdm", network="rtsn", feat="sensors",
+        n_input=8, emb_dim=32, num_seg=3, sess_per_batch=2, max_epochs=1,
+        silent_mode=True).resolve()
+    _, _, rds = pddm_model.train(cfg_s, event_budget=48,
+                                 result_dir=str(tmp_path / "pdm"))
+    s_ckpt = sorted(glob.glob(str(tmp_path / "pdm" / "*.ckpt-*")))[-1]
+
+    # NOTE: reference late-fusion concats a core 'resnet' model with the
+    # sensors branch; here both are sensors-track models on synthetic data
+    ecfg = EvalConfig(DATA_ROOT=root, model_path=ckpt,
+                      sensors_path=s_ckpt, network="rtsn",
+                      feat=["sensors", "sensors"], n_input=8,
+                      emb_dim=16).resolve()
+    out = evaluate_late_fusion.run(ecfg)
+    assert 0.0 <= out["mAP"] <= 1.0
+
+    # hallucination eval needs a hallucination checkpoint
+    cfg_h = TrainConfig(
+        DATA_ROOT=root, name="hal", network="convrtsn",
+        feat=["resnet", "sensors"], n_input=8, n_h=2, n_w=2, n_C=4,
+        emb_dim=16, num_seg=3, sess_per_batch=2, max_epochs=1,
+        triplet_per_batch=16, lambda_multimodal=0.1,
+        silent_mode=True).resolve()
+    _, _, rdh = modality_hallucination.train(
+        cfg_h, sensors_only=True, event_budget=48,
+        result_dir=str(tmp_path / "hal"))
+    h_ckpt = sorted(glob.glob(str(tmp_path / "hal" / "*.ckpt-*")))[-1]
+    ecfg_h = EvalConfig(DATA_ROOT=root, model_path=h_ckpt,
+                        network="convrtsn", feat="resnet", n_input=8,
+                        n_h=2, n_w=2, n_C=4, emb_dim=16).resolve()
+    out_h = evaluate_hallucination.run(ecfg_h)
+    assert 0.0 <= out_h["mAP"] <= 1.0
