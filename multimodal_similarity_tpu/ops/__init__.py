@@ -9,6 +9,7 @@ from multimodal_similarity_tpu.ops.distances import (
 from multimodal_similarity_tpu.ops.losses import (
     batch_hard,
     classification_loss,
+    cluster_loss,
     dcca_loss,
     lifted_loss,
     npairs_loss,
@@ -35,6 +36,7 @@ __all__ = [
     "lifted_loss",
     "npairs_loss",
     "triplet_semihard_loss",
+    "cluster_loss",
     "dcca_loss",
     "classification_loss",
     "mine_semihard_triplets",

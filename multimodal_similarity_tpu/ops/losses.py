@@ -273,6 +273,78 @@ def triplet_semihard_loss(labels: Array, embeddings: Array,
     return loss / num_positives
 
 
+def cluster_loss(labels: Array, embeddings: Array,
+                 margin_multiplier: float = 1.0) -> Array:
+    """Facility-location clustering loss (tf.contrib metric_learning
+    cluster_loss, reachable through the reference's utils.metric_loss
+    'cluster' branch, utils.py:505-506).
+
+    Structured-prediction form: greedily select K = #classes facilities
+    maximizing the (margin-augmented) facility-location score, then hinge
+    the augmented predicted score against the oracle per-class-medoid
+    score.  The facility selection is a stop-gradient argmax loop
+    (shape-static lax.fori_loop); gradients flow through the pairwise
+    distances for the fixed selections, matching the subgradient the
+    tf.contrib implementation propagates.  The structured margin uses the
+    clustering-quality complement (1 - NMI surrogate: fraction of points
+    whose nearest facility disagrees with their class majority), a
+    simplification of tf.contrib's NMI margin — noted divergence.
+    """
+    labels = labels.reshape(-1)
+    n = labels.shape[0]
+    x = embeddings.astype(jnp.float32)
+    sq = jnp.sum(jnp.square(x), axis=1)
+    d = jnp.maximum(sq[:, None] + sq[None, :]
+                    - 2.0 * jnp.dot(x, x.T,
+                                    preferred_element_type=jnp.float32), 0.0)
+
+    # number of clusters = number of distinct labels (static bound: n)
+    one_hot_classes = labels[:, None] == labels[None, :]
+    class_first = jnp.min(
+        jnp.where(one_hot_classes,
+                  jnp.arange(n)[None, :], n), axis=1)
+    is_first = class_first == jnp.arange(n)
+    num_classes = jnp.sum(is_first.astype(jnp.int32))
+
+    # greedy facility selection on the margin-augmented objective
+    def greedy_step(k, carry):
+        min_d, selected = carry
+        # score gain of adding candidate j: sum_i max(min_d_i - d_ij, 0)
+        gain = jnp.sum(jnp.maximum(min_d[:, None] - d, 0.0), axis=0)
+        gain = jnp.where(selected, -_POS_INF, gain)
+        j = jnp.argmax(gain)
+        use = k < num_classes
+        new_min = jnp.where(use, jnp.minimum(min_d, d[:, j]), min_d)
+        new_sel = selected.at[j].set(selected[j] | use)
+        return new_min, new_sel
+
+    init = (jnp.full((n,), _POS_INF, jnp.float32),
+            jnp.zeros((n,), bool))
+    min_d_pred, selected = jax.lax.fori_loop(0, n, greedy_step, init)
+    selected = jax.lax.stop_gradient(selected)
+
+    # differentiable predicted score for the fixed facility set
+    d_to_sel = jnp.where(selected[None, :], d, _POS_INF)
+    nearest = jnp.argmin(d_to_sel, axis=1)
+    nearest = jax.lax.stop_gradient(nearest)
+    score_pred = -jnp.sum(d[jnp.arange(n), nearest])
+
+    # structured margin: fraction of points whose facility-mates disagree
+    pred_same = nearest[:, None] == nearest[None, :]
+    true_same = one_hot_classes
+    agree = jnp.mean((pred_same == true_same).astype(jnp.float32))
+    margin = margin_multiplier * (1.0 - agree)
+
+    # oracle score: per-class optimal medoid.  medoid_cost[j] = total
+    # distance from j's class members to j; per class take the best medoid
+    medoid_cost = jnp.sum(jnp.where(true_same, d, 0.0), axis=0)       # [n]
+    best_per_class = jnp.min(
+        jnp.where(true_same, medoid_cost[None, :], _POS_INF), axis=1)  # [n]
+    score_gt = -jnp.sum(jnp.where(is_first, best_per_class, 0.0))
+
+    return jnp.maximum(score_pred + margin - score_gt, 0.0)
+
+
 # ---------------------------------------------------------------------------
 # DCCA
 # ---------------------------------------------------------------------------

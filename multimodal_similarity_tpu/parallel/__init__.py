@@ -14,6 +14,9 @@ from multimodal_similarity_tpu.parallel.mesh import (
 from multimodal_similarity_tpu.parallel.data_parallel import (
     make_dp_triplet_step,
 )
+from multimodal_similarity_tpu.parallel.ring_mining import (
+    ring_batch_hard_stats,
+)
 from multimodal_similarity_tpu.parallel.sharded_eval import (
     sharded_retrieval_topk,
 )
@@ -24,4 +27,5 @@ __all__ = [
     "replicate",
     "make_dp_triplet_step",
     "sharded_retrieval_topk",
+    "ring_batch_hard_stats",
 ]

@@ -241,3 +241,22 @@ def test_classification_loss(rng):
     np.testing.assert_allclose(float(loss), want, rtol=1e-5)
     want_acc = np.mean(np.argmax(logits, 1) == labels)
     np.testing.assert_allclose(float(acc), want_acc)
+
+
+def test_cluster_loss_properties(rng):
+    import jax
+    from multimodal_similarity_tpu.ops import cluster_loss
+    # perfect clusters: predicted facilities recover classes -> loss ~ 0
+    labels = np.repeat(np.arange(4), 5)
+    centers = np.eye(4, 6) * 10
+    emb = jnp.array((centers[labels] + 0.01 * rng.randn(20, 6))
+                    .astype(np.float32))
+    tight = float(cluster_loss(jnp.array(labels), emb, 1.0))
+    # scrambled embeddings: worse clustering -> larger loss
+    emb_bad = jnp.array(rng.randn(20, 6).astype(np.float32))
+    loose = float(cluster_loss(jnp.array(labels), emb_bad, 1.0))
+    assert tight < 0.2
+    assert loose > tight
+    # differentiable
+    g = jax.grad(lambda e: cluster_loss(jnp.array(labels), e, 1.0))(emb_bad)
+    assert np.isfinite(np.asarray(g)).all()

@@ -64,3 +64,21 @@ def test_dp_triplet_step_runs_and_matches_semantics(rng):
     leaf0 = jax.tree.leaves(state.params)[0]
     leaf1 = jax.tree.leaves(state2.params)[0]
     assert not np.allclose(np.asarray(leaf0), np.asarray(leaf1))
+
+
+def test_ring_batch_hard_matches_dense(rng):
+    from multimodal_similarity_tpu.parallel import ring_batch_hard_stats
+    mesh = create_mesh(8)
+    n, d = 64, 16
+    labels = rng.randint(0, 5, size=n)
+    emb = jnp.array(rng.randn(n, d).astype(np.float32))
+    fp, cn, nc = ring_batch_hard_stats(mesh, emb, jnp.array(labels))
+    dmat = np.array(pairwise_distance(emb, emb, "squaredeuclidean"))
+    np.fill_diagonal(dmat, 0.0)
+    same = labels[:, None] == labels[None, :]
+    pos_m = same & ~np.eye(n, dtype=bool)
+    want_fp = (dmat * pos_m).max(axis=1)
+    want_cn = np.where(~same, dmat, 1e30).min(axis=1)
+    np.testing.assert_allclose(np.asarray(fp), want_fp, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cn), want_cn, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(nc), (~same).sum(1))

@@ -188,3 +188,23 @@ def test_pretrain_cluster_and_pairsim(synth_root, tmp_path):
         cfg2, train_data_path=os.path.join(kdir, "train_data.pkl"),
         result_dir=str(tmp_path / "pp"))
     assert 0.0 <= metrics["val_acc"] <= 1.0
+
+
+def test_base_model_tf_trainer(synth_root, tmp_path):
+    import functools
+    from multimodal_similarity_tpu.data import prepare_dataset
+    from multimodal_similarity_tpu.data.tfrecords import (
+        generate_event_tfrecords)
+    from multimodal_similarity_tpu.train.trainers import base_model_tf
+
+    cfg = _cfg(synth_root, network="convlstm", feat="sensors", n_C=4,
+               triplet_per_batch=16)
+    cfg.feat_dim["sensors"] = (8,)
+    cfg.MAX_LENGTH_FRAMES = 45
+    ds = prepare_dataset(cfg.feature_root, cfg.train_session + cfg.val_session,
+                         "sensors", cfg.label_root)
+    n = generate_event_tfrecords(ds, cfg.tfrecords_root, ["sensors"])
+    assert n > 0
+    state, metrics, _ = base_model_tf.train(
+        cfg, event_per_batch=16, result_dir=str(tmp_path / "tf"))
+    assert int(state.step) >= 1
