@@ -64,6 +64,25 @@ class EventTFRecordLoader:
 
     def _make_batch(self, paths: List[str]) -> Dict[str, np.ndarray]:
         b = self.event_per_batch
+        # native C++ fast path: threaded TFRecord parse straight into the
+        # batch buffer (data/native.py); Python fallback otherwise
+        from multimodal_similarity_tpu.data.native import (
+            native_load_event_batch)
+        native = native_load_event_batch(paths, self.feat_name,
+                                         self.max_time, self.feat_dim)
+        if native is not None and native[3] == len(paths):
+            f, s, l, _ = native
+            feats = np.zeros((b, self.max_time, self.feat_dim), np.float32)
+            seq_len = np.ones((b,), np.int32)
+            labels = np.zeros((b,), np.int32)
+            mask = np.zeros((b,), np.float32)
+            feats[: len(paths)] = f
+            seq_len[: len(paths)] = s
+            labels[: len(paths)] = l
+            mask[: len(paths)] = 1.0
+            return {"features": feats, "seq_len": seq_len, "labels": labels,
+                    "mask": mask, "num_events": len(paths)}
+
         feats = np.zeros((b, self.max_time, self.feat_dim), np.float32)
         seq_len = np.ones((b,), np.int32)
         labels = np.zeros((b,), np.int32)
