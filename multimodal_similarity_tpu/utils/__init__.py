@@ -1,6 +1,12 @@
 """Shared utilities: logging, timing, profiling."""
 
 from multimodal_similarity_tpu.utils.logging import MetricsLogger
+from multimodal_similarity_tpu.utils.profiling import (
+    device_memory_stats,
+    time_fn,
+    trace,
+)
 from multimodal_similarity_tpu.utils.timing import StepTimer
 
-__all__ = ["MetricsLogger", "StepTimer"]
+__all__ = ["MetricsLogger", "StepTimer", "trace", "time_fn",
+           "device_memory_stats"]
