@@ -57,14 +57,25 @@ def run(cfg: EvalConfig, data=None):
     else:
         feats, labels = data
 
-    model = build_encoder(cfg.network, num_seg=cfg.num_seg,
-                          emb_dim=cfg.emb_dim, n_input=cfg.n_input,
-                          n_h=cfg.n_h, n_w=cfg.n_w, n_C=cfg.n_C)
+    if cfg.use_output:
+        # classifier checkpoints: use the softmax-head logits as the
+        # embedding (reference --use_output, eval_config.py:24-25)
+        from multimodal_similarity_tpu.models import ConvTSNClassifier
+        model = ConvTSNClassifier(n_seg=cfg.num_seg, emb_dim=cfg.emb_dim,
+                                  n_input=cfg.n_input, n_h=cfg.n_h,
+                                  n_w=cfg.n_w, n_C=cfg.n_C)
+    else:
+        model = build_encoder(cfg.network, num_seg=cfg.num_seg,
+                              emb_dim=cfg.emb_dim, n_input=cfg.n_input,
+                              n_h=cfg.n_h, n_w=cfg.n_w, n_C=cfg.n_C)
     params = restore_encoder_params(cfg.model_path, cfg.variable_name)
 
     @jax.jit
     def embed(x):
-        e = model.apply({"params": params}, x)
+        if cfg.use_output:
+            _, e = model.apply({"params": params}, x)
+        else:
+            e = model.apply({"params": params}, x)
         return l2_normalize(e) if cfg.normalized else e
 
     embeddings = np.asarray(embed(jnp.asarray(feats)))

@@ -25,6 +25,18 @@ def all_diffs(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return a[:, None, :] - b[None, :, :]
 
 
+def all_pairs(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """All (a_i, b_j) combinations stacked pairwise -> [N*M, 2, d].
+
+    Reference: ``all_pairs_tf`` at utils.py:290-299 (pair-tensor builder
+    feeding the pair heads)."""
+    n, d = a.shape
+    m = b.shape[0]
+    aa = jnp.broadcast_to(a[:, None, :], (n, m, d)).reshape(-1, 1, d)
+    bb = jnp.broadcast_to(b[None, :, :], (n, m, d)).reshape(-1, 1, d)
+    return jnp.concatenate([aa, bb], axis=1)
+
+
 def cdist(diff: jnp.ndarray, metric: str = "squaredeuclidean") -> jnp.ndarray:
     """Reduce a difference tensor to distances along the last axis.
 

@@ -89,6 +89,98 @@ def _stats_kernel(a_ref, b_ref, la_ref, lb_ref, vb_ref,
         nc_ref[:] = nc_ref[:] + tile_nc
 
 
+def _stats_kernel_noidx(a_ref, b_ref, la_ref, lb_ref, vb_ref,
+                        fp_ref, cn_ref, nc_ref,
+                        *, block_n: int, precision: str):
+    """Forward-only variant: no argmax/argmin winner tracking — fewer VPU
+    reduction passes for inference/eval calls where no VJP is needed."""
+    j = pl.program_id(1)
+    i = pl.program_id(0)
+
+    a = a_ref[:]
+    b = b_ref[:]
+    mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    inner = jax.lax.dot_general(a.astype(mm_dtype), b.astype(mm_dtype),
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    sq_a = jnp.sum(a * a, axis=1, keepdims=True)
+    sq_b = jnp.sum(b * b, axis=1, keepdims=True)
+    dist = jnp.maximum(sq_a + sq_b.T - 2.0 * inner, 0.0)
+
+    tm, tn = dist.shape
+    la = la_ref[:]
+    lb = lb_ref[:]
+    vb = vb_ref[:]
+    row_ids = i * tm + jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 0)
+    col_ids = j * tn + jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 1)
+    same = la == lb.T
+    valid = vb.T > 0.0
+    pos_m = same & (row_ids != col_ids) & valid
+    neg_m = (~same) & valid
+
+    tile_fp = jnp.max(dist * pos_m.astype(jnp.float32), axis=1,
+                      keepdims=True)
+    tile_cn = jnp.min(jnp.where(neg_m, dist, _POS_INF), axis=1,
+                      keepdims=True)
+    tile_nc = jnp.sum(neg_m.astype(jnp.float32), axis=1, keepdims=True)
+
+    @pl.when(j == 0)
+    def _init():
+        fp_ref[:] = tile_fp
+        cn_ref[:] = tile_cn
+        nc_ref[:] = tile_nc
+
+    @pl.when(j != 0)
+    def _update():
+        fp_ref[:] = jnp.maximum(fp_ref[:], tile_fp)
+        cn_ref[:] = jnp.minimum(cn_ref[:], tile_cn)
+        nc_ref[:] = nc_ref[:] + tile_nc
+
+
+def _stats_pallas_noidx(emb: Array, labels_f: Array, valid_f: Array,
+                        block: int, precision: str = "bf16"):
+    n, d = emb.shape
+    pad = (-n) % block
+    emb_p = jnp.pad(emb, ((0, pad), (0, 0)))
+    lab_p = jnp.pad(labels_f, ((0, pad),), constant_values=-1.0)
+    val_p = jnp.pad(valid_f, ((0, pad),), constant_values=0.0)
+    np_ = n + pad
+    grid = (np_ // block, np_ // block)
+    row_spec = pl.BlockSpec((block, 1), lambda i, j: (i, 0),
+                            memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_stats_kernel_noidx, block_n=block,
+                          precision=precision),
+        out_shape=[jax.ShapeDtypeStruct((np_, 1), jnp.float32)] * 3,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[row_spec] * 3,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * np_ * np_ * d,
+            bytes_accessed=4 * (2 * np_ * d + 3 * np_),
+            transcendentals=0,
+        ),
+        interpret=_use_interpret(),
+    )(emb_p, emb_p, lab_p.reshape(-1, 1), lab_p.reshape(-1, 1),
+      val_p.reshape(-1, 1))
+    fp, cn, nc = outs
+    return fp[:n, 0], cn[:n, 0], nc[:n, 0]
+
+
 def _stats_pallas(emb: Array, labels_f: Array, valid_f: Array,
                   block: int, precision: str = "bf16",
                   ) -> Tuple[Array, Array, Array, Array, Array]:
@@ -164,9 +256,18 @@ def fused_batch_hard_stats(emb: Array, labels: Array,
     out of the positive/negative candidate sets.  Differentiable w.r.t.
     ``emb`` through each row's winning pair only.  precision: "bf16"
     (default, matches XLA's TPU matmul default) | "f32" (exact).
+
+    The primal (no-grad) path skips the argmax/argmin winner tracking —
+    winner indices are only computed when the VJP needs them.
     """
-    fp, cn, nc, _, _ = _stats_impl(emb, labels, valid, block, precision)
-    return fp, cn, nc
+    if not block:
+        block = _auto_block(emb.shape[1])
+    emb32 = emb.astype(jnp.float32)
+    labels_f = labels.reshape(-1).astype(jnp.float32)
+    n = emb32.shape[0]
+    valid_f = (jnp.ones(n, jnp.float32) if valid is None
+               else valid.reshape(-1).astype(jnp.float32))
+    return _stats_pallas_noidx(emb32, labels_f, valid_f, block, precision)
 
 
 def _stats_impl(emb, labels, valid, block, precision="bf16"):
