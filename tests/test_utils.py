@@ -1,0 +1,72 @@
+import json
+import os
+import pickle
+
+import numpy as np
+
+from multimodal_similarity_tpu.eval.analysis import (
+    format_confusion, label_distribution, summarize_results)
+from multimodal_similarity_tpu.utils import MetricsLogger, StepTimer, time_fn
+from multimodal_similarity_tpu.utils.logging import write_projector_metadata
+
+
+def test_metrics_logger_jsonl(tmp_path):
+    logger = MetricsLogger(str(tmp_path), use_tensorboard=False)
+    logger.log(1, {"loss": 0.5})
+    logger.log(2, {"loss": 0.25, "acc": 0.9})
+    logger.close()
+    lines = [json.loads(l) for l in
+             open(tmp_path / "metrics.jsonl").read().strip().split("\n")]
+    assert lines[0]["step"] == 1 and lines[0]["loss"] == 0.5
+    assert lines[1]["acc"] == 0.9
+
+
+def test_projector_metadata(tmp_path):
+    labels = np.array([[1], [2]])
+    path = write_projector_metadata(str(tmp_path), labels, ["s1", "s2"],
+                                    [(0, 5), (5, 9)])
+    rows = open(path).read().strip().split("\n")
+    assert rows[0].startswith("id\tlabel")
+    assert rows[1] == "0\t1\ts1\t0\t5"
+
+
+def test_step_timer():
+    import time
+    t = StepTimer()
+    with t.phase("load"):
+        time.sleep(0.01)
+    with t.phase("train"):
+        time.sleep(0.005)
+    out = t.reset()
+    assert out["load"] >= 0.01
+    assert "train" in out
+    assert t.reset() == {}
+
+
+def test_time_fn():
+    import jax.numpy as jnp
+    dt = time_fn(lambda x: x * 2, jnp.ones(8), reps=2)
+    assert dt >= 0
+
+
+def test_label_distribution():
+    txt = label_distribution(np.array([0, 0, 1, 2, 2, 2]))
+    assert "Background" in txt and "0.5000" in txt
+
+
+def test_summarize_results(tmp_path):
+    results = {
+        "mAP": 0.75, "mAP_macro": 0.7, "mPrec": 0.5,
+        "recall": [0.6, 0.7, 0.8, 0.9, 0.95, 1.0],
+        "mAP_event": {1: 0.8, 2: 0.7},
+        "confusion": {"confusion_matrix": np.eye(3, dtype="float32"),
+                      "labels": [0, 1, 2]},
+    }
+    p = tmp_path / "results.pkl"
+    with open(p, "wb") as f:
+        pickle.dump(results, f)
+    txt = summarize_results(str(p))
+    assert "mAP        = 0.7500" in txt
+    assert "Recall@32" in txt
+    assert "Intersection passing" in txt
+    assert "confusion" in txt
