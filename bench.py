@@ -57,13 +57,20 @@ def main():
     embed = make_embed_fn(model, normalized=True)
     emb = jax.block_until_ready(embed(state.params, x))
 
-    # --- embedding throughput -------------------------------------------
-    reps = 10
-    t0 = time.time()
-    for _ in range(reps):
-        emb = embed(state.params, x)
-    jax.block_until_ready(emb)
-    embed_eps = n_events * reps / (time.time() - t0)
+    # --- embedding throughput (best of 3 rounds: the dev tunnel adds
+    #     large run-to-run variance) ------------------------------------
+    def best_throughput(fn, reps, rounds=3):
+        best = 0.0
+        for _ in range(rounds):
+            t0 = time.time()
+            out = None
+            for _ in range(reps):
+                out = fn()
+            jax.block_until_ready(out)
+            best = max(best, n_events * reps / (time.time() - t0))
+        return best
+
+    embed_eps = best_throughput(lambda: embed(state.params, x), 10)
 
     # --- fused train step (embed + on-device mine + re-forward + grad) ---
     step = make_triplet_train_step(model, triplet_per_batch=100, alpha=0.2)
@@ -73,12 +80,13 @@ def main():
     key = jax.random.PRNGKey(2)
     state, aux = step(state, x, labels, mask, key, lr)  # compile
     jax.block_until_ready(aux["loss"])
-    reps = 10
-    t0 = time.time()
-    for _ in range(reps):
+
+    def one_fused():
+        nonlocal state
         state, aux = step(state, x, labels, mask, key, lr)
-    jax.block_until_ready(aux["loss"])
-    fused_eps = n_events * reps / (time.time() - t0)
+        return aux["loss"]
+
+    fused_eps = best_throughput(one_fused, 10)
 
     # --- reference-style step: device embed -> host mine -> device gather
     #     + re-forward.  The device<->host copies here ride a development

@@ -1,0 +1,111 @@
+"""Serving: embed events and query a retrieval gallery.
+
+The deployment-side counterpart of the training stack: load a trained
+checkpoint, embed incoming events with a fixed-shape jitted forward (one
+compile), and run nearest-neighbor queries against a gallery that is
+either resident on one chip or sharded across the mesh
+(parallel/sharded_eval.py).  The reference had no serving path — retrieval
+only existed inside evaluation scripts (evaluate_model.py) — so this is a
+new first-class component.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_similarity_tpu.ops.distances import pairwise_distance
+from multimodal_similarity_tpu.train.steps import l2_normalize
+
+
+class EmbeddingService:
+    """Jitted, padded-batch embedding with a single compilation."""
+
+    def __init__(self, model, params, batch_size: int = 256,
+                 normalized: bool = True):
+        self.model = model
+        self.params = params
+        self.batch_size = batch_size
+
+        @jax.jit
+        def _embed(params, x):
+            e = model.apply({"params": params}, x)
+            return l2_normalize(e) if normalized else e
+
+        self._embed = _embed
+
+    def embed(self, events: np.ndarray) -> np.ndarray:
+        n = events.shape[0]
+        out = []
+        for start in range(0, n, self.batch_size):
+            block = events[start:start + self.batch_size]
+            pad = self.batch_size - block.shape[0]
+            if pad:
+                block = np.concatenate(
+                    [block, np.zeros((pad,) + block.shape[1:],
+                                     block.dtype)])
+            emb = np.asarray(self._embed(self.params, jnp.asarray(block)))
+            out.append(emb[: self.batch_size - pad or None])
+        return np.concatenate(out, axis=0)[:n]
+
+
+class RetrievalIndex:
+    """Gallery of embeddings with exact top-k search.
+
+    mesh=None keeps the gallery on the default device; passing a
+    jax.sharding.Mesh shards gallery rows across chips and merges
+    candidates over ICI.
+    """
+
+    def __init__(self, emb_dim: int, metric: str = "euclidean",
+                 mesh=None):
+        self.emb_dim = emb_dim
+        self.metric = metric
+        self.mesh = mesh
+        self._gallery: Optional[np.ndarray] = None
+        self._meta: list = []
+
+    def add(self, embeddings: np.ndarray, metadata: Optional[Sequence] = None):
+        embeddings = np.asarray(embeddings, np.float32)
+        if self._gallery is None:
+            self._gallery = embeddings
+        else:
+            self._gallery = np.concatenate([self._gallery, embeddings])
+        self._meta.extend(metadata if metadata is not None
+                          else [None] * embeddings.shape[0])
+
+    def __len__(self) -> int:
+        return 0 if self._gallery is None else self._gallery.shape[0]
+
+    def query(self, queries: np.ndarray, k: int = 10
+              ) -> Tuple[np.ndarray, np.ndarray, list]:
+        """-> (dists [Q, k], indices [Q, k], metadata nested list)."""
+        if self._gallery is None or not len(self):
+            raise ValueError("empty gallery")
+        q = jnp.asarray(queries, jnp.float32)
+        k = min(k, len(self))
+        if self.mesh is not None:
+            from multimodal_similarity_tpu.parallel import (
+                sharded_retrieval_topk)
+            n_dev = self.mesh.devices.size
+            n = len(self)
+            pad = (-n) % n_dev
+            gallery = np.concatenate(
+                [self._gallery,
+                 np.full((pad, self.emb_dim), 1e15, np.float32)]) \
+                if pad else self._gallery
+            d, idx = sharded_retrieval_topk(
+                self.mesh, q, jnp.asarray(gallery), k=k, metric=self.metric)
+        else:
+            dmat = pairwise_distance(q, jnp.asarray(self._gallery),
+                                     self.metric)
+            neg, idx = jax.lax.top_k(-dmat, k)
+            d = -neg
+        d = np.asarray(d)
+        idx = np.asarray(idx)
+        meta = [[self._meta[j] if j < len(self._meta) else None
+                 for j in row] for row in idx]
+        return d, idx, meta

@@ -126,12 +126,16 @@ def build_optimizer(
 
 
 def learning_rate_schedule(epoch: float, learning_rate: float,
-                           static_epochs: int, max_epochs: int) -> float:
-    """Constant then 0.001**frac exponential decay (base_model.py:220-224)."""
+                           static_epochs: int, max_epochs: int,
+                           decay_base: float = 0.001) -> float:
+    """Constant then decay_base**frac exponential decay.
+
+    base_model.py:220-224 uses 0.001; the multimodal/DCCA trainers use 0.01
+    (multimodal_model.py:399-403)."""
     if epoch < static_epochs:
         return learning_rate
     frac = (epoch - static_epochs) / max(max_epochs - static_epochs, 1)
-    return learning_rate * 0.001 ** frac
+    return learning_rate * decay_base ** frac
 
 
 def l2_regularization(params, filter_biases: bool = True) -> Array:

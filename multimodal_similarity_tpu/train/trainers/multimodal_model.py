@@ -294,7 +294,8 @@ def train(cfg: TrainConfig, hard_only: bool = False,
     epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
     while epoch < cfg.max_epochs:
         lr = learning_rate_schedule(epoch, cfg.learning_rate,
-                                    cfg.static_epochs, cfg.max_epochs)
+                                    cfg.static_epochs, cfg.max_epochs,
+                                    decay_base=0.01)
         for batch in exp.loader.epoch():
             n = int(batch["num_events"])
             emb = core_embed(state.params, batch["events"][:n])

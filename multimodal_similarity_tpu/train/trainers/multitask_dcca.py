@@ -166,7 +166,8 @@ def train(cfg: TrainConfig, use_mse: bool = False,
     epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
     while epoch < cfg.max_epochs:
         lr = learning_rate_schedule(epoch, cfg.learning_rate,
-                                    cfg.static_epochs, cfg.max_epochs)
+                                    cfg.static_epochs, cfg.max_epochs,
+                                    decay_base=0.01)
         lambda_mul = cfg.lambda_multimodal if epoch >= cfg.multimodal_epochs \
             else 0.0
         for batch in exp.loader.epoch():

@@ -1,0 +1,53 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multimodal_similarity_tpu.models import build_encoder
+from multimodal_similarity_tpu.parallel import create_mesh
+from multimodal_similarity_tpu.serving import EmbeddingService, RetrievalIndex
+
+
+def test_embedding_service_padded_batches(rng):
+    model = build_encoder("rtsn", num_seg=3, emb_dim=16, n_input=8)
+    x = rng.randn(10, 3, 8).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x[:2]))["params"]
+    svc = EmbeddingService(model, params, batch_size=4)
+    emb = svc.embed(x)
+    assert emb.shape == (10, 16)
+    # identical to direct apply + normalize
+    direct = model.apply({"params": params}, jnp.asarray(x))
+    direct = np.asarray(direct / jnp.linalg.norm(direct, axis=1,
+                                                 keepdims=True))
+    np.testing.assert_allclose(emb, direct, rtol=1e-5, atol=1e-5)
+
+
+def test_retrieval_index_exact(rng):
+    idx = RetrievalIndex(emb_dim=8)
+    gallery = rng.randn(50, 8).astype(np.float32)
+    idx.add(gallery, metadata=[f"item{i}" for i in range(50)])
+    q = gallery[7:9] + 1e-4
+    d, ids, meta = idx.query(q, k=3)
+    assert ids[0, 0] == 7 and ids[1, 0] == 8
+    assert meta[0][0] == "item7"
+    assert (np.diff(d, axis=1) >= -1e-6).all()
+
+
+def test_retrieval_index_sharded_matches_local(rng):
+    mesh = create_mesh(8)
+    gallery = rng.randn(60, 8).astype(np.float32)  # 60 pads to 64
+    q = rng.randn(5, 8).astype(np.float32)
+    local = RetrievalIndex(emb_dim=8)
+    local.add(gallery)
+    sharded = RetrievalIndex(emb_dim=8, mesh=mesh)
+    sharded.add(gallery)
+    d1, i1, _ = local.query(q, k=5)
+    d2, i2, _ = sharded.query(q, k=5)
+    np.testing.assert_allclose(np.sort(d1, 1), np.sort(d2, 1), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_retrieval_index_empty():
+    idx = RetrievalIndex(emb_dim=4)
+    with pytest.raises(ValueError):
+        idx.query(np.zeros((1, 4), np.float32))
