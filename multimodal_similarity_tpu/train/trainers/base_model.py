@@ -97,7 +97,24 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
         state = load_pytree(cfg.model_path, state)
 
     embed_fn = make_embed_fn(model, cfg.normalized)
-    if cfg.triplet_select == "facenet":
+    # data-parallel over every visible device: batch sharded on the mesh,
+    # embeddings all-gathered over ICI for global mining, grads psum'd
+    n_devices = jax.device_count()
+    mesh = None
+    if cfg.triplet_select == "facenet" and n_devices > 1 \
+            and event_budget % n_devices == 0:
+        from multimodal_similarity_tpu.parallel import (
+            create_mesh, make_dp_triplet_step, replicate, shard_batch)
+        mesh = create_mesh(n_devices)
+        state = jax.device_put(state, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec()))
+        step_fn = make_dp_triplet_step(
+            model, mesh, triplet_per_batch=cfg.triplet_per_batch,
+            alpha=cfg.alpha, num_negative=cfg.num_negative,
+            metric=cfg.metric, normalized=cfg.normalized)
+        if not cfg.silent_mode:
+            print(f"[{cfg.name}] data-parallel over {n_devices} devices")
+    elif cfg.triplet_select == "facenet":
         step_fn = make_triplet_train_step(
             model, triplet_per_batch=cfg.triplet_per_batch, alpha=cfg.alpha,
             num_negative=cfg.num_negative, metric=cfg.metric,
@@ -119,9 +136,20 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
             rng, key = jax.random.split(rng)
             events = jnp.asarray(batch["events"])
             if cfg.triplet_select == "facenet":
-                state, aux = step_fn(
-                    state, events, jnp.asarray(batch["labels"]),
-                    jnp.asarray(batch["mask"]), key, jnp.float32(lr))
+                if mesh is not None:
+                    from multimodal_similarity_tpu.parallel import (
+                        replicate, shard_batch)
+                    events = shard_batch({"e": events}, mesh)["e"]
+                    labels_b, mask_b, key_b, lr_b = replicate(
+                        (jnp.asarray(batch["labels"]),
+                         jnp.asarray(batch["mask"]), key,
+                         jnp.float32(lr)), mesh)
+                    state, aux = step_fn(state, events, labels_b, mask_b,
+                                         key_b, lr_b)
+                else:
+                    state, aux = step_fn(
+                        state, events, jnp.asarray(batch["labels"]),
+                        jnp.asarray(batch["mask"]), key, jnp.float32(lr))
             else:
                 n = int(batch["num_events"])
                 idx = select_triplets_random(batch["labels"][:n],

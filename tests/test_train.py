@@ -134,3 +134,12 @@ def test_base_trainer_random_mining(synth_cfg, tmp_path):
     state, metrics, _ = base_model.train(cfg, event_budget=64,
                                          result_dir=str(tmp_path / "r"))
     assert int(state.step) >= 1
+
+
+def test_base_trainer_data_parallel(synth_cfg, tmp_path):
+    """facenet path auto-shards over all visible devices (8 CPU here)."""
+    cfg = _tiny_cfg(synth_cfg)
+    state, metrics, _ = base_model.train(cfg, event_budget=64,
+                                         result_dir=str(tmp_path / "dp"))
+    assert int(state.step) == 2
+    assert np.isfinite(metrics["val_mAP"])
