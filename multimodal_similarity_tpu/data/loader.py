@@ -73,7 +73,8 @@ class SessionBatchLoader:
                 if m == 0:
                     lab0 = lab
             labels.append(lab0)
-            session_id = os.path.basename(row[0]).split(".")[0]
+            # strip modality suffixes: <session>_sensors_normalized.npy etc.
+            session_id = os.path.basename(row[0]).split(".")[0].split("_")[0]
             sess.extend([session_id] * lab0.shape[0])
 
         evs = [np.concatenate(e, axis=0) for e in events]
