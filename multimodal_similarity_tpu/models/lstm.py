@@ -51,19 +51,23 @@ class LSTM(nn.Module):
     final (c, h) state).
 
     ``initial_state`` lets the Seq2seq decoder start from the encoder's final
-    state (networks.py:92).
+    state (networks.py:92).  ``remat`` wraps the cell in jax.checkpoint so
+    long sequences trade recompute for activation memory (HBM pressure,
+    SURVEY.md §7 / scaling guidance) — numerics are unchanged.
     """
 
     features: int
     forget_bias: float = 1.0
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: Array,
                  initial_state: Optional[Tuple[Array, Array]] = None):
         if initial_state is None:
             initial_state = zero_state(x.shape[0], self.features, x.dtype)
+        cell_cls = nn.remat(TFLSTMCell) if self.remat else TFLSTMCell
         scan = nn.scan(
-            TFLSTMCell,
+            cell_cls,
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=1,

@@ -14,6 +14,10 @@ from multimodal_similarity_tpu.parallel.mesh import (
 from multimodal_similarity_tpu.parallel.data_parallel import (
     make_dp_triplet_step,
 )
+from multimodal_similarity_tpu.parallel.multihost import (
+    host_local_sessions,
+    make_global_batch,
+)
 from multimodal_similarity_tpu.parallel.ring_mining import (
     ring_batch_hard_stats,
 )
@@ -28,4 +32,6 @@ __all__ = [
     "make_dp_triplet_step",
     "sharded_retrieval_topk",
     "ring_batch_hard_stats",
+    "make_global_batch",
+    "host_local_sessions",
 ]

@@ -1,0 +1,61 @@
+"""Multi-host input feeding.
+
+Each host's loader produces its local slice of the global batch; arrays
+are assembled into globally-sharded jax.Arrays without any cross-host
+copy of feature data (the DCN boundary carries only metadata) — the
+replacement for the reference's single-process tf.py_func feeding at
+multi-slice scale (SURVEY.md §5 'per-host sharded array feeding').
+
+On a single process this reduces to a plain device_put, so the same
+trainer code runs everywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None) -> None:
+    """jax.distributed bootstrap for multi-host runs (no-op when the
+    environment provides the settings, e.g. on Cloud TPU pods)."""
+    if jax.process_count() > 1:
+        return
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except Exception:
+        pass  # single-process / already initialized
+
+
+def make_global_batch(mesh: Mesh, local_batch: Any,
+                      axis: str = "data") -> Any:
+    """Per-host local arrays -> globally sharded jax.Arrays.
+
+    ``local_batch`` holds THIS host's rows of the global batch (global
+    batch size = local rows * process_count).  Leading axis is sharded
+    over ``axis``; everything else replicated.
+    """
+
+    def put(x):
+        spec = P(axis, *([None] * (x.ndim - 1))) if x.ndim else P()
+        sharding = NamedSharding(mesh, spec)
+        if jax.process_count() == 1:
+            return jax.device_put(x, sharding)
+        return jax.make_array_from_process_local_data(sharding, x)
+
+    return jax.tree.map(put, local_batch)
+
+
+def host_local_sessions(sessions, process_id=None, process_count=None):
+    """Partition a session list across hosts (each host loads only its
+    shard of the sessions)."""
+    pid = jax.process_index() if process_id is None else process_id
+    pcount = jax.process_count() if process_count is None else process_count
+    return [s for i, s in enumerate(sessions) if i % pcount == pid]

@@ -174,3 +174,17 @@ def test_score_all_pairs_matches_direct(rng):
 def test_build_encoder_unknown():
     with pytest.raises(NotImplementedError):
         build_encoder("resnet50")
+
+
+def test_lstm_remat_matches(rng):
+    """remat=True is numerics-identical (recompute only changes memory)."""
+    x = jnp.array(rng.randn(3, 6, 4).astype(np.float32))
+    m1 = LSTM(8)
+    m2 = LSTM(8, remat=True)
+    v = m1.init(jax.random.PRNGKey(0), x)
+    o1, _ = m1.apply(v, x)
+    o2, _ = m2.apply(v, x)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-6)
+    # gradients flow through the remat path
+    g = jax.grad(lambda vv: m2.apply(vv, x)[0].sum())(v)
+    assert np.isfinite(np.asarray(jax.tree.leaves(g)[0])).all()

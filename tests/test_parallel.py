@@ -82,3 +82,18 @@ def test_ring_batch_hard_matches_dense(rng):
     np.testing.assert_allclose(np.asarray(fp), want_fp, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(cn), want_cn, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(nc), (~same).sum(1))
+
+
+def test_make_global_batch_single_process(rng):
+    from multimodal_similarity_tpu.parallel import (
+        host_local_sessions, make_global_batch)
+    mesh = create_mesh(8)
+    batch = {"x": np.arange(32, dtype=np.float32).reshape(16, 2),
+             "n": np.float32(3.0)}
+    out = make_global_batch(mesh, batch)
+    np.testing.assert_allclose(np.asarray(out["x"]), batch["x"])
+    assert out["x"].sharding.spec == jax.sharding.PartitionSpec(
+        "data", None)
+    sessions = [f"s{i}" for i in range(10)]
+    assert host_local_sessions(sessions, 0, 2) == [f"s{i}"
+                                                   for i in range(0, 10, 2)]
