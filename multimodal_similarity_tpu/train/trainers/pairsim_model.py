@@ -177,6 +177,10 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                                               cfg.num_negative)
             if not pair_lab:
                 continue
+            # keep host-side lists in sync with the padded device batch so
+            # the returned probs align with hard_pairs' indexing
+            pair_idx = pair_idx[: 2 * pair_cap]
+            pair_lab = pair_lab[:pair_cap]
             idx, lab, mask = _pad_pairs(pair_idx, pair_lab, pair_cap)
             events = jnp.asarray(batch["events"])
             state, aux = step_fn(state, events, jnp.asarray(idx),
