@@ -124,6 +124,25 @@ def main():
     t_host = (time.time() - t0) / reps_ref
     ref_eps = n_events / (t_device + t_host)
 
+    # --- fused Pallas distance+batch-hard kernel at mega-batch scale -----
+    from multimodal_similarity_tpu.ops.pallas import fused_batch_hard_stats
+
+    n_mine, d_mine = 8192, 128
+    emb_big = jax.random.normal(jax.random.PRNGKey(3), (n_mine, d_mine))
+    lab_big = jnp.asarray(
+        np.random.RandomState(1).randint(0, 8, size=n_mine))
+    kern = jax.jit(
+        lambda e: fused_batch_hard_stats(e, lab_big, None)[0].sum())
+    jax.block_until_ready(kern(emb_big))
+    best = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(20):
+            r = kern(emb_big)
+        jax.block_until_ready(r)
+        best = max(best, 20 / (time.time() - t0))
+    kernel_gflops = 2 * n_mine * n_mine * d_mine / 1e9 * best
+
     result = {
         "metric": "fused_train_step_events_per_sec",
         "value": round(fused_eps, 2),
@@ -132,6 +151,8 @@ def main():
         "detail": {
             "embed_events_per_sec": round(embed_eps, 2),
             "reference_style_step_events_per_sec": round(ref_eps, 2),
+            "pallas_dist_mining_gflops": round(kernel_gflops, 1),
+            "pallas_mining_n": n_mine,
             "n_events": n_events,
             "backend": jax.default_backend(),
         },

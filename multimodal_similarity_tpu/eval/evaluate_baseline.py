@@ -6,7 +6,6 @@ Reference: src/evaluate.py:36-78 — pools each event's raw frames
 
 from __future__ import annotations
 
-import functools
 import sys
 
 import numpy as np

@@ -17,7 +17,6 @@ matching tf.contrib.layers.xavier_initializer (networks.py:28 etc.).
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

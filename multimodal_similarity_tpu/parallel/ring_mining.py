@@ -12,8 +12,6 @@ scales mega-batch mining linearly in devices.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P

@@ -11,11 +11,9 @@ the host.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from multimodal_similarity_tpu.ops.distances import pairwise_distance
 

@@ -23,7 +23,6 @@ import os
 import re
 from typing import Any, Optional
 
-import numpy as np
 from flax import serialization
 
 

@@ -14,7 +14,7 @@ scalar per-step learning rate fed into the optimizer via inject_hyperparams.
 
 from __future__ import annotations
 
-from typing import Any, Mapping, Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

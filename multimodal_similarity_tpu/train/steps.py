@@ -11,8 +11,7 @@ mask), so each trainer compiles exactly once.
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -17,10 +17,7 @@ import numpy as np
 from multimodal_similarity_tpu.configs import write_configure_to_file
 from multimodal_similarity_tpu.eval.metrics import retrieval_metrics_device
 from multimodal_similarity_tpu.train.steps import embed_in_chunks
-from multimodal_similarity_tpu.utils.logging import (
-    MetricsLogger,
-    write_projector_metadata,
-)
+
 
 
 def setup_experiment(cfg, timestamp: bool = True,

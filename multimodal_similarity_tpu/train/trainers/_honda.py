@@ -12,7 +12,6 @@ import functools
 from typing import List, Optional, Sequence
 
 import jax
-import numpy as np
 
 from multimodal_similarity_tpu.configs import TrainConfig
 from multimodal_similarity_tpu.data import (

@@ -21,12 +21,11 @@ import numpy as np
 
 from multimodal_similarity_tpu.configs import TrainConfig
 from multimodal_similarity_tpu.data.cub import load_cub, sample_cub_batch
-from multimodal_similarity_tpu.eval.metrics import (
-    evaluate, retrieval_metrics_device)
+from multimodal_similarity_tpu.eval.metrics import retrieval_metrics_device
 from multimodal_similarity_tpu.models import CUBLayer
 from multimodal_similarity_tpu.train.checkpoints import CheckpointManager
 from multimodal_similarity_tpu.train.state import (
-    TrainState, build_optimizer, l2_regularization, learning_rate_schedule)
+    TrainState, build_optimizer, learning_rate_schedule)
 from multimodal_similarity_tpu.train.steps import (
     l2_normalize, make_triplet_train_step)
 from multimodal_similarity_tpu.train.trainer import setup_experiment

@@ -12,7 +12,6 @@ Run:  python -m multimodal_similarity_tpu.train.trainers.base_model_batchhard
 from __future__ import annotations
 
 import sys
-import time
 from typing import Optional
 
 import jax

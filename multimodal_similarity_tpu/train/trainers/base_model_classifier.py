@@ -16,7 +16,6 @@ import numpy as np
 
 from multimodal_similarity_tpu.configs import TrainConfig
 from multimodal_similarity_tpu.models import ConvTSNClassifier
-from multimodal_similarity_tpu.ops.losses import classification_loss
 from multimodal_similarity_tpu.train.state import (
     TrainState, build_optimizer, l2_regularization, learning_rate_schedule)
 from multimodal_similarity_tpu.train.trainer import epoch_of_step

@@ -7,7 +7,6 @@ to produce cross-predicted embeddings for late fusion.
 
 from __future__ import annotations
 
-import functools
 import sys
 from typing import Optional
 
@@ -16,11 +15,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from multimodal_similarity_tpu.configs import TrainConfig
-from multimodal_similarity_tpu.data import mean_pool_input, tsn_prepare_input
+from multimodal_similarity_tpu.data import mean_pool_input
 from multimodal_similarity_tpu.models import OutputLayer, build_encoder
 from multimodal_similarity_tpu.train.state import (
     TrainState, build_optimizer, l2_regularization, learning_rate_schedule)
-from multimodal_similarity_tpu.train.steps import l2_normalize, make_embed_fn
+from multimodal_similarity_tpu.train.steps import make_embed_fn
 from multimodal_similarity_tpu.train.trainer import epoch_of_step
 from multimodal_similarity_tpu.train.trainers._honda import HondaExperiment
 

@@ -24,7 +24,6 @@ before training and appended at epoch 50 / every 200 epochs (:383-391,
 from __future__ import annotations
 
 import functools
-import itertools
 import os
 import pickle
 import random
@@ -45,7 +44,7 @@ from multimodal_similarity_tpu.train.checkpoints import load_pytree
 from multimodal_similarity_tpu.train.state import (
     TrainState, build_optimizer, l2_regularization, learning_rate_schedule)
 from multimodal_similarity_tpu.train.steps import l2_normalize, make_embed_fn
-from multimodal_similarity_tpu.train.trainer import epoch_of_step, validate
+from multimodal_similarity_tpu.train.trainer import epoch_of_step
 from multimodal_similarity_tpu.train.trainers._honda import HondaExperiment
 
 SENSORS_EMB_DIM = 32

@@ -31,7 +31,7 @@ from multimodal_similarity_tpu.train.steps import l2_normalize, make_embed_fn
 from multimodal_similarity_tpu.train.trainer import epoch_of_step
 from multimodal_similarity_tpu.train.trainers._honda import HondaExperiment
 from multimodal_similarity_tpu.train.trainers.multimodal_model import (
-    SENSORS_EMB_DIM, _graft, make_fused_sim_fn)
+    SENSORS_EMB_DIM, _graft)
 
 
 def select_triplets_multimodal(sim_prob, threshold=0.8, max_num=1000):
