@@ -7,6 +7,7 @@ from multimodal_similarity_tpu.utils.profiling import (
     trace,
 )
 from multimodal_similarity_tpu.utils.timing import StepTimer
+from multimodal_similarity_tpu.utils.watchdog import StepWatchdog
 
-__all__ = ["MetricsLogger", "StepTimer", "trace", "time_fn",
-           "device_memory_stats"]
+__all__ = ["MetricsLogger", "StepTimer", "StepWatchdog", "trace",
+           "time_fn", "device_memory_stats"]

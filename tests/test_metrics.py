@@ -99,3 +99,24 @@ def test_device_metrics_recall_monotone(rng):
     ks = sorted(recs)
     vals = [recs[k] for k in ks]
     assert all(vals[i] <= vals[i + 1] + 1e-9 for i in range(len(vals) - 1))
+
+
+def test_evaluate_simple_golden_values():
+    """Hand-computed golden case: 2 classes on a line.
+
+    points: labels [1, 1, 2, 2] at x = 0, 1, 3, 10 (1-d embeddings).
+    Query 0 (lab 1): dists to [1, 3, 10] -> ranking [1, 3, 10] labels
+      [1, 2, 2]; positive first => AP = 1. recall@1 = 1. prec@0.5:
+      target = int(0.5 * 1) = 0 -> breaks at first non-query item; first
+      item IS the positive -> runs to end, prec = 1/3.
+    Query 1 (lab 1): dists [1, 2, 9] -> same structure, AP = 1.
+    Query 2 (lab 2): dists to [3, 2, 7] (x=0,1,10) -> nearest is label 1
+      at x=1, then label 1 at x=0, then label 2: AP = 1/3, recall@1 = 0.
+    Query 3 (lab 2): dists [10, 9, 7] -> nearest label 2 -> AP = 1.
+    mAP = (1 + 1 + 1/3 + 1) / 4 = 5/6; recall@1 = 3/4.
+    """
+    emb = np.array([[0.0], [1.0], [3.0], [10.0]], np.float32)
+    labels = np.array([1, 1, 2, 2])
+    mAP, mPrec, recall = evaluate_simple(emb, labels)
+    np.testing.assert_allclose(mAP, 5 / 6, rtol=1e-9)
+    np.testing.assert_allclose(recall, 3 / 4)

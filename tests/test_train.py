@@ -143,3 +143,19 @@ def test_base_trainer_data_parallel(synth_cfg, tmp_path):
                                          result_dir=str(tmp_path / "dp"))
     assert int(state.step) == 2
     assert np.isfinite(metrics["val_mAP"])
+
+
+def test_base_trainer_resume_is_step_accurate(synth_cfg, tmp_path):
+    """model_path restore continues from the saved global step
+    (reference base_model.py:216-217 epoch derivation)."""
+    import glob
+    cfg = _tiny_cfg(synth_cfg, max_epochs=1)
+    state1, _, rd = base_model.train(cfg, event_budget=64,
+                                     result_dir=str(tmp_path / "a"))
+    ckpt = sorted(glob.glob(str(tmp_path / "a" / "*.ckpt-*")))[-1]
+    cfg2 = _tiny_cfg(synth_cfg, max_epochs=2, model_path=ckpt)
+    state2, _, _ = base_model.train(cfg2, event_budget=64,
+                                    result_dir=str(tmp_path / "b"))
+    # resumed from step 1, ran exactly one more epoch (1 batch/epoch)
+    assert int(state1.step) == 1
+    assert int(state2.step) == 2

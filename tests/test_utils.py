@@ -70,3 +70,17 @@ def test_summarize_results(tmp_path):
     assert "Recall@32" in txt
     assert "Intersection passing" in txt
     assert "confusion" in txt
+
+
+def test_step_watchdog_fires_and_cancels():
+    import time
+    from multimodal_similarity_tpu.utils import StepWatchdog
+    fired = []
+    wd = StepWatchdog(timeout=0.05, on_timeout=lambda: fired.append(1))
+    with wd.step():
+        time.sleep(0.12)          # exceeds deadline -> fires
+    assert wd.fired == 1
+    with wd.step():
+        pass                      # fast step -> cancelled
+    time.sleep(0.1)
+    assert wd.fired == 1
