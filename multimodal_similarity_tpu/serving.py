@@ -61,10 +61,13 @@ class RetrievalIndex:
     """
 
     def __init__(self, emb_dim: int, metric: str = "euclidean",
-                 mesh=None):
+                 mesh=None, gallery_chunk: int = 65536):
         self.emb_dim = emb_dim
         self.metric = metric
         self.mesh = mesh
+        # galleries beyond this stream through the chunked scan so the
+        # [Q, N] matrix never materializes (ops/chunked_topk.py)
+        self.gallery_chunk = gallery_chunk
         self._gallery: Optional[np.ndarray] = None
         self._meta: list = []
 
@@ -99,6 +102,12 @@ class RetrievalIndex:
                 if pad else self._gallery
             d, idx = sharded_retrieval_topk(
                 self.mesh, q, jnp.asarray(gallery), k=k, metric=self.metric)
+        elif len(self) > self.gallery_chunk:
+            from multimodal_similarity_tpu.ops.chunked_topk import (
+                chunked_topk)
+            d, idx = chunked_topk(q, jnp.asarray(self._gallery), k=k,
+                                  chunk=self.gallery_chunk,
+                                  metric=self.metric)
         else:
             dmat = pairwise_distance(q, jnp.asarray(self._gallery),
                                      self.metric)

@@ -51,3 +51,41 @@ def test_retrieval_index_empty():
     idx = RetrievalIndex(emb_dim=4)
     with pytest.raises(ValueError):
         idx.query(np.zeros((1, 4), np.float32))
+
+
+def test_chunked_topk_matches_dense(rng):
+    import jax.numpy as jnp
+    from multimodal_similarity_tpu.ops.chunked_topk import chunked_topk
+    from multimodal_similarity_tpu.ops.distances import pairwise_distance
+    q = jnp.asarray(rng.randn(7, 12).astype(np.float32))
+    g = jnp.asarray(rng.randn(103, 12).astype(np.float32))  # non-multiple
+    d, i = chunked_topk(q, g, k=9, chunk=32)
+    dense = np.asarray(pairwise_distance(q, g, "euclidean"))
+    want_d = np.sort(dense, axis=1)[:, :9]
+    np.testing.assert_allclose(np.asarray(d), want_d, rtol=1e-4, atol=1e-5)
+    got_d = np.take_along_axis(dense, np.asarray(i), axis=1)
+    np.testing.assert_allclose(got_d, want_d, rtol=1e-4, atol=1e-5)
+
+
+def test_chunked_topk_k_exceeds_gallery(rng):
+    import jax.numpy as jnp
+    from multimodal_similarity_tpu.ops.chunked_topk import chunked_topk
+    q = jnp.asarray(rng.randn(2, 4).astype(np.float32))
+    g = jnp.asarray(rng.randn(5, 4).astype(np.float32))
+    d, i = chunked_topk(q, g, k=8, chunk=4)
+    # padding entries marked with -1 index and +inf distance
+    assert (np.asarray(i)[:, 5:] == -1).all()
+    assert (np.asarray(d)[:, 5:] > 1e29).all()
+
+
+def test_retrieval_index_chunked_path(rng):
+    gallery = rng.randn(40, 8).astype(np.float32)
+    small = RetrievalIndex(emb_dim=8)
+    small.add(gallery)
+    big = RetrievalIndex(emb_dim=8, gallery_chunk=16)  # force streaming
+    big.add(gallery)
+    q = rng.randn(3, 8).astype(np.float32)
+    d1, i1, _ = small.query(q, k=5)
+    d2, i2, _ = big.query(q, k=5)
+    np.testing.assert_allclose(d1, d2, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(i1, i2)
