@@ -31,6 +31,7 @@ import numpy as np
 Array = jnp.ndarray
 
 _NEG_INF = -1e30
+_POS_INF = 1e30
 
 
 class MinedTriplets(NamedTuple):
@@ -124,6 +125,104 @@ def mine_semihard_triplets(
         mask=mask,
         active_count=jnp.mean(active),
     )
+
+
+class MinedMultimodal(NamedTuple):
+    """Fixed-size hard + structure triplets mined from pseudo-similarities."""
+
+    hard: Array          # [H, 3] anchor/hard-pos/hard-neg indices
+    hard_mask: Array     # [H]
+    struct: Array        # [S, 3] anchor/hard-neg/far-neg indices
+    struct_mask: Array   # [S]
+    margins: Array       # [S] adaptive margins for the struct group
+
+
+def mine_hard_structure_triplets(
+    sim_prob: Array,
+    labels: Array,
+    class_margins: Array,
+    key: jax.Array,
+    hard_budget: int,
+    struct_budget: int,
+    threshold_up: float = 0.8,
+    threshold_down: float = 0.2,
+    valid: Optional[Array] = None,
+) -> MinedMultimodal:
+    """Device-side hard + structure mining from a fused pseudo-similarity
+    matrix — the on-device counterpart of the flagship's host miner
+    (multimodal_model.py select_triplets_mul / reference :72-142).
+
+    Per sampled foreground anchor i:
+      hard positive: random same-label j with sim[i, j] < threshold_down,
+        else the least-similar same-label j (argmin fallback);
+      hard negative: random diff-label j with sim[i, j] > threshold_up,
+        else the most-similar diff-label j (argmax fallback);
+      structure triplet: (i, hard_neg, far_neg) where far_neg shares
+        hard_neg's label and sim[i, far_neg] < threshold_down; its margin
+        comes from ``class_margins[label[far_neg]]`` (the dist_dict).
+
+    Differences vs the host miner (acceptance is metric parity): anchors
+    are sampled with replacement instead of a full permutation sweep, and
+    there is no dedup against the labeled facenet triplets (collision
+    probability is low at the reference's batch sizes).
+    """
+    labels = labels.reshape(-1)
+    n = labels.shape[0]
+    if valid is None:
+        valid_b = jnp.ones((n,), dtype=bool)
+    else:
+        valid_b = valid.reshape(-1).astype(bool)
+
+    same = labels[:, None] == labels[None, :]
+    eye = jnp.eye(n, dtype=bool)
+    foreground = (labels > 0) & valid_b
+
+    k_a, k_p, k_n, k_f = jax.random.split(key, 4)
+    anchor_logw = jnp.where(foreground, 0.0, _NEG_INF)
+    anchors = jax.random.categorical(
+        k_a, jnp.broadcast_to(anchor_logw, (hard_budget, n)), axis=1)
+
+    sim_a = sim_prob[anchors]                                 # [H, N]
+    same_a = same[anchors] & ~eye[anchors] & valid_b[None, :]
+    diff_a = ~same[anchors] & valid_b[None, :]
+
+    # hard positives with least-similar fallback
+    hp_mask = same_a & (sim_a < threshold_down)
+    has_hp = jnp.any(hp_mask, axis=1)
+    hp_sampled = jax.random.categorical(
+        k_p, jnp.where(hp_mask, 0.0, _NEG_INF), axis=1)
+    hp_fallback = jnp.argmin(jnp.where(same_a, sim_a, _POS_INF), axis=1)
+    any_pos = jnp.any(same_a, axis=1)
+    hard_pos = jnp.where(has_hp, hp_sampled, hp_fallback)
+
+    # hard negatives with most-similar fallback
+    hn_mask = diff_a & (sim_a > threshold_up)
+    has_hn = jnp.any(hn_mask, axis=1)
+    hn_sampled = jax.random.categorical(
+        k_n, jnp.where(hn_mask, 0.0, _NEG_INF), axis=1)
+    hn_fallback = jnp.argmax(jnp.where(diff_a, sim_a, -_POS_INF), axis=1)
+    any_neg = jnp.any(diff_a, axis=1)
+    hard_neg = jnp.where(has_hn, hn_sampled, hn_fallback)
+
+    hard_mask = (foreground[anchors] & any_pos & any_neg).astype(jnp.float32)
+    hard = jnp.stack([anchors, hard_pos, hard_neg], axis=1).astype(jnp.int32)
+
+    # structure triplets from the first struct_budget hard rows
+    s = struct_budget
+    s_anchor = anchors[:s]
+    s_hn = hard_neg[:s]
+    fn_mask = ((labels[None, :] == labels[s_hn][:, None])
+               & (sim_prob[s_anchor] < threshold_down)
+               & valid_b[None, :])                             # [S, N]
+    has_fn = jnp.any(fn_mask, axis=1)
+    far_neg = jax.random.categorical(
+        k_f, jnp.where(fn_mask, 0.0, _NEG_INF), axis=1)
+    struct = jnp.stack([s_anchor, s_hn, far_neg], axis=1).astype(jnp.int32)
+    struct_mask = (hard_mask[:s] * has_fn.astype(jnp.float32))
+    margins = class_margins[labels[far_neg]] * struct_mask
+
+    return MinedMultimodal(hard=hard, hard_mask=hard_mask, struct=struct,
+                           struct_mask=struct_mask, margins=margins)
 
 
 # ---------------------------------------------------------------------------

@@ -228,8 +228,13 @@ def _pad_triplets(idx: List[int], margins: List[float], counts, tri_cap: int):
 
 
 def train(cfg: TrainConfig, hard_only: bool = False,
+          device_mining: bool = False,
           event_budget: Optional[int] = None,
           result_dir: Optional[str] = None):
+    """device_mining=True replaces the host select_triplets_mul loop with
+    the on-device miner (ops/mining.py:mine_hard_structure_triplets) over
+    the fused PDDM similarity matrix — fixed budgets, no host scan; the
+    host path keeps the reference's exact sequential semantics."""
     modalities = cfg.feat if isinstance(cfg.feat, list) else \
         ["resnet", "sensors", "segment"]
     exp = HondaExperiment(cfg, modalities=modalities,
@@ -307,7 +312,48 @@ def train(cfg: TrainConfig, hard_only: bool = False,
             triplet_count = len(idx) // 3
             hard_count = struct_count = 0
             margins: List[float] = []
-            if epoch >= cfg.multimodal_epochs:
+            device_built = False
+            if epoch >= cfg.multimodal_epochs and device_mining:
+                device_built = True
+                # fully on-device hard + structure mining: the fused PDDM
+                # matrix never leaves the chip
+                from multimodal_similarity_tpu.ops.mining import (
+                    mine_hard_structure_triplets)
+                sim_dev = fused_sim(
+                    state.params, jnp.asarray(batch["events2"][:n]),
+                    jnp.asarray(batch["events3"][:n]))
+                n_classes = max(dist_dict.keys()) + 1
+                cm = jnp.asarray([dist_dict.get(c, [0.0])[-1]
+                                  for c in range(n_classes)],
+                                 jnp.float32)
+                mined = mine_hard_structure_triplets(
+                    sim_dev, jnp.asarray(batch["labels"][:n]), cm,
+                    exp.next_key(),
+                    hard_budget=cfg.triplet_per_batch,
+                    struct_budget=cfg.triplet_per_batch // 2,
+                    threshold_up=0.8, threshold_down=0.2)
+                h = cfg.triplet_per_batch
+                s = cfg.triplet_per_batch // 2
+                l_cap = tri_cap - h - s
+                t = min(triplet_count, l_cap)
+                gather = np.zeros(3 * tri_cap, np.int32)
+                gather[: 3 * t] = np.asarray(idx[: 3 * t], np.int32)
+                gather[3 * l_cap: 3 * (l_cap + h)] = \
+                    np.asarray(mined.hard).reshape(-1)
+                gather[3 * (l_cap + h):] = \
+                    np.asarray(mined.struct).reshape(-1)
+                m_lab = np.zeros(tri_cap, np.float32)
+                m_lab[:t] = 1.0
+                m_hard = np.zeros(tri_cap, np.float32)
+                m_hard[l_cap: l_cap + h] = np.asarray(mined.hard_mask)
+                m_struct = np.zeros(tri_cap, np.float32)
+                m_struct[l_cap + h:] = np.asarray(mined.struct_mask)
+                marg = np.zeros(tri_cap, np.float32)
+                marg[l_cap + h:] = np.asarray(mined.margins)
+                triplet_count = t
+                hard_count = int(m_hard.sum())
+                struct_count = int(m_struct.sum())
+            elif epoch >= cfg.multimodal_epochs:
                 sim = np.array(fused_sim(
                     state.params, jnp.asarray(batch["events2"][:n]),
                     jnp.asarray(batch["events3"][:n])))
@@ -324,9 +370,10 @@ def train(cfg: TrainConfig, hard_only: bool = False,
                             idx, batch["labels"][:n], sim, dist_dict,
                             cfg.triplet_per_batch, 3, 0.8, 0.2)
 
-            gather, m_lab, m_hard, m_struct, marg = _pad_triplets(
-                idx, margins, (triplet_count, hard_count, struct_count),
-                tri_cap)
+            if not device_built:
+                gather, m_lab, m_hard, m_struct, marg = _pad_triplets(
+                    idx, margins,
+                    (triplet_count, hard_count, struct_count), tri_cap)
             tri_events = jnp.asarray(batch["events"][:n][gather])
             state, aux = step_fn(state, tri_events, jnp.asarray(m_lab),
                                  jnp.asarray(m_hard), jnp.asarray(m_struct),

@@ -91,3 +91,66 @@ def test_select_batch_balanced(rng):
     assert (sel != 0).all()
     counts = np.bincount(sel, minlength=4)[1:]
     assert counts.max() - counts.min() <= 1
+
+
+def test_device_hard_structure_mining(rng):
+    from multimodal_similarity_tpu.ops.mining import (
+        mine_hard_structure_triplets)
+    n, n_classes = 60, 5
+    labels = rng.randint(0, n_classes, size=n)
+    labels[:6] = 1  # guarantee multi-member foreground classes
+    labels[6:12] = 2
+    sim = rng.rand(n, n).astype(np.float32)
+    sim = (sim + sim.T) / 2
+    class_margins = jnp.asarray(np.linspace(0.1, 0.5, n_classes + 1)
+                                .astype(np.float32))
+    mined = mine_hard_structure_triplets(
+        jnp.asarray(sim), jnp.asarray(labels), class_margins,
+        jax.random.PRNGKey(0), hard_budget=32, struct_budget=16,
+        threshold_up=0.8, threshold_down=0.2)
+    hard = np.asarray(mined.hard)
+    hm = np.asarray(mined.hard_mask)
+    assert hm.sum() > 0
+    for t in range(32):
+        if hm[t] == 0:
+            continue
+        a, hp, hn = hard[t]
+        assert labels[a] > 0
+        assert labels[a] == labels[hp] and a != hp
+        assert labels[a] != labels[hn]
+        # hp is either a confident hard positive or the argmin fallback
+        same = (labels == labels[a]) & (np.arange(n) != a)
+        if (sim[a][same] < 0.2).any():
+            assert sim[a, hp] < 0.2
+        else:
+            assert sim[a, hp] == sim[a][same].min()
+        diff = labels != labels[a]
+        if (sim[a][diff] > 0.8).any():
+            assert sim[a, hn] > 0.8
+        else:
+            assert sim[a, hn] == sim[a][diff].max()
+    struct = np.asarray(mined.struct)
+    sm = np.asarray(mined.struct_mask)
+    margins = np.asarray(mined.margins)
+    for t in range(16):
+        if sm[t] == 0:
+            continue
+        a, hn, fn = struct[t]
+        assert labels[fn] == labels[hn]
+        assert sim[a, fn] < 0.2
+        np.testing.assert_allclose(margins[t],
+                                   np.asarray(class_margins)[labels[fn]])
+
+
+def test_device_hard_structure_mining_jittable(rng):
+    from multimodal_similarity_tpu.ops.mining import (
+        mine_hard_structure_triplets)
+    labels = rng.randint(0, 4, size=32)
+    labels[:4] = 1
+    sim = jnp.asarray(rng.rand(32, 32).astype(np.float32))
+    cm = jnp.ones(5, jnp.float32) * 0.3
+    fn = jax.jit(lambda s, l, k: mine_hard_structure_triplets(
+        s, l, cm, k, 16, 8))
+    mined = fn(sim, jnp.asarray(labels), jax.random.PRNGKey(1))
+    assert np.asarray(mined.hard).shape == (16, 3)
+    assert np.asarray(mined.struct).shape == (8, 3)

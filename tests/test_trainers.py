@@ -208,3 +208,17 @@ def test_base_model_tf_trainer(synth_root, tmp_path):
     state, metrics, _ = base_model_tf.train(
         cfg, event_per_batch=16, result_dir=str(tmp_path / "tf"))
     assert int(state.step) >= 1
+
+
+def test_multimodal_trainer_device_mining(synth_root, tmp_path):
+    from multimodal_similarity_tpu.train.trainers import multimodal_model
+    cfg = _cfg(synth_root, network="convrtsn",
+               feat=["resnet", "sensors", "segment"], n_h=2, n_w=2, n_C=4,
+               lambda_multimodal=0.5, multimodal_epochs=0, label_num=3,
+               triplet_per_batch=16)
+    cfg.feat_dim["segment"] = (16,)
+    state, metrics, _ = multimodal_model.train(
+        cfg, device_mining=True, event_budget=48,
+        result_dir=str(tmp_path / "mmdev"))
+    assert int(state.step) >= 1
+    assert np.isfinite(metrics["val_mAP"])
