@@ -285,6 +285,16 @@ def train(cfg: TrainConfig, hard_only: bool = False,
     step_fn = make_mm_train_step(core, cfg, tri_cap)
     fused_sim = make_fused_sim_fn(sensors_enc, sensors_pddm, segment_enc,
                                   segment_pddm, cfg)
+    if device_mining:
+        import functools as _ft
+
+        from multimodal_similarity_tpu.ops.mining import (
+            mine_hard_structure_triplets)
+        _device_mine = jax.jit(_ft.partial(
+            mine_hard_structure_triplets,
+            hard_budget=cfg.triplet_per_batch,
+            struct_budget=cfg.triplet_per_batch // 2,
+            threshold_up=0.8, threshold_down=0.2))
 
     def core_embed(params, feats):
         from multimodal_similarity_tpu.train.steps import embed_in_chunks
@@ -317,21 +327,18 @@ def train(cfg: TrainConfig, hard_only: bool = False,
                 device_built = True
                 # fully on-device hard + structure mining: the fused PDDM
                 # matrix never leaves the chip
-                from multimodal_similarity_tpu.ops.mining import (
-                    mine_hard_structure_triplets)
+                # full-budget arrays keep shapes static (no recompiles);
+                # the mask hides padding from the miner
                 sim_dev = fused_sim(
-                    state.params, jnp.asarray(batch["events2"][:n]),
-                    jnp.asarray(batch["events3"][:n]))
+                    state.params, jnp.asarray(batch["events2"]),
+                    jnp.asarray(batch["events3"]))
                 n_classes = max(dist_dict.keys()) + 1
                 cm = jnp.asarray([dist_dict.get(c, [0.0])[-1]
                                   for c in range(n_classes)],
                                  jnp.float32)
-                mined = mine_hard_structure_triplets(
-                    sim_dev, jnp.asarray(batch["labels"][:n]), cm,
-                    exp.next_key(),
-                    hard_budget=cfg.triplet_per_batch,
-                    struct_budget=cfg.triplet_per_batch // 2,
-                    threshold_up=0.8, threshold_down=0.2)
+                mined = _device_mine(
+                    sim_dev, jnp.asarray(batch["labels"]), cm,
+                    exp.next_key(), valid=jnp.asarray(batch["mask"]))
                 h = cfg.triplet_per_batch
                 s = cfg.triplet_per_batch // 2
                 l_cap = tri_cap - h - s
@@ -355,8 +362,8 @@ def train(cfg: TrainConfig, hard_only: bool = False,
                 struct_count = int(m_struct.sum())
             elif epoch >= cfg.multimodal_epochs:
                 sim = np.array(fused_sim(
-                    state.params, jnp.asarray(batch["events2"][:n]),
-                    jnp.asarray(batch["events3"][:n])))
+                    state.params, jnp.asarray(batch["events2"]),
+                    jnp.asarray(batch["events3"])))[:n, :n]
                 np.fill_diagonal(sim, np.nan)
                 if hard_only:
                     idx, triplet_count, hard_count = \

@@ -275,7 +275,7 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
             # unlabeled slice: PDDM pseudo-label triplets -> multimodal op
             if epoch >= cfg.multimodal_epochs:
                 sim = np.array(sensors_sim(
-                    state.params, jnp.asarray(batch["events2"][:n])))
+                    state.params, jnp.asarray(batch["events2"])))[:n, :n]
                 np.fill_diagonal(sim, np.nan)
                 if cfg.multimodal_select == "confidence":
                     mul_idx, count = select_triplets_multimodal(
