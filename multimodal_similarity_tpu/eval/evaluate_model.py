@@ -57,18 +57,21 @@ def run(cfg: EvalConfig, data=None):
     else:
         feats, labels = data
 
+    params = restore_encoder_params(cfg.model_path, cfg.variable_name)
     if cfg.use_output:
         # classifier checkpoints: use the softmax-head logits as the
-        # embedding (reference --use_output, eval_config.py:24-25)
+        # embedding (reference --use_output, eval_config.py:24-25);
+        # head width comes from the checkpoint itself
         from multimodal_similarity_tpu.models import ConvTSNClassifier
+        n_output = int(np.asarray(params["head"]["kernel"]).shape[1])
         model = ConvTSNClassifier(n_seg=cfg.num_seg, emb_dim=cfg.emb_dim,
                                   n_input=cfg.n_input, n_h=cfg.n_h,
-                                  n_w=cfg.n_w, n_C=cfg.n_C)
+                                  n_w=cfg.n_w, n_C=cfg.n_C,
+                                  n_output=n_output)
     else:
         model = build_encoder(cfg.network, num_seg=cfg.num_seg,
                               emb_dim=cfg.emb_dim, n_input=cfg.n_input,
                               n_h=cfg.n_h, n_w=cfg.n_w, n_C=cfg.n_C)
-    params = restore_encoder_params(cfg.model_path, cfg.variable_name)
 
     @jax.jit
     def embed(x):

@@ -114,3 +114,30 @@ def test_late_fusion_and_hallucination_eval(setup, tmp_path):
                         n_h=2, n_w=2, n_C=4, emb_dim=16).resolve()
     out_h = evaluate_hallucination.run(ecfg_h)
     assert 0.0 <= out_h["mAP"] <= 1.0
+
+
+def test_evaluate_model_use_output(setup, tmp_path):
+    """--use_output evaluates classifier logits as the embedding."""
+    import numpy as np
+    from multimodal_similarity_tpu.eval import evaluate_model
+    from multimodal_similarity_tpu.train.trainers import (
+        base_model_classifier)
+    root, _ = setup
+    cfg = TrainConfig(
+        DATA_ROOT=root, name="clf", network="convtsn", feat="resnet",
+        n_input=8, n_h=2, n_w=2, n_C=4, emb_dim=16, num_seg=3,
+        sess_per_batch=2, max_epochs=1, silent_mode=True).resolve()
+    # classifier trainer needs a resnet-shaped synthetic modality
+    from multimodal_similarity_tpu.data import generate_synthetic_honda
+    generate_synthetic_honda(root, n_sessions=6, frames_per_session=400,
+                             modal_dims={"resnet": (2, 2, 8),
+                                         "sensors": (8,)},
+                             class_scale=1.5, noise_scale=1.0, seed=2)
+    _, _, rd = base_model_classifier.train(
+        cfg, event_budget=48, result_dir=str(tmp_path / "clf"))
+    ckpt = sorted(glob.glob(str(tmp_path / "clf" / "*.ckpt-*")))[-1]
+    ecfg = EvalConfig(DATA_ROOT=root, model_path=ckpt, network="convtsn",
+                      feat="resnet", n_input=8, n_h=2, n_w=2, n_C=4,
+                      emb_dim=16, use_output=True).resolve()
+    results = evaluate_model.run(ecfg)
+    assert np.isfinite(results["mAP"])
