@@ -24,6 +24,10 @@ from multimodal_similarity_tpu.parallel.ring_mining import (
 from multimodal_similarity_tpu.parallel.sharded_eval import (
     sharded_retrieval_topk,
 )
+from multimodal_similarity_tpu.parallel.tensor_parallel import (
+    create_2d_mesh,
+    shard_params_tp,
+)
 
 __all__ = [
     "create_mesh",
@@ -34,4 +38,6 @@ __all__ = [
     "ring_batch_hard_stats",
     "make_global_batch",
     "host_local_sessions",
+    "shard_params_tp",
+    "create_2d_mesh",
 ]

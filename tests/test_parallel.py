@@ -97,3 +97,24 @@ def test_make_global_batch_single_process(rng):
     sessions = [f"s{i}" for i in range(10)]
     assert host_local_sessions(sessions, 0, 2) == [f"s{i}"
                                                    for i in range(0, 10, 2)]
+
+
+def test_tp_param_sharding(rng):
+    from multimodal_similarity_tpu.parallel import (
+        create_2d_mesh, shard_params_tp)
+    mesh = create_2d_mesh(8, model_parallel=2)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    params = {"dense": {"kernel": jnp.ones((8, 16)), "bias": jnp.ones(16)},
+              "tiny": {"kernel": jnp.ones((4, 3))}}  # 3 not divisible
+    out = shard_params_tp(params, mesh)
+    assert out["dense"]["kernel"].sharding.spec == \
+        jax.sharding.PartitionSpec(None, "model")
+    assert out["tiny"]["kernel"].sharding.spec == \
+        jax.sharding.PartitionSpec()
+    np.testing.assert_allclose(np.asarray(out["dense"]["kernel"]), 1.0)
+
+
+def test_graft_dryrun_2d_mesh():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)   # dp x tp path
+    ge.dryrun_multichip(2)   # dp-only path
