@@ -35,16 +35,21 @@ from multimodal_similarity_tpu.train.trainers.multimodal_model import (
 
 
 def select_triplets_multimodal(sim_prob, threshold=0.8, max_num=1000):
-    """High-confidence pseudo-label triplets (reference :98-126)."""
-    perm = np.random.permutation(sim_prob.shape[0])
-    sim_prob = sim_prob[perm]
+    """High-confidence pseudo-label triplets (reference :98-126).
+
+    NOTE: the reference permutes the matrix rows and then emits the
+    permuted row index as the anchor while columns stay unpermuted — a
+    row/column index-space mix-up.  Intended semantics (anchors visited in
+    random order, indices in the original space) used here (SURVEY.md §7).
+    """
     mul_idx: List[int] = []
     count = 0
-    for i in range(sim_prob.shape[0]):
-        pos_idx = np.where(sim_prob[i] > threshold)[0]
-        neg_idx = np.where(sim_prob[i] < (1 - threshold))[0]
+    for i in np.random.permutation(sim_prob.shape[0]):
+        row = sim_prob[i]
+        pos_idx = np.where(row > threshold)[0]
+        neg_idx = np.where(row < (1 - threshold))[0]
         if len(pos_idx) and len(neg_idx):
-            neg_idx = np.argsort(sim_prob[i])[: len(pos_idx)]
+            neg_idx = np.argsort(row)[: len(pos_idx)]
             high_confidence = np.hstack((pos_idx, neg_idx))
             np.random.shuffle(high_confidence)
             for pair in itertools.combinations(high_confidence, 2):
@@ -56,10 +61,10 @@ def select_triplets_multimodal(sim_prob, threshold=0.8, max_num=1000):
 
 
 def random_triplets_multimodal(sim_prob, max_num=1000):
-    """Random pseudo-triplets from rows with >1 positives (reference :62-96)."""
-    perm = np.random.permutation(sim_prob.shape[0])
-    sim_prob = sim_prob[perm]
+    """Random pseudo-triplets from rows with >1 positives (reference
+    :62-96; same index-space fix as select_triplets_multimodal)."""
     pos_rows = np.where(np.sum(sim_prob > 0.5, axis=1) > 1)[0]
+    np.random.shuffle(pos_rows)
     mul_idx: List[int] = []
     count = 0
     for i in pos_rows:
@@ -84,12 +89,10 @@ def random_triplets_multimodal(sim_prob, max_num=1000):
 
 def nopos_triplets_multimodal(sim_prob, max_num=1000):
     """Random pseudo-triplets without the positive-row constraint
-    (reference :25-60)."""
-    perm = np.random.permutation(sim_prob.shape[0])
-    sim_prob = sim_prob[perm]
+    (reference :25-60; same index-space fix)."""
     mul_idx: List[int] = []
     count = 0
-    for i in range(sim_prob.shape[0]):
+    for i in np.random.permutation(sim_prob.shape[0]):
         pos_idx = np.where(sim_prob[i] > 0.5)[0]
         neg_idx = np.where(sim_prob[i] < 0.5)[0]
         np.random.shuffle(neg_idx)
@@ -246,6 +249,7 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
     while epoch < cfg.max_epochs:
         lr = learning_rate_schedule(epoch, cfg.learning_rate,
                                     cfg.static_epochs, cfg.max_epochs)
+        steps_this_epoch = 0
         for batch in exp.loader.epoch():
             n = int(batch["num_events"])
             labels = batch["labels"][:n]
@@ -296,6 +300,7 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                         jnp.asarray(mask), exp.next_key(), jnp.float32(lr))
                     did_step = True
 
+            steps_this_epoch += did_step
             if did_step:
                 exp.log(int(state.step),
                         {"loss": float(aux["loss"]), "learning_rate": lr},
@@ -303,6 +308,12 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                         f"step {int(state.step)} "
                         f"loss {float(aux['loss']):.4f}")
 
+        if steps_this_epoch == 0:
+            # no labeled sessions and pseudo-labels not yet active: the
+            # global step cannot advance, so bail instead of spinning
+            print(f"[{cfg.name}] epoch {epoch + 1}: no trainable slice "
+                  "this epoch; stopping")
+            break
         from multimodal_similarity_tpu.eval.metrics import (
             retrieval_metrics_device)
         val_emb = core_embed(state.params, exp.val_feats)
