@@ -131,6 +131,7 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
     while epoch < cfg.max_epochs:
         lr = learning_rate_schedule(epoch, cfg.learning_rate,
                                     cfg.static_epochs, cfg.max_epochs)
+        step_at_epoch_start = int(state.step)
         for batch in loader.epoch():
             t0 = time.time()
             rng, key = jax.random.split(rng)
@@ -176,6 +177,9 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                       f"({aux['train_time']:.2f}s)")
             logger.log(int(state.step), aux)
 
+        if int(state.step) == step_at_epoch_start:
+            print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")
+            break
         metrics, val_emb = validate(embed_fn, state.params, val_feats,
                                     val_labels)
         logger.log(int(state.step), metrics)

@@ -92,6 +92,7 @@ def train(cfg: TrainConfig, loss_kind: str = "batchhard",
     while epoch < cfg.max_epochs:
         lr = learning_rate_schedule(epoch, cfg.learning_rate,
                                     cfg.static_epochs, cfg.max_epochs)
+        step_at_epoch_start = int(state.step)
         for batch in exp.loader.epoch():
             n = int(batch["num_events"])
             idx = select_batch_balanced(batch["labels"][:n], batch_size)
@@ -106,6 +107,9 @@ def train(cfg: TrainConfig, loss_kind: str = "batchhard",
                      "learning_rate": lr},
                     f"[{cfg.name}] epoch {epoch + 1} step {int(state.step)} "
                     f"loss {float(aux['loss']):.4f}")
+        if int(state.step) == step_at_epoch_start:
+            print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")
+            break
         metrics, _ = validate(embed_fn, state.params, exp.val_feats,
                               exp.val_labels)
         exp.log(int(state.step), metrics,

@@ -122,6 +122,7 @@ def train(cfg: TrainConfig, event_per_batch: int = 64,
     while epoch < cfg.max_epochs:
         lr = learning_rate_schedule(epoch, cfg.learning_rate,
                                     cfg.static_epochs, cfg.max_epochs)
+        step_at_epoch_start = int(state.step)
         for batch in loader.epoch():
             frames = jnp.asarray(reshape_frames(batch["features"]))
             state, aux = step_fn(
@@ -137,6 +138,9 @@ def train(cfg: TrainConfig, event_per_batch: int = 64,
                       f"step {int(state.step)} "
                       f"loss {float(aux['loss']):.4f}")
 
+        if int(state.step) == step_at_epoch_start:
+            print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")
+            break
         if val_paths:
             val_loader = EventTFRecordLoader(
                 val_paths, feat, flat_dim, event_per_batch, max_time,

@@ -191,6 +191,7 @@ def train(cfg: TrainConfig, sensors_only: bool = False,
     while epoch < cfg.max_epochs:
         lr = learning_rate_schedule(epoch, cfg.learning_rate,
                                     cfg.static_epochs, cfg.max_epochs)
+        step_at_epoch_start = int(state.step)
         for batch in exp.loader.epoch():
             n = int(batch["num_events"])
             emb = core_embed(state.params, batch["events"][:n])
@@ -223,6 +224,9 @@ def train(cfg: TrainConfig, sensors_only: bool = False,
 
         from multimodal_similarity_tpu.eval.metrics import (
             retrieval_metrics_device)
+        if int(state.step) == step_at_epoch_start:
+            print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")
+            break
         val_emb = core_embed(state.params, exp.val_feats)
         mAP, mPrec, recalls = retrieval_metrics_device(
             val_emb, exp.val_labels.reshape(-1))

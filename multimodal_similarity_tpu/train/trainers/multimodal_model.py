@@ -310,6 +310,7 @@ def train(cfg: TrainConfig, hard_only: bool = False,
         lr = learning_rate_schedule(epoch, cfg.learning_rate,
                                     cfg.static_epochs, cfg.max_epochs,
                                     decay_base=0.01)
+        step_at_epoch_start = int(state.step)
         for batch in exp.loader.epoch():
             n = int(batch["num_events"])
             emb = core_embed(state.params, batch["events"][:n])
@@ -397,6 +398,9 @@ def train(cfg: TrainConfig, hard_only: bool = False,
                     f"tri/hard/struct {triplet_count}/{hard_count}/"
                     f"{struct_count}")
 
+        if int(state.step) == step_at_epoch_start:
+            print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")
+            break
         val_emb = core_embed(state.params, exp.val_feats)
         from multimodal_similarity_tpu.eval.metrics import (
             retrieval_metrics_device)

@@ -170,6 +170,7 @@ def train(cfg: TrainConfig, use_mse: bool = False,
                                     decay_base=0.01)
         lambda_mul = cfg.lambda_multimodal if epoch >= cfg.multimodal_epochs \
             else 0.0
+        step_at_epoch_start = int(state.step)
         for batch in exp.loader.epoch():
             n = int(batch["num_events"])
             labels = batch["labels"][:n]
@@ -219,6 +220,9 @@ def train(cfg: TrainConfig, use_mse: bool = False,
 
         from multimodal_similarity_tpu.eval.metrics import (
             retrieval_metrics_device)
+        if int(state.step) == step_at_epoch_start:
+            print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")
+            break
         val_emb = core_embed(state.params, exp.val_feats)
         mAP, mPrec, recalls = retrieval_metrics_device(
             val_emb, exp.val_labels.reshape(-1))

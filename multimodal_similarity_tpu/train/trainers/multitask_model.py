@@ -111,6 +111,7 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
     while epoch < cfg.max_epochs:
         lr = learning_rate_schedule(epoch, cfg.learning_rate,
                                     cfg.static_epochs, cfg.max_epochs)
+        step_at_epoch_start = int(state.step)
         for batch in exp.loader.epoch():
             state, aux = step_fn(
                 state, jnp.asarray(batch["events"]),
@@ -122,6 +123,9 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                     f"[{cfg.name}] epoch {epoch + 1} step {int(state.step)} "
                     f"loss {float(aux['loss']):.4f} "
                     f"ver_acc {float(aux['ver_acc']):.3f}")
+        if int(state.step) == step_at_epoch_start:
+            print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")
+            break
         metrics, _ = validate(
             lambda p, x: embed_fn(p["encoder"], x) if isinstance(p, dict)
             else embed_fn(p, x),

@@ -170,6 +170,7 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
     while epoch < cfg.max_epochs:
         lr = learning_rate_schedule(epoch, cfg.learning_rate,
                                     cfg.static_epochs, cfg.max_epochs)
+        step_at_epoch_start = int(state.step)
         for batch in exp.loader.epoch():
             n = int(batch["num_events"])
             pair_idx, pair_lab = random_pairs(batch["labels"][:n],
@@ -206,6 +207,9 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                     f"[{cfg.name}] epoch {epoch + 1} step {int(state.step)} "
                     f"loss {float(aux['loss']):.4f} "
                     f"acc {float(aux['acc']):.3f}")
+        if int(state.step) == step_at_epoch_start:
+            print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")
+            break
         val_acc, val_prob = evaluate_pairs(
             state.params, jnp.asarray(exp.val_feats),
             jnp.asarray(val_idx_a), jnp.asarray(val_lab_a))

@@ -152,6 +152,7 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
     while epoch < cfg.max_epochs:
         lr = learning_rate_schedule(epoch, cfg.learning_rate,
                                     cfg.static_epochs, cfg.max_epochs)
+        step_at_epoch_start = int(state.step)
         for batch in exp.loader.epoch():
             state, aux = step_fn(
                 state, jnp.asarray(batch["events"]),
@@ -162,6 +163,9 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                      "learning_rate": lr},
                     f"[{cfg.name}] epoch {epoch + 1} step {int(state.step)} "
                     f"loss {float(aux['loss']):.4f}")
+        if int(state.step) == step_at_epoch_start:
+            print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")
+            break
         metrics, _ = validate(
             lambda p, x: embed_fn(p["encoder"], x),
             state.params, exp.val_feats, exp.val_labels)
