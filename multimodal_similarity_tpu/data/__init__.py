@@ -16,7 +16,17 @@ from multimodal_similarity_tpu.data.honda import (
     MODALITY_SUFFIX,
     STIMULI_NUM2LABELS,
 )
+from multimodal_similarity_tpu.data.cub import (
+    generate_synthetic_cub,
+    load_cub,
+    prepare_attribute,
+    sample_cub_batch,
+)
 from multimodal_similarity_tpu.data.loader import SessionBatchLoader
+from multimodal_similarity_tpu.data.tfrecord_loader import (
+    EventTFRecordLoader,
+    list_event_tfrecords,
+)
 from multimodal_similarity_tpu.data.synthetic import generate_synthetic_honda
 from multimodal_similarity_tpu.data.tsn import (
     make_prepare_input,
@@ -37,4 +47,6 @@ __all__ = [
     "tsn_center_offsets", "mean_pool_input", "max_pool_input",
     "LABEL_TRANSFER", "MIN_LENGTH", "MAX_LENGTH", "MIN_LENGTH_BACKGROUND",
     "MODALITY_SUFFIX", "HONDA_NUM2LABELS", "STIMULI_NUM2LABELS",
+    "load_cub", "generate_synthetic_cub", "sample_cub_batch",
+    "prepare_attribute", "EventTFRecordLoader", "list_event_tfrecords",
 ]
