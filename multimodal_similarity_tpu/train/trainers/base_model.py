@@ -119,7 +119,10 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
             model, triplet_per_batch=cfg.triplet_per_batch, alpha=cfg.alpha,
             num_negative=cfg.num_negative, metric=cfg.metric,
             normalized=cfg.normalized, lambda_l2=cfg.lambda_l2)
-    elif cfg.triplet_select == "random":
+    elif cfg.triplet_select in ("random", "facenet_host"):
+        # facenet_host: the reference's exact host-side semi-hard miner
+        # (utils.py:430-496) feeding a gathered-triplet step — the
+        # semantics-parity mode for A/B against the fused device miner
         step_fn = make_gathered_triplet_step(
             model, alpha=cfg.alpha, normalized=cfg.normalized,
             lambda_l2=cfg.lambda_l2)
@@ -153,9 +156,26 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                         jnp.asarray(batch["mask"]), key, jnp.float32(lr))
             else:
                 n = int(batch["num_events"])
-                idx = select_triplets_random(batch["labels"][:n],
-                                             cfg.triplet_per_batch,
-                                             cfg.num_negative)
+                if cfg.triplet_select == "facenet_host":
+                    from multimodal_similarity_tpu.ops.distances import (
+                        all_diffs, cdist)
+                    from multimodal_similarity_tpu.ops.mining import (
+                        select_triplets_facenet)
+                    from multimodal_similarity_tpu.train.steps import (
+                        embed_in_chunks)
+                    emb = embed_in_chunks(embed_fn, state.params,
+                                          batch["events"][:n])
+                    dists = np.asarray(cdist(all_diffs(
+                        jnp.asarray(emb), jnp.asarray(emb)), cfg.metric))
+                    idx, _ = select_triplets_facenet(
+                        batch["labels"][:n], dists, cfg.triplet_per_batch,
+                        cfg.alpha, cfg.num_negative)
+                else:
+                    idx = select_triplets_random(batch["labels"][:n],
+                                                 cfg.triplet_per_batch,
+                                                 cfg.num_negative)
+                if not idx:
+                    continue
                 t_cap = cfg.triplet_per_batch
                 tri = np.zeros(3 * t_cap, np.int32)
                 tri_mask = np.zeros(t_cap, np.float32)

@@ -159,3 +159,28 @@ def test_base_trainer_resume_is_step_accurate(synth_cfg, tmp_path):
     # resumed from step 1, ran exactly one more epoch (1 batch/epoch)
     assert int(state1.step) == 1
     assert int(state2.step) == 2
+
+
+def test_host_device_miner_metric_parity(tmp_path_factory, tmp_path):
+    """SURVEY §7 acceptance: the device miner matches the reference host
+    miner on retrieval metrics (not index traces). Train the same model
+    with each and compare final val mAP on learnable synthetic data."""
+    root = str(tmp_path_factory.mktemp("parity"))
+    generate_synthetic_honda(
+        root, n_sessions=6, frames_per_session=500,
+        modal_dims={"sensors": (8,)}, class_scale=1.5, noise_scale=1.0,
+        seed=4)
+    results = {}
+    for select in ("facenet", "facenet_host"):
+        cfg = TrainConfig(
+            DATA_ROOT=root, name=select, network="rtsn", feat="sensors",
+            n_input=8, emb_dim=16, num_seg=3, sess_per_batch=2,
+            max_epochs=8, triplet_per_batch=48, triplet_select=select,
+            learning_rate=0.01, silent_mode=True).resolve()
+        _, metrics, _ = base_model.train(
+            cfg, event_budget=64, result_dir=str(tmp_path / select))
+        results[select] = metrics["val_mAP"]
+    # both miners must train to comparable retrieval quality
+    assert results["facenet"] > 0.45, results
+    assert results["facenet_host"] > 0.45, results
+    assert abs(results["facenet"] - results["facenet_host"]) < 0.25, results
