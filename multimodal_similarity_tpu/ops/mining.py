@@ -127,6 +127,86 @@ def mine_semihard_triplets(
     )
 
 
+def mine_semihard_triplets_from_embeddings(
+    embeddings: Array,
+    labels: Array,
+    key: jax.Array,
+    triplet_per_batch: int,
+    alpha: float = 0.2,
+    num_negative: int = 3,
+    valid: Optional[Array] = None,
+    metric: str = "squaredeuclidean",
+) -> MinedTriplets:
+    """Semi-hard mining without the N x N matrix.
+
+    Identical sampling semantics to :func:`mine_semihard_triplets`, but
+    distances are computed only for the ~triplet_per_batch/num_negative
+    sampled anchor rows ([P, N] instead of [N, N]) — anchor/positive
+    sampling needs labels only, and the semi-hard admissibility test only
+    reads the anchors' rows.  This keeps the fused train step O(P*N) in
+    mining memory, so event budgets can grow to tens of thousands.
+    """
+    from multimodal_similarity_tpu.ops.distances import pairwise_distance
+
+    labels = labels.reshape(-1)
+    n = labels.shape[0]
+    num_pairs = -(-triplet_per_batch // num_negative)
+    if valid is None:
+        valid_b = jnp.ones((n,), dtype=bool)
+    else:
+        valid_b = valid.reshape(-1).astype(bool)
+
+    same = labels[:, None] == labels[None, :]
+    eye = jnp.eye(n, dtype=bool)
+    pos_mask = same & ~eye & valid_b[None, :]
+    foreground = (labels > 0) & valid_b
+    class_count = jnp.sum(same & valid_b[None, :], axis=1)
+    can_anchor = foreground & (class_count >= 2)
+    anchor_logw = jnp.where(can_anchor,
+                            -jnp.log(class_count.astype(jnp.float32)),
+                            _NEG_INF)
+
+    k_a, k_p, k_n = jax.random.split(key, 3)
+    anchors = jax.random.categorical(
+        k_a, jnp.broadcast_to(anchor_logw, (num_pairs, n)), axis=1)
+    pos_logw = jnp.where(pos_mask[anchors], 0.0, _NEG_INF)
+    positives = jax.random.categorical(k_p, pos_logw, axis=1)
+
+    # distances for the sampled anchor rows only: [P, N]
+    emb = embeddings.astype(jnp.float32)
+    neg_rows = pairwise_distance(emb[anchors], emb, metric)
+    pos_dist = jnp.take_along_axis(neg_rows, positives[:, None],
+                                   axis=1)[:, 0]
+    diff_class = ~same[anchors]
+    semihard = (diff_class
+                & valid_b[None, :]
+                & (neg_rows - pos_dist[:, None] < alpha)
+                & (pos_dist[:, None] < neg_rows))
+    has_neg = jnp.any(semihard, axis=1)
+    active = jnp.sum(semihard, axis=1).astype(jnp.float32)
+
+    neg_logw = jnp.where(semihard, 0.0, _NEG_INF)
+    neg_keys = jax.random.split(k_n, num_negative)
+    negatives = jnp.stack(
+        [jax.random.categorical(k, neg_logw, axis=1) for k in neg_keys],
+        axis=1)
+
+    t = num_pairs * num_negative
+    anchor_idx = jnp.repeat(anchors, num_negative)[:t]
+    positive_idx = jnp.repeat(positives, num_negative)[:t]
+    negative_idx = negatives.reshape(-1)[:t]
+    mask = jnp.repeat(has_neg, num_negative)[:t].astype(jnp.float32)
+    mask = mask * jnp.any(can_anchor).astype(jnp.float32)
+
+    return MinedTriplets(
+        anchor=anchor_idx.astype(jnp.int32),
+        positive=positive_idx.astype(jnp.int32),
+        negative=negative_idx.astype(jnp.int32),
+        mask=mask,
+        active_count=jnp.mean(active),
+    )
+
+
 class MinedMultimodal(NamedTuple):
     """Fixed-size hard + structure triplets mined from pseudo-similarities."""
 

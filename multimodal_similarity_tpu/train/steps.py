@@ -18,7 +18,10 @@ import jax.numpy as jnp
 
 from multimodal_similarity_tpu.ops.distances import pairwise_distance
 from multimodal_similarity_tpu.ops.losses import triplet_loss_masked
-from multimodal_similarity_tpu.ops.mining import mine_semihard_triplets
+from multimodal_similarity_tpu.ops.mining import (
+    mine_semihard_triplets,
+    mine_semihard_triplets_from_embeddings,
+)
 from multimodal_similarity_tpu.train.state import TrainState, l2_regularization
 
 Array = jnp.ndarray
@@ -96,10 +99,11 @@ def make_triplet_train_step(
             if normalized:
                 emb_mine = l2_normalize(emb_mine)
             emb_mine = jax.lax.stop_gradient(emb_mine)
-            dists = masked_self_distance(emb_mine, mask, metric)
-            mined = mine_semihard_triplets(
-                dists, labels, k_mine, triplet_per_batch, alpha=alpha,
-                num_negative=num_negative, valid=mask)
+            # row-wise mining: distances only for the sampled anchors, so
+            # mining memory is O(P*N) rather than O(N^2)
+            mined = mine_semihard_triplets_from_embeddings(
+                emb_mine, labels, k_mine, triplet_per_batch, alpha=alpha,
+                num_negative=num_negative, valid=mask, metric=metric)
 
             tri_idx = jnp.concatenate(
                 [mined.anchor, mined.positive, mined.negative])

@@ -154,3 +154,38 @@ def test_device_hard_structure_mining_jittable(rng):
     mined = fn(sim, jnp.asarray(labels), jax.random.PRNGKey(1))
     assert np.asarray(mined.hard).shape == (16, 3)
     assert np.asarray(mined.struct).shape == (8, 3)
+
+
+def test_embedding_miner_matches_dists_miner(rng):
+    """Row-wise miner == matrix miner for the same key (same sampling)."""
+    from multimodal_similarity_tpu.ops.mining import (
+        mine_semihard_triplets_from_embeddings)
+    emb, labels = _make_batch(rng, n=60)
+    key = jax.random.PRNGKey(5)
+    m1 = mine_semihard_triplets(self_distance(jnp.array(emb)),
+                                jnp.array(labels), key, 36)
+    m2 = mine_semihard_triplets_from_embeddings(
+        jnp.array(emb), jnp.array(labels), key, 36)
+    np.testing.assert_array_equal(np.asarray(m1.anchor),
+                                  np.asarray(m2.anchor))
+    np.testing.assert_array_equal(np.asarray(m1.positive),
+                                  np.asarray(m2.positive))
+    np.testing.assert_array_equal(np.asarray(m1.mask), np.asarray(m2.mask))
+    # negatives may differ only at distance ties (none on random data)
+    np.testing.assert_array_equal(np.asarray(m1.negative),
+                                  np.asarray(m2.negative))
+
+
+def test_embedding_miner_respects_padding(rng):
+    from multimodal_similarity_tpu.ops.mining import (
+        mine_semihard_triplets_from_embeddings)
+    emb, labels = _make_batch(rng, n=48)
+    valid = jnp.array((np.arange(48) < 36).astype(np.float32))
+    m = mine_semihard_triplets_from_embeddings(
+        jnp.array(emb), jnp.array(labels), jax.random.PRNGKey(0), 24,
+        valid=valid)
+    a, p, nn, mm = (np.asarray(m.anchor), np.asarray(m.positive),
+                    np.asarray(m.negative), np.asarray(m.mask))
+    for i in range(24):
+        if mm[i]:
+            assert a[i] < 36 and p[i] < 36 and nn[i] < 36
