@@ -222,3 +222,67 @@ def test_config_defaults_and_dump(tmp_path):
     write_configure_to_file(cfg, str(tmp_path))
     text = open(os.path.join(str(tmp_path), "config.txt")).read()
     assert "alpha: 0.2" in text
+
+
+def test_annotations_to_frame_labels():
+    from multimodal_similarity_tpu.preprocess.annotations import (
+        annotations_to_frame_labels, convert_seg)
+    label_dict = {"background": 0}
+    anns = [
+        (1000, 4000, "left turn"),        # frames 3..12
+        (5000, 5400, "right turn"),       # 15..15+: <5 frames -> dropped
+        (6000, 9000, "car park"),          # 'park' -> dropped
+        (8000, 20000, "u-turn"),           # clipped to n_frames
+        (0, 0, ""),                        # empty -> dropped
+    ]
+    labels = annotations_to_frame_labels(anns, n_frames=40,
+                                         label_dict=label_dict, fps=3)
+    assert label_dict["left turn"] == 1
+    assert "car park" not in label_dict
+    assert (labels[3:13] == 1).all()
+    assert (labels[15:17] == 0).all()          # short event dropped
+    assert (labels[24:40] == label_dict["u-turn"]).all()  # clipped
+    s, g = convert_seg(labels)
+    assert s[0] == 0 and s[-1] == 40
+    assert len(g) == len(s) - 1
+    # RLE reconstructs the frame labels
+    import numpy as np
+    recon = np.zeros(40, dtype=int)
+    for i in range(len(g)):
+        recon[s[i]:s[i + 1]] = g[i]
+    np.testing.assert_array_equal(recon, labels)
+
+
+def test_sensor_normalization_recipe(rng):
+    from multimodal_similarity_tpu.preprocess.sensors import (
+        compute_sensor_stats, normalize_sensors)
+    raw = rng.randn(100, 8) * 3 + 5
+    raw[:, 5] = rng.randint(0, 2, 100)  # binary left signal
+    raw[:, 6] = rng.randint(0, 2, 100)  # binary right signal
+    mu, std = compute_sensor_stats([raw])
+    out = normalize_sensors(raw, mu, std)
+    import numpy as np
+    # zero-mean unit-std channels
+    for c in (0, 3, 4):
+        np.testing.assert_allclose(out[:, c].mean(), 0, atol=1e-6)
+        np.testing.assert_allclose(out[:, c].std(), 1, rtol=1e-3)
+    # sign-preserving unit-std channels keep their mean offset
+    for c in (1, 2, 7):
+        np.testing.assert_allclose(out[:, c].std(), 1, rtol=1e-3)
+        assert abs(out[:, c].mean()) > 0.1
+    # binary channels -> {-1, 1}
+    assert set(np.unique(out[:, 5])) <= {-1.0, 1.0}
+
+
+def test_segmentation_features(rng):
+    from multimodal_similarity_tpu.preprocess.segmentation import (
+        downsample_seg, spatial_pyramid_features)
+    seg = rng.randn(4, 8, 8, 17).astype(np.float32)
+    feat = spatial_pyramid_features(seg, levels=3)
+    assert feat.shape == (4, 21 * 17)  # (1+4+16) bins x 17 classes = 357
+    # level-0 histogram rows are probability distributions
+    np.testing.assert_allclose(feat[:, :17].sum(1), 1.0, rtol=1e-5)
+    down = downsample_seg(rng.randn(2, 90, 160, 17).astype(np.float32),
+                          pool=5)
+    assert down.shape == (2, 18, 32, 17)
+    np.testing.assert_allclose(down.sum(-1), 1.0, rtol=1e-4)
