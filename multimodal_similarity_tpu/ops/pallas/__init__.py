@@ -14,9 +14,15 @@ from multimodal_similarity_tpu.ops.pallas.batch_hard import (
     fused_batch_hard_stats,
 )
 from multimodal_similarity_tpu.ops.pallas.distance import pallas_sqdist
+from multimodal_similarity_tpu.ops.pallas.lifted import (
+    fused_lifted_stats,
+    lifted_loss_pallas,
+)
 
 __all__ = [
     "pallas_sqdist",
     "fused_batch_hard_stats",
     "batch_hard_pallas",
+    "fused_lifted_stats",
+    "lifted_loss_pallas",
 ]

@@ -20,9 +20,9 @@ import numpy as np
 
 from multimodal_similarity_tpu.configs import TrainConfig
 from multimodal_similarity_tpu.models import build_encoder
-from multimodal_similarity_tpu.ops.losses import lifted_loss
 from multimodal_similarity_tpu.ops.mining import select_batch_balanced
-from multimodal_similarity_tpu.ops.pallas import batch_hard_pallas
+from multimodal_similarity_tpu.ops.pallas import (
+    batch_hard_pallas, lifted_loss_pallas)
 from multimodal_similarity_tpu.train.state import (
     TrainState, build_optimizer, l2_regularization, learning_rate_schedule)
 from multimodal_similarity_tpu.train.steps import l2_normalize, make_embed_fn
@@ -46,11 +46,8 @@ def make_balanced_batch_step(model, cfg: TrainConfig, loss_kind: str):
                 loss, num_active, *_ = batch_hard_pallas(
                     emb, labels, margin, weighted=True)
             else:
-                from multimodal_similarity_tpu.ops.distances import (
-                    self_distance)
-                loss, num_active, *_ = lifted_loss(
-                    self_distance(emb, cfg.metric),
-                    labels.astype(jnp.float32), cfg.alpha, weighted=True)
+                loss, num_active, *_ = lifted_loss_pallas(
+                    emb, labels, cfg.alpha, weighted=True)
             total = loss
             if cfg.lambda_l2:
                 total = total + cfg.lambda_l2 * l2_regularization(params)

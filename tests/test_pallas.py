@@ -108,3 +108,57 @@ def test_fused_stats_bf16_close(rng):
                                rtol=5e-2, atol=5e-2)
     np.testing.assert_allclose(np.asarray(cn16), np.asarray(cn32),
                                rtol=5e-2, atol=5e-2)
+
+
+def test_fused_lifted_matches_dense(rng):
+    from multimodal_similarity_tpu.ops.losses import lifted_loss
+    from multimodal_similarity_tpu.ops.pallas.lifted import (
+        fused_lifted_stats, lifted_loss_pallas)
+    emb, labels = _clustered(rng, n=60)
+    labels = labels.at[:3].set(1)
+    fp, cn, nc = fused_lifted_stats(emb, labels, None, 0.5, 32)
+    want = lifted_loss(self_distance(emb), labels.astype(jnp.float32), 0.5)
+    np.testing.assert_allclose(np.asarray(fp), np.asarray(want[4]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cn), np.asarray(want[5]),
+                               rtol=1e-4, atol=1e-4)
+    got = lifted_loss_pallas(emb, labels, 0.5, True, block=32)
+    np.testing.assert_allclose(float(got[0]), float(want[0]), rtol=1e-4)
+
+
+def test_fused_lifted_gradients_match(rng):
+    from multimodal_similarity_tpu.ops.losses import lifted_loss
+    from multimodal_similarity_tpu.ops.pallas.lifted import (
+        lifted_loss_pallas)
+    emb, labels = _clustered(rng, n=48, dim=16)
+    labels = labels.at[:3].set(1)
+
+    def dense(e):
+        return lifted_loss(self_distance(e), labels.astype(jnp.float32),
+                           0.5, True)[0]
+
+    def fused(e):
+        return lifted_loss_pallas(e, labels, 0.5, True, block=16)[0]
+
+    g1 = jax.grad(dense)(emb)
+    g2 = jax.grad(fused)(emb)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=2e-3,
+                               atol=1e-5)
+
+
+def test_fused_lifted_nonaligned_and_masked(rng):
+    from multimodal_similarity_tpu.ops.losses import lifted_loss
+    from multimodal_similarity_tpu.ops.pallas.lifted import (
+        lifted_loss_pallas)
+    emb, labels = _clustered(rng, n=37, dim=8)
+    labels = labels.at[:3].set(1)
+    got = lifted_loss_pallas(emb, labels, 0.5, True, block=16)
+    want = lifted_loss(self_distance(emb), labels.astype(jnp.float32), 0.5)
+    np.testing.assert_allclose(float(got[0]), float(want[0]), rtol=1e-4)
+    # masked version: padding rows excluded everywhere
+    valid = jnp.array((np.arange(37) < 30).astype(np.float32))
+    got_m = lifted_loss_pallas(emb, labels, 0.5, True, valid=valid,
+                               block=16)
+    want_m = lifted_loss(self_distance(emb[:30]),
+                         labels[:30].astype(jnp.float32), 0.5)
+    np.testing.assert_allclose(float(got_m[0]), float(want_m[0]), rtol=1e-4)
