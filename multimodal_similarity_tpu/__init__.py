@@ -20,3 +20,13 @@ Architecture (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+# Optional platform override: MSIM_PLATFORM=cpu forces the CPU backend even
+# in environments whose site configuration pins jax_platforms elsewhere
+# (useful for running CLIs while the accelerator is occupied).
+import os as _os
+
+if _os.environ.get("MSIM_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["MSIM_PLATFORM"])

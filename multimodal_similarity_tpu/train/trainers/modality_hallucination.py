@@ -49,14 +49,15 @@ def train(cfg: TrainConfig, sensors_only: bool = False,
                          emb_dim=cfg.emb_dim, n_input=cfg.n_input,
                          n_h=cfg.n_h, n_w=cfg.n_w, n_C=cfg.n_C,
                          keep_prob=cfg.keep_prob)
-    sensors_enc = RTSN(n_seg=cfg.num_seg, emb_dim=SENSORS_EMB_DIM, n_input=8,
+    sensors_enc = RTSN(n_seg=cfg.num_seg, emb_dim=SENSORS_EMB_DIM,
+                       n_input=exp.val_extra[0].shape[-1],
                        keep_prob=cfg.keep_prob)
     hal_sensors = build_encoder(cfg.network, num_seg=cfg.num_seg,
                                 emb_dim=SENSORS_EMB_DIM, n_input=cfg.n_input,
                                 n_h=cfg.n_h, n_w=cfg.n_w, n_C=cfg.n_C,
                                 keep_prob=cfg.keep_prob)
     if not sensors_only:
-        seg_dim = cfg.feat_dim.get("segment", (357,))[0]
+        seg_dim = exp.val_extra[1].shape[-1]
         segment_enc = RTSN(n_seg=cfg.num_seg, emb_dim=SEGMENT_EMB_DIM,
                            n_input=seg_dim, keep_prob=cfg.keep_prob)
         hal_segment = build_encoder(cfg.network, num_seg=cfg.num_seg,

@@ -134,17 +134,20 @@ def init_dist_dict(val_embeddings, val_labels, metric) -> Dict[int, list]:
     return dist_dict
 
 
-def build_models(cfg: TrainConfig):
+def build_models(cfg: TrainConfig, sensors_dim: int = 8,
+                 segment_dim: int = 357):
+    """Auxiliary input dims come from the loaded data, not config, so the
+    same CLI works for real 357-d segment histograms and any other data
+    honoring the on-disk contract."""
     core = build_encoder(cfg.network, num_seg=cfg.num_seg,
                          emb_dim=cfg.emb_dim, n_input=cfg.n_input,
                          n_h=cfg.n_h, n_w=cfg.n_w, n_C=cfg.n_C,
                          keep_prob=cfg.keep_prob)
-    sensors_enc = RTSN(n_seg=cfg.num_seg, emb_dim=SENSORS_EMB_DIM, n_input=8,
-                       keep_prob=cfg.keep_prob)
+    sensors_enc = RTSN(n_seg=cfg.num_seg, emb_dim=SENSORS_EMB_DIM,
+                       n_input=sensors_dim, keep_prob=cfg.keep_prob)
     sensors_pddm = PDDM(n_input=SENSORS_EMB_DIM)
     segment_enc = RTSN(n_seg=cfg.num_seg, emb_dim=SEGMENT_EMB_DIM,
-                       n_input=cfg.feat_dim.get("segment", (357,))[0],
-                       keep_prob=cfg.keep_prob)
+                       n_input=segment_dim, keep_prob=cfg.keep_prob)
     segment_pddm = PDDM(n_input=SEGMENT_EMB_DIM)
     return core, sensors_enc, sensors_pddm, segment_enc, segment_pddm
 
@@ -241,7 +244,8 @@ def train(cfg: TrainConfig, hard_only: bool = False,
                           event_budget=event_budget, result_dir=result_dir,
                           limit_label_num=(cfg.task == "supervised"))
     core, sensors_enc, sensors_pddm, segment_enc, segment_pddm = \
-        build_models(cfg)
+        build_models(cfg, sensors_dim=exp.val_extra[0].shape[-1],
+                     segment_dim=exp.val_extra[1].shape[-1])
 
     x0 = jnp.asarray(np.zeros((2,) + exp.val_feats.shape[1:], np.float32))
     s0 = jnp.asarray(np.zeros((2,) + exp.val_extra[0].shape[1:], np.float32))

@@ -198,7 +198,8 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                          emb_dim=cfg.emb_dim, n_input=cfg.n_input,
                          n_h=cfg.n_h, n_w=cfg.n_w, n_C=cfg.n_C,
                          keep_prob=cfg.keep_prob)
-    sensors_enc = RTSN(n_seg=cfg.num_seg, emb_dim=SENSORS_EMB_DIM, n_input=8,
+    sensors_enc = RTSN(n_seg=cfg.num_seg, emb_dim=SENSORS_EMB_DIM,
+                       n_input=exp.val_extra[0].shape[-1],
                        keep_prob=cfg.keep_prob)
     sensors_pddm = PDDM(n_input=SENSORS_EMB_DIM)
 
