@@ -152,6 +152,116 @@ def build_models(cfg: TrainConfig, sensors_dim: int = 8,
     return core, sensors_enc, sensors_pddm, segment_enc, segment_pddm
 
 
+def make_mm_fused_step(core, sensors_enc, sensors_pddm, segment_enc,
+                       segment_pddm, cfg: TrainConfig):
+    """Fully-fused flagship step: ONE jitted program per batch.
+
+    Inside the program: eval-mode core embed -> device semi-hard mining of
+    the labeled triplets; frozen-tower sensors/segment embeds -> blockwise
+    fused PDDM similarity matrix -> device hard + structure mining with
+    dist_dict margins; gather; train-mode re-forward; three masked triplet
+    losses.  No host hop remains (the reference paid three per batch,
+    multimodal_model.py:443-520).
+    """
+    from multimodal_similarity_tpu.ops.mining import (
+        mine_hard_structure_triplets,
+        mine_semihard_triplets_from_embeddings,
+    )
+
+    lab_cap = cfg.triplet_per_batch
+    hard_cap = cfg.triplet_per_batch
+    struct_cap = cfg.triplet_per_batch // 2
+
+    def step(state, events, eve_sensors, eve_segment, labels, mask,
+             class_margins, use_multimodal, key, learning_rate):
+        k_mine, k_mul, k_drop = jax.random.split(key, 3)
+
+        def loss_fn(params):
+            emb_mine = core.apply({"params": params["modality_core"]},
+                                  events)
+            if cfg.normalized:
+                emb_mine = l2_normalize(emb_mine)
+            emb_mine = jax.lax.stop_gradient(emb_mine)
+            lab_mined = mine_semihard_triplets_from_embeddings(
+                emb_mine, labels, k_mine, lab_cap, alpha=cfg.alpha,
+                num_negative=cfg.num_negative, valid=mask,
+                metric=cfg.metric)
+
+            es = sensors_enc.apply(
+                {"params": params["modality_sensors"]["encoder"]},
+                eve_sensors)
+            eg = segment_enc.apply(
+                {"params": params["modality_segment"]["encoder"]},
+                eve_segment)
+            block = min(128, es.shape[0])
+            sim_s = score_all_pairs(functools.partial(
+                sensors_pddm.apply,
+                {"params": params["modality_sensors"]["pddm"]},
+                method="score"), es, block=block)
+            sim_g = score_all_pairs(functools.partial(
+                segment_pddm.apply,
+                {"params": params["modality_segment"]["pddm"]},
+                method="score"), eg, block=block)
+            sim = jax.lax.stop_gradient(0.5 * (sim_s + sim_g))
+            mul = mine_hard_structure_triplets(
+                sim, labels, class_margins, k_mul, hard_budget=hard_cap,
+                struct_budget=struct_cap, threshold_up=0.8,
+                threshold_down=0.2, valid=mask)
+
+            # the miner rounds its budget up to a num_negative multiple;
+            # derive group sizes from the actual (static) array lengths
+            lab_t = lab_mined.anchor.shape[0]
+            tri_cap = lab_t + hard_cap + struct_cap
+            gather = jnp.concatenate([
+                jnp.stack([lab_mined.anchor, lab_mined.positive,
+                           lab_mined.negative], axis=1).reshape(-1),
+                mul.hard.reshape(-1),
+                mul.struct.reshape(-1),
+            ])
+            mask_lab = jnp.concatenate(
+                [lab_mined.mask, jnp.zeros(hard_cap + struct_cap)])
+            mm = mul.hard_mask * use_multimodal
+            sm = mul.struct_mask * use_multimodal
+            mask_hard = jnp.concatenate(
+                [jnp.zeros(lab_t), mm, jnp.zeros(struct_cap)])
+            mask_struct = jnp.concatenate(
+                [jnp.zeros(lab_t + hard_cap), sm])
+            margins = jnp.concatenate(
+                [jnp.zeros(lab_t + hard_cap), mul.margins])
+
+            tri_events = jnp.take(events, gather, axis=0)
+            emb = core.apply({"params": params["modality_core"]},
+                             tri_events, train=True,
+                             rngs={"dropout": k_drop})
+            if cfg.normalized:
+                emb = l2_normalize(emb)
+            tri = emb.reshape(tri_cap, 3, -1)
+            a, p, n = tri[:, 0], tri[:, 1], tri[:, 2]
+            loss1 = triplet_loss_masked(a, p, n, mask_lab, cfg.alpha)
+            loss2 = triplet_loss_masked(a, p, n, mask_hard, cfg.alpha)
+            pd = jnp.sum(jnp.square(a - p), axis=1)
+            nd = jnp.sum(jnp.square(a - n), axis=1)
+            basic = jnp.maximum(pd - nd + margins, 0.0)
+            loss3 = jnp.sum(basic * mask_struct) / jnp.maximum(
+                jnp.sum(mask_struct), 1.0)
+            total = loss1 + (loss2 + loss3 * 0.3) * cfg.lambda_multimodal
+            if cfg.lambda_l2:
+                total = total + cfg.lambda_l2 * l2_regularization(params)
+            return total, {"loss": total, "metric_loss1": loss1,
+                           "metric_loss2": loss2, "metric_loss3": loss3,
+                           "triplet_count": jnp.sum(lab_mined.mask),
+                           "hard_count": jnp.sum(mm),
+                           "struct_count": jnp.sum(sm),
+                           "active_count": lab_mined.active_count}
+
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        state = state.apply_gradients(grads, learning_rate=learning_rate)
+        return state, aux
+
+    return jax.jit(step)
+
+
 def make_mm_train_step(core, cfg: TrainConfig, tri_cap: int):
     """step over [3 * tri_cap] gathered core-events with three masked
     triplet groups: labeled / hard / struct(margins)."""
@@ -234,10 +344,11 @@ def train(cfg: TrainConfig, hard_only: bool = False,
           device_mining: bool = False,
           event_budget: Optional[int] = None,
           result_dir: Optional[str] = None):
-    """device_mining=True replaces the host select_triplets_mul loop with
-    the on-device miner (ops/mining.py:mine_hard_structure_triplets) over
-    the fused PDDM similarity matrix — fixed budgets, no host scan; the
-    host path keeps the reference's exact sequential semantics."""
+    """device_mining=True runs the FULLY-FUSED flagship step: labeled
+    semi-hard mining, PDDM pseudo-similarity, and hard+structure mining
+    all inside one jitted program per batch (make_mm_fused_step) — zero
+    host round trips.  The default path keeps the reference's exact
+    host-side sequential mining semantics."""
     modalities = cfg.feat if isinstance(cfg.feat, list) else \
         ["resnet", "sensors", "segment"]
     exp = HondaExperiment(cfg, modalities=modalities,
@@ -290,15 +401,8 @@ def train(cfg: TrainConfig, hard_only: bool = False,
     fused_sim = make_fused_sim_fn(sensors_enc, sensors_pddm, segment_enc,
                                   segment_pddm, cfg)
     if device_mining:
-        import functools as _ft
-
-        from multimodal_similarity_tpu.ops.mining import (
-            mine_hard_structure_triplets)
-        _device_mine = jax.jit(_ft.partial(
-            mine_hard_structure_triplets,
-            hard_budget=cfg.triplet_per_batch,
-            struct_budget=cfg.triplet_per_batch // 2,
-            threshold_up=0.8, threshold_down=0.2))
+        fused_step = make_mm_fused_step(core, sensors_enc, sensors_pddm,
+                                        segment_enc, segment_pddm, cfg)
 
     def core_embed(params, feats):
         from multimodal_similarity_tpu.train.steps import embed_in_chunks
@@ -316,6 +420,31 @@ def train(cfg: TrainConfig, hard_only: bool = False,
                                     decay_base=0.01)
         step_at_epoch_start = int(state.step)
         for batch in exp.loader.epoch():
+            if device_mining:
+                # fully fused: one jitted program per batch, zero host hops
+                n_classes = max(dist_dict.keys()) + 1
+                cm = jnp.asarray([dist_dict.get(c, [0.0])[-1]
+                                  for c in range(n_classes)], jnp.float32)
+                use_mm = jnp.float32(
+                    1.0 if epoch >= cfg.multimodal_epochs else 0.0)
+                state, aux = fused_step(
+                    state, jnp.asarray(batch["events"]),
+                    jnp.asarray(batch["events2"]),
+                    jnp.asarray(batch["events3"]),
+                    jnp.asarray(batch["labels"]),
+                    jnp.asarray(batch["mask"]), cm, use_mm,
+                    exp.next_key(), jnp.float32(lr))
+                exp.log(int(state.step),
+                        {**{k: float(v) for k, v in aux.items()},
+                         "learning_rate": lr},
+                        f"[{cfg.name}] epoch {epoch + 1} "
+                        f"step {int(state.step)} "
+                        f"loss {float(aux['loss']):.4f} "
+                        f"tri/hard/struct "
+                        f"{float(aux['triplet_count']):.0f}/"
+                        f"{float(aux['hard_count']):.0f}/"
+                        f"{float(aux['struct_count']):.0f}")
+                continue
             n = int(batch["num_events"])
             emb = core_embed(state.params, batch["events"][:n])
             dists = cdist(all_diffs(emb, emb), cfg.metric)
@@ -327,45 +456,7 @@ def train(cfg: TrainConfig, hard_only: bool = False,
             triplet_count = len(idx) // 3
             hard_count = struct_count = 0
             margins: List[float] = []
-            device_built = False
-            if epoch >= cfg.multimodal_epochs and device_mining:
-                device_built = True
-                # fully on-device hard + structure mining: the fused PDDM
-                # matrix never leaves the chip
-                # full-budget arrays keep shapes static (no recompiles);
-                # the mask hides padding from the miner
-                sim_dev = fused_sim(
-                    state.params, jnp.asarray(batch["events2"]),
-                    jnp.asarray(batch["events3"]))
-                n_classes = max(dist_dict.keys()) + 1
-                cm = jnp.asarray([dist_dict.get(c, [0.0])[-1]
-                                  for c in range(n_classes)],
-                                 jnp.float32)
-                mined = _device_mine(
-                    sim_dev, jnp.asarray(batch["labels"]), cm,
-                    exp.next_key(), valid=jnp.asarray(batch["mask"]))
-                h = cfg.triplet_per_batch
-                s = cfg.triplet_per_batch // 2
-                l_cap = tri_cap - h - s
-                t = min(triplet_count, l_cap)
-                gather = np.zeros(3 * tri_cap, np.int32)
-                gather[: 3 * t] = np.asarray(idx[: 3 * t], np.int32)
-                gather[3 * l_cap: 3 * (l_cap + h)] = \
-                    np.asarray(mined.hard).reshape(-1)
-                gather[3 * (l_cap + h):] = \
-                    np.asarray(mined.struct).reshape(-1)
-                m_lab = np.zeros(tri_cap, np.float32)
-                m_lab[:t] = 1.0
-                m_hard = np.zeros(tri_cap, np.float32)
-                m_hard[l_cap: l_cap + h] = np.asarray(mined.hard_mask)
-                m_struct = np.zeros(tri_cap, np.float32)
-                m_struct[l_cap + h:] = np.asarray(mined.struct_mask)
-                marg = np.zeros(tri_cap, np.float32)
-                marg[l_cap + h:] = np.asarray(mined.margins)
-                triplet_count = t
-                hard_count = int(m_hard.sum())
-                struct_count = int(m_struct.sum())
-            elif epoch >= cfg.multimodal_epochs:
+            if epoch >= cfg.multimodal_epochs:
                 sim = np.array(fused_sim(
                     state.params, jnp.asarray(batch["events2"]),
                     jnp.asarray(batch["events3"])))[:n, :n]
@@ -382,10 +473,9 @@ def train(cfg: TrainConfig, hard_only: bool = False,
                             idx, batch["labels"][:n], sim, dist_dict,
                             cfg.triplet_per_batch, 3, 0.8, 0.2)
 
-            if not device_built:
-                gather, m_lab, m_hard, m_struct, marg = _pad_triplets(
-                    idx, margins,
-                    (triplet_count, hard_count, struct_count), tri_cap)
+            gather, m_lab, m_hard, m_struct, marg = _pad_triplets(
+                idx, margins,
+                (triplet_count, hard_count, struct_count), tri_cap)
             tri_events = jnp.asarray(batch["events"][:n][gather])
             state, aux = step_fn(state, tri_events, jnp.asarray(m_lab),
                                  jnp.asarray(m_hard), jnp.asarray(m_struct),
