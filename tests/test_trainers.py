@@ -222,3 +222,27 @@ def test_multimodal_trainer_device_mining(synth_root, tmp_path):
         result_dir=str(tmp_path / "mmdev"))
     assert int(state.step) >= 1
     assert np.isfinite(metrics["val_mAP"])
+
+
+def test_multimodal_fused_staging(synth_root, tmp_path):
+    """Before multimodal_epochs the fused step must train the labeled loss
+    only (hard/struct groups masked to zero)."""
+    from multimodal_similarity_tpu.train.trainers import multimodal_model
+    cfg = _cfg(synth_root, network="convrtsn",
+               feat=["resnet", "sensors", "segment"], n_h=2, n_w=2, n_C=4,
+               lambda_multimodal=0.5, multimodal_epochs=99, label_num=3,
+               triplet_per_batch=16)
+    cfg.feat_dim["segment"] = (16,)
+    state, metrics, rd = multimodal_model.train(
+        cfg, device_mining=True, event_budget=48,
+        result_dir=str(tmp_path / "stage"))
+    import json
+    lines = [json.loads(l) for l in
+             open(f"{tmp_path}/stage/metrics.jsonl").read().strip()
+             .split("\n")]
+    step_lines = [l for l in lines if "hard_count" in l]
+    assert step_lines, "no training steps logged"
+    for l in step_lines:
+        assert l["hard_count"] == 0.0
+        assert l["struct_count"] == 0.0
+        assert l["metric_loss2"] == 0.0
