@@ -43,16 +43,40 @@ def run(cfg: EvalConfig, sensors_n_input: int = 8):
                          emb_dim=cfg.emb_dim, n_input=cfg.n_input,
                          n_h=cfg.n_h, n_w=cfg.n_w, n_C=cfg.n_C)
     core_params = restore_encoder_params(cfg.model_path, cfg.variable_name)
-    sensors = RTSN(n_seg=cfg.num_seg, emb_dim=SENSORS_EMB_DIM,
-                   n_input=sensors_n_input)
-    sensors_params = restore_encoder_params(cfg.sensors_path,
-                                            subkey="encoder")
 
-    @jax.jit
-    def embed(x, x2):
-        e = l2_normalize(core.apply({"params": core_params}, x))
-        e2 = l2_normalize(sensors.apply({"params": sensors_params}, x2))
-        return jnp.concatenate([e, e2], axis=1)
+    if cfg.use_output:
+        # cross-prediction fusion: the aux embedding is the regression
+        # head's output on the core embedding (the reference's
+        # cross-predicted late-fusion mode); sensors_path holds a
+        # cross_prediction checkpoint with {encoder, head} subtrees
+        from multimodal_similarity_tpu.models import OutputLayer
+
+        cp_enc_params = restore_encoder_params(cfg.sensors_path,
+                                               subkey="encoder")
+        cp_head_params = restore_encoder_params(cfg.sensors_path,
+                                                subkey="head")
+        head_dim = int(np.asarray(
+            cp_head_params["out"]["kernel"]).shape[1])
+        cp_head = OutputLayer(n_output=head_dim)
+
+        @jax.jit
+        def embed(x, x2):
+            e = l2_normalize(core.apply({"params": core_params}, x))
+            hidden = core.apply({"params": cp_enc_params}, x)
+            pred = cp_head.apply({"params": cp_head_params},
+                                 jax.nn.relu(hidden))
+            return jnp.concatenate([e, l2_normalize(pred)], axis=1)
+    else:
+        sensors = RTSN(n_seg=cfg.num_seg, emb_dim=SENSORS_EMB_DIM,
+                       n_input=sensors_n_input)
+        sensors_params = restore_encoder_params(cfg.sensors_path,
+                                                subkey="encoder")
+
+        @jax.jit
+        def embed(x, x2):
+            e = l2_normalize(core.apply({"params": core_params}, x))
+            e2 = l2_normalize(sensors.apply({"params": sensors_params}, x2))
+            return jnp.concatenate([e, e2], axis=1)
 
     embeddings = np.asarray(embed(jnp.asarray(feats), jnp.asarray(feats2)))
     mAP, mAP_event, mPrec, confusion, count, recall = evaluate(

@@ -141,3 +141,24 @@ def test_evaluate_model_use_output(setup, tmp_path):
                       emb_dim=16, use_output=True).resolve()
     results = evaluate_model.run(ecfg)
     assert np.isfinite(results["mAP"])
+
+
+def test_late_fusion_cross_predicted(setup, tmp_path):
+    """--use_output fuses the cross-prediction head's regressed embedding."""
+    import numpy as np
+    from multimodal_similarity_tpu.eval import evaluate_late_fusion
+    from multimodal_similarity_tpu.train.trainers import cross_prediction
+    root, ckpt = setup
+    cfg = TrainConfig(
+        DATA_ROOT=root, name="cx", network="rtsn",
+        feat=["sensors", "sensors"], n_input=8, emb_dim=16, num_seg=3,
+        sess_per_batch=2, max_epochs=1, silent_mode=True).resolve()
+    _, _, _ = cross_prediction.train(cfg, event_budget=48,
+                                     result_dir=str(tmp_path / "cx"))
+    cx_ckpt = sorted(glob.glob(str(tmp_path / "cx" / "*.ckpt-*")))[-1]
+    ecfg = EvalConfig(DATA_ROOT=root, model_path=ckpt,
+                      sensors_path=cx_ckpt, network="rtsn",
+                      feat=["sensors", "sensors"], n_input=8, emb_dim=16,
+                      use_output=True).resolve()
+    out = evaluate_late_fusion.run(ecfg)
+    assert np.isfinite(out["mAP"])
