@@ -162,3 +162,23 @@ def test_late_fusion_cross_predicted(setup, tmp_path):
                       use_output=True).resolve()
     out = evaluate_late_fusion.run(ecfg)
     assert np.isfinite(out["mAP"])
+
+
+def test_check_inconsistent_pddm_head(setup, tmp_path):
+    from multimodal_similarity_tpu.eval import check_inconsistent
+    from multimodal_similarity_tpu.train.trainers import pddm_model
+    root, _ = setup
+    cfg = TrainConfig(
+        DATA_ROOT=root, name="pd2", network="rtsn", feat="sensors",
+        n_input=8, emb_dim=32, num_seg=3, sess_per_batch=2, max_epochs=1,
+        silent_mode=True).resolve()
+    _, _, _ = pddm_model.train(cfg, event_budget=48,
+                               result_dir=str(tmp_path / "pd2"))
+    ckpt = sorted(glob.glob(str(tmp_path / "pd2" / "*.ckpt-*")))[-1]
+    ecfg = EvalConfig(DATA_ROOT=root, model_path=ckpt, network="rtsn",
+                      feat="sensors", n_input=8, emb_dim=32).resolve()
+    out = check_inconsistent.run(ecfg, head_kind="pddm", threshold=0.6)
+    assert "false_pos" in out and "false_neg" in out
+    import os
+    assert os.path.exists(os.path.join(str(tmp_path / "pd2"),
+                                       "inconsistent_pddm.pkl"))
