@@ -147,6 +147,21 @@ def main():
         best = max(best, 20 / (time.time() - t0))
     kernel_gflops = 2 * n_mine * n_mine * d_mine / 1e9 * best
 
+    # --- fused lifted-structured kernel (online logsumexp) ---------------
+    from multimodal_similarity_tpu.ops.pallas import lifted_loss_pallas
+
+    lk = jax.jit(lambda e: lifted_loss_pallas(e, lab_big, 0.5, True,
+                                              block=512)[0])
+    jax.block_until_ready(lk(emb_big))
+    best_l = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(10):
+            r = lk(emb_big)
+        jax.block_until_ready(r)
+        best_l = max(best_l, 10 / (time.time() - t0))
+    lifted_gflops = 2 * n_mine * n_mine * d_mine / 1e9 * best_l
+
     result = {
         "metric": "fused_train_step_events_per_sec",
         "value": round(fused_eps, 2),
@@ -156,6 +171,7 @@ def main():
             "embed_events_per_sec": round(embed_eps, 2),
             "reference_style_step_events_per_sec": round(ref_eps, 2),
             "pallas_dist_mining_gflops": round(kernel_gflops, 1),
+            "pallas_lifted_gflops": round(lifted_gflops, 1),
             "pallas_mining_n": n_mine,
             "n_events": n_events,
             "backend": jax.default_backend(),

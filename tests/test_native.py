@@ -70,3 +70,33 @@ def test_native_gather_segments(rng):
         for s in range(3):
             np.testing.assert_allclose(out[e, s],
                                        feats[starts[e] + offsets[e, s]])
+
+
+@needs_native
+def test_loader_native_path_matches_python(tmp_path, rng):
+    """EventTFRecordLoader's native fast path produces the same batches as
+    the pure-Python fallback."""
+    from unittest import mock
+
+    from multimodal_similarity_tpu.data.tfrecord_loader import (
+        EventTFRecordLoader)
+
+    paths = []
+    for i in range(5):
+        t = int(rng.randint(3, 9))
+        rec = encode_sequence_example(
+            {"label": i % 2, "length": t},
+            {"sensors": rng.randn(t, 8).astype(np.float32)})
+        p = str(tmp_path / f"s_{i:04d}.tfrecords")
+        write_tfrecord(p, [rec])
+        paths.append(p)
+
+    loader = EventTFRecordLoader(paths, "sensors", 8, event_per_batch=5,
+                                 max_time=16, shuffle=False)
+    native_batch = next(iter(loader.epoch()))
+    with mock.patch(
+            "multimodal_similarity_tpu.data.native.native_load_event_batch",
+            return_value=None):
+        python_batch = next(iter(loader.epoch()))
+    for k in ("features", "seq_len", "labels", "mask"):
+        np.testing.assert_array_equal(native_batch[k], python_batch[k])
