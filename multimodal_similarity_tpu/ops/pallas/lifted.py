@@ -38,9 +38,11 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _tile_values(a, b, la, lb, vb, row_off, col_off, margin):
+def _tile_values(a, b, la, lb, vb, row_off, col_off, margin,
+                 mm_dtype=jnp.float32):
     """dist tile + masks + the two value matrices (v_pos, v_neg)."""
-    inner = jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+    inner = jax.lax.dot_general(a.astype(mm_dtype), b.astype(mm_dtype),
+                                (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
     sq_a = jnp.sum(a * a, axis=1, keepdims=True)
     sq_b = jnp.sum(b * b, axis=1, keepdims=True)
@@ -59,12 +61,13 @@ def _tile_values(a, b, la, lb, vb, row_off, col_off, margin):
 
 def _fwd_kernel(a_ref, b_ref, la_ref, lb_ref, vb_ref,
                 fp_m_ref, fp_s_ref, cn_m_ref, cn_s_ref, nc_ref,
-                *, margin: float, block: int):
+                *, margin: float, block: int, precision: str):
     i = pl.program_id(0)
     j = pl.program_id(1)
+    mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     _, _, neg_m, v_pos, v_neg = _tile_values(
         a_ref[:], b_ref[:], la_ref[:], lb_ref[:], vb_ref[:],
-        i * block, j * block, margin)
+        i * block, j * block, margin, mm_dtype)
 
     def online(m_ref, s_ref, v):
         t_max = jnp.max(v, axis=1, keepdims=True)
@@ -98,7 +101,8 @@ def _fwd_kernel(a_ref, b_ref, la_ref, lb_ref, vb_ref,
 
 def _bwd_kernel(a_ref, b_ref, la_ref, lb_ref, va_ref, vb_ref,
                 fp_ref, cn_ref, gfp_ref, gcn_ref, grad_ref,
-                *, margin: float, block: int, transpose: bool):
+                *, margin: float, block: int, transpose: bool,
+                precision: str):
     """One directional pass: accumulates the row-side (or, with
     ``transpose``, the column-side) gradient contribution for the a-block.
 
@@ -110,28 +114,31 @@ def _bwd_kernel(a_ref, b_ref, la_ref, lb_ref, va_ref, vb_ref,
     j = pl.program_id(1)
     a = a_ref[:]
     b = b_ref[:]
+    mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     if not transpose:
         _, pos_m, neg_m, v_pos, v_neg = _tile_values(
             a, b, la_ref[:], lb_ref[:], vb_ref[:],
-            i * block, j * block, margin)
+            i * block, j * block, margin, mm_dtype)
         soft_pos = jnp.exp(v_pos - fp_ref[:]) * pos_m.astype(jnp.float32)
         soft_neg = jnp.exp(v_neg - cn_ref[:]) * neg_m.astype(jnp.float32)
         c = gfp_ref[:] * soft_pos - gcn_ref[:] * soft_neg     # [TM, TN]
         rowsum = jnp.sum(c, axis=1, keepdims=True)
         contrib = 2.0 * (rowsum * a - jnp.dot(
-            c, b, preferred_element_type=jnp.float32))
+            c.astype(mm_dtype), b.astype(mm_dtype),
+            preferred_element_type=jnp.float32))
     else:
         # conceptual (k = b rows, i = a rows as columns): C_kb with fp/cn/g
         # of the b-block; accumulate 2 * (colsum * a - C^T @ E_k)
         _, pos_m, neg_m, v_pos, v_neg = _tile_values(
             b, a, lb_ref[:], la_ref[:], va_ref[:],
-            j * block, i * block, margin)
+            j * block, i * block, margin, mm_dtype)
         soft_pos = jnp.exp(v_pos - fp_ref[:]) * pos_m.astype(jnp.float32)
         soft_neg = jnp.exp(v_neg - cn_ref[:]) * neg_m.astype(jnp.float32)
         c = gfp_ref[:] * soft_pos - gcn_ref[:] * soft_neg     # [TN(k), TM(i)]
         colsum = jnp.sum(c, axis=0)[:, None]                  # [TM, 1]
         contrib = 2.0 * (colsum * a - jnp.dot(
-            c.T, b, preferred_element_type=jnp.float32))
+            c.T.astype(mm_dtype), b.astype(mm_dtype),
+            preferred_element_type=jnp.float32))
 
     @pl.when(j == 0)
     def _():
@@ -156,12 +163,13 @@ def _row_spec(block):
                         memory_space=pltpu.VMEM)
 
 
-def _lifted_fwd_pallas(emb, labels_f, valid_f, margin, block):
+def _lifted_fwd_pallas(emb, labels_f, valid_f, margin, block, precision):
     emb_p, lab_p, val_p, np_ = _pad_inputs(emb, labels_f, valid_f, block)
     d = emb.shape[1]
     grid = (np_ // block, np_ // block)
     outs = pl.pallas_call(
-        functools.partial(_fwd_kernel, margin=margin, block=block),
+        functools.partial(_fwd_kernel, margin=margin, block=block,
+                          precision=precision),
         out_shape=[jax.ShapeDtypeStruct((np_, 1), jnp.float32)] * 5,
         grid=grid,
         in_specs=[
@@ -188,7 +196,7 @@ def _lifted_fwd_pallas(emb, labels_f, valid_f, margin, block):
 
 
 def _lifted_bwd_pallas(emb, labels_f, valid_f, fp, cn, g_fp, g_cn, margin,
-                       block, transpose):
+                       block, transpose, precision):
     emb_p, lab_p, val_p, np_ = _pad_inputs(emb, labels_f, valid_f, block)
     d = emb.shape[1]
     n = emb.shape[0]
@@ -207,7 +215,7 @@ def _lifted_bwd_pallas(emb, labels_f, valid_f, fp, cn, g_fp, g_cn, margin,
     stat_spec = pl.BlockSpec((block, 1), stat_ix, memory_space=pltpu.VMEM)
     grad = pl.pallas_call(
         functools.partial(_bwd_kernel, margin=margin, block=block,
-                          transpose=transpose),
+                          transpose=transpose, precision=precision),
         out_shape=jax.ShapeDtypeStruct((np_, d), jnp.float32),
         grid=grid,
         in_specs=[
@@ -232,15 +240,21 @@ def _lifted_bwd_pallas(emb, labels_f, valid_f, fp, cn, g_fp, g_cn, margin,
     return grad[:n]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_lifted_stats(emb: Array, labels: Array,
                        valid: Optional[Array] = None,
-                       margin: float = 1.0, block: int = 512
+                       margin: float = 1.0, block: int = 512,
+                       precision: str = "f32",
                        ) -> Tuple[Array, Array, Array]:
     """-> (furthest_positive_lse [N], closest_negative_lse [N],
     neg_count [N]) with reference lifted-loss semantics, never
-    materializing the N x N matrix.  Differentiable w.r.t. ``emb``."""
-    fp, cn, nc = _lifted_impl(emb, labels, valid, margin, block)
+    materializing the N x N matrix.  Differentiable w.r.t. ``emb``.
+
+    precision="bf16" runs the MXU matmuls on bfloat16 inputs with f32
+    accumulation (distances shift by ~1e-2 relative); "f32" (default) is
+    exact vs the dense path.
+    """
+    fp, cn, nc = _lifted_impl(emb, labels, valid, margin, block, precision)
     return fp, cn, nc
 
 
@@ -253,24 +267,28 @@ def _prep(emb, labels, valid):
     return emb, labels_f, valid_f
 
 
-def _lifted_impl(emb, labels, valid, margin, block):
+def _lifted_impl(emb, labels, valid, margin, block, precision):
     emb, labels_f, valid_f = _prep(emb, labels, valid)
-    return _lifted_fwd_pallas(emb, labels_f, valid_f, margin, block)
+    return _lifted_fwd_pallas(emb, labels_f, valid_f, margin, block,
+                              precision)
 
 
-def _lifted_fwd(emb, labels, valid, margin, block):
+def _lifted_fwd(emb, labels, valid, margin, block, precision):
     emb32, labels_f, valid_f = _prep(emb, labels, valid)
-    fp, cn, nc = _lifted_fwd_pallas(emb32, labels_f, valid_f, margin, block)
+    fp, cn, nc = _lifted_fwd_pallas(emb32, labels_f, valid_f, margin, block,
+                                    precision)
     return (fp, cn, nc), (emb32, labels_f, valid_f, fp, cn)
 
 
-def _lifted_bwd(margin, block, res, grads):
+def _lifted_bwd(margin, block, precision, res, grads):
     emb, labels_f, valid_f, fp, cn = res
     g_fp, g_cn, _ = grads
     row = _lifted_bwd_pallas(emb, labels_f, valid_f, fp, cn, g_fp, g_cn,
-                             margin, block, transpose=False)
+                             margin, block, transpose=False,
+                             precision=precision)
     col = _lifted_bwd_pallas(emb, labels_f, valid_f, fp, cn, g_fp, g_cn,
-                             margin, block, transpose=True)
+                             margin, block, transpose=True,
+                             precision=precision)
     return row + col, None, None
 
 
@@ -279,14 +297,16 @@ fused_lifted_stats.defvjp(_lifted_fwd, _lifted_bwd)
 
 def lifted_loss_pallas(emb: Array, pids: Array, margin: float,
                        weighted: bool = True,
-                       valid: Optional[Array] = None, block: int = 512):
+                       valid: Optional[Array] = None, block: int = 512,
+                       precision: str = "f32"):
     """Lifted-structured loss via the fused kernel; same tuple as
     ops.losses.lifted_loss."""
     pids_f = pids.reshape(-1).astype(jnp.float32)
     n = emb.shape[0]
     valid_f = (jnp.ones(n, jnp.float32) if valid is None
                else valid.reshape(-1).astype(jnp.float32))
-    fp, cn, neg_count = fused_lifted_stats(emb, pids, valid, margin, block)
+    fp, cn, neg_count = fused_lifted_stats(emb, pids, valid, margin, block,
+                                           precision)
     diff = jnp.maximum(fp + cn, 0.0)
     foreground = (pids_f != 0.0).astype(jnp.float32) * valid_f
     if weighted:

@@ -162,3 +162,19 @@ def test_fused_lifted_nonaligned_and_masked(rng):
     want_m = lifted_loss(self_distance(emb[:30]),
                          labels[:30].astype(jnp.float32), 0.5)
     np.testing.assert_allclose(float(got_m[0]), float(want_m[0]), rtol=1e-4)
+
+
+def test_lifted_pallas_bf16_close(rng):
+    from multimodal_similarity_tpu.ops.pallas.lifted import lifted_loss_pallas
+
+    emb = jnp.asarray(rng.randn(48, 16).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 4, size=48))
+    ref = lifted_loss_pallas(emb, labels, 0.5, True, block=16)
+    got = lifted_loss_pallas(emb, labels, 0.5, True, block=16,
+                             precision="bf16")
+    np.testing.assert_allclose(got[0], ref[0], rtol=2e-2)
+    g_ref = jax.grad(lambda e: lifted_loss_pallas(
+        e, labels, 0.5, True, block=16)[0])(emb)
+    g_16 = jax.grad(lambda e: lifted_loss_pallas(
+        e, labels, 0.5, True, block=16, precision="bf16")[0])(emb)
+    assert float(jnp.max(jnp.abs(g_16 - g_ref))) < 5e-2
