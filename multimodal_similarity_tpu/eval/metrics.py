@@ -234,9 +234,12 @@ def _device_metrics(embeddings: jnp.ndarray, labels: jnp.ndarray,
     n_pos = jnp.sum(rel, axis=1)
     ap = jnp.sum(prec_at * rel, axis=1) / jnp.maximum(n_pos, 1.0)
 
-    # valid queries: foreground with at least one same-class other
+    # valid queries: foreground with at least one same-class other.  With
+    # zero valid queries every metric is NaN, matching the NumPy oracle
+    # (np.mean of an empty AP list) instead of a misleading 0.0.
     valid = ((labels > 0) & (n_pos > 0)).astype(jnp.float32)
-    denom = jnp.maximum(jnp.sum(valid), 1.0)
+    n_valid = jnp.sum(valid)
+    denom = jnp.where(n_valid > 0, n_valid, jnp.nan)
     mAP = jnp.sum(ap * valid) / denom
 
     recalls = []

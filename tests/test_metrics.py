@@ -120,3 +120,14 @@ def test_evaluate_simple_golden_values():
     mAP, mPrec, recall = evaluate_simple(emb, labels)
     np.testing.assert_allclose(mAP, 5 / 6, rtol=1e-9)
     np.testing.assert_allclose(recall, 3 / 4)
+
+
+def test_device_metrics_nan_when_no_valid_queries():
+    """All-background or all-singleton val sets have no valid queries; the
+    device metrics must report NaN (matching the NumPy oracle's empty mean),
+    not a misleading 0.0."""
+    emb = np.random.RandomState(0).randn(6, 8).astype(np.float32)
+    labels = np.array([0, 0, 0, 0, 0, 4], np.int32)  # one singleton class
+    mAP, mPrec, recalls = retrieval_metrics_device(emb, labels)
+    assert np.isnan(mAP) and np.isnan(mPrec)
+    assert all(np.isnan(r) for r in recalls.values())
