@@ -146,6 +146,11 @@ class TrainConfig(BaseConfig):
     optimizer: str = "ADAM"
     label_type: str = "goal"
     loss: str = "triplet"
+    # framework extension (no reference analog): run the flagship
+    # multimodal step fully fused on device — labeled semi-hard mining,
+    # both PDDM all-pairs passes, hard+structure mining, and the three
+    # losses in ONE jitted program instead of the host-mining loop
+    device_mining: bool = False
 
     @classmethod
     def _add_args(cls, p: argparse.ArgumentParser) -> None:
@@ -180,6 +185,7 @@ class TrainConfig(BaseConfig):
         p.add_argument("--n_input", type=int, default=1536)
         p.add_argument("--triplet_select", type=str, default="random")
         p.add_argument("--multimodal_select", type=str, default="random")
+        p.add_argument("--device_mining", action="store_true")
         p.add_argument("--alpha", type=float, default=0.2)
         p.add_argument("--lambda_l2", type=float, default=0.0)
         p.add_argument("--lambda_ver", type=float, default=0.0)

@@ -585,7 +585,7 @@ def _graft(template, branch):
 
 def main(argv=None):
     cfg = TrainConfig.parse(argv)
-    train(cfg)
+    train(cfg, device_mining=cfg.device_mining)
 
 
 if __name__ == "__main__":

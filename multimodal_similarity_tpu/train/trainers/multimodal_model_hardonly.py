@@ -18,7 +18,7 @@ def train(cfg: TrainConfig, **kw):
 
 def main(argv=None):
     cfg = TrainConfig.parse(argv)
-    train(cfg)
+    train(cfg, device_mining=cfg.device_mining)
 
 
 if __name__ == "__main__":
