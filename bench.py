@@ -50,29 +50,40 @@ def main():
     k1, k2 = jax.random.split(key)
     centers = jax.random.normal(k1, (7, 1, 8, 8, 1536), jnp.float32)
     x = centers[jnp.asarray(labels_np)] + jax.random.normal(k2, shape)
-    x = jax.block_until_ready(x)
+    float(x[0, 0, 0, 0, 0])  # force data materialization before timing
 
     variables = model.init(jax.random.PRNGKey(1), x[:2])
     state = TrainState.create(variables["params"],
                               build_optimizer("ADAM", 0.01))
 
     embed = make_embed_fn(model, normalized=True)
-    emb = jax.block_until_ready(embed(state.params, x))
 
-    # --- embedding throughput (best of 3 rounds: the dev tunnel adds
-    #     large run-to-run variance) ------------------------------------
+    # IMPORTANT: every timed loop ends with a host readback of a SCALAR
+    # (float(...)), never jax.block_until_ready — on the remote tunnel
+    # backend used here, block_until_ready has been observed returning
+    # before execution finishes, which silently turns the measurement into
+    # a dispatch rate (orders of magnitude too fast).  A scalar readback
+    # is an unambiguous synchronization point.
     def best_throughput(fn, reps, rounds=3):
+        """fn() must return a scalar jax array; best of `rounds`."""
         best = 0.0
         for _ in range(rounds):
             t0 = time.time()
             out = None
             for _ in range(reps):
                 out = fn()
-            jax.block_until_ready(out)
+            float(out)
             best = max(best, n_events * reps / (time.time() - t0))
         return best
 
-    embed_eps = best_throughput(lambda: embed(state.params, x), 10)
+    from multimodal_similarity_tpu.train.steps import l2_normalize
+
+    @jax.jit
+    def embed_sum(params, x):
+        return jnp.sum(l2_normalize(model.apply({"params": params}, x)))
+
+    float(embed_sum(state.params, x))  # compile + sync
+    embed_eps = best_throughput(lambda: embed_sum(state.params, x), 20)
 
     # --- fused train step (embed + on-device mine + re-forward + grad) ---
     step = make_triplet_train_step(model, triplet_per_batch=100, alpha=0.2)
@@ -81,14 +92,14 @@ def main():
     lr = jnp.float32(0.01)
     key = jax.random.PRNGKey(2)
     state, aux = step(state, x, labels, mask, key, lr)  # compile
-    jax.block_until_ready(aux["loss"])
+    float(aux["loss"])
 
     def one_fused():
         nonlocal state
         state, aux = step(state, x, labels, mask, key, lr)
         return aux["loss"]
 
-    fused_eps = best_throughput(one_fused, 10)
+    fused_eps = best_throughput(one_fused, 50)
 
     # --- reference-style step: device embed -> host mine -> device gather
     #     + re-forward.  The device<->host copies here ride a development
@@ -96,24 +107,22 @@ def main():
     #     the host-mining cost is measured on local arrays and added to the
     #     device-side times; the copies themselves are charged at zero,
     #     which FAVORS the baseline. ------------------------------------
-    from multimodal_similarity_tpu.train.steps import l2_normalize
-
     @jax.jit
-    def gather_embed(params, x, idx):
+    def gather_embed_sum(params, x, idx):
         tri = jnp.take(x, idx, axis=0)
         e = model.apply({"params": params}, tri)
-        return l2_normalize(e)
+        return jnp.sum(l2_normalize(e))
 
     warm_idx = jnp.zeros((300,), jnp.int32)
-    jax.block_until_ready(gather_embed(state.params, x, warm_idx))
+    float(gather_embed_sum(state.params, x, warm_idx))
 
     # device: embed-all + re-forward of gathered triplets
-    reps_ref = 2
+    reps_ref = 5
     t0 = time.time()
     for _ in range(reps_ref):
-        e1 = embed(state.params, x)
-        e2 = gather_embed(state.params, x, warm_idx)
-    jax.block_until_ready((e1, e2))
+        e1 = embed_sum(state.params, x)
+        e2 = gather_embed_sum(state.params, x, warm_idx)
+    float(e1 + e2)
     t_device = (time.time() - t0) / reps_ref
 
     # host: O(N^2) difference tensor + FaceNet semi-hard mining in NumPy
@@ -137,13 +146,13 @@ def main():
         np.random.RandomState(1).randint(0, 8, size=n_mine))
     kern = jax.jit(
         lambda e: fused_batch_hard_stats(e, lab_big, None)[0].sum())
-    jax.block_until_ready(kern(emb_big))
+    float(kern(emb_big))
     best = 0.0
     for _ in range(3):
         t0 = time.time()
         for _ in range(20):
             r = kern(emb_big)
-        jax.block_until_ready(r)
+        float(r)
         best = max(best, 20 / (time.time() - t0))
     kernel_gflops = 2 * n_mine * n_mine * d_mine / 1e9 * best
 
@@ -152,13 +161,13 @@ def main():
 
     lk = jax.jit(lambda e: lifted_loss_pallas(e, lab_big, 0.5, True,
                                               block=512)[0])
-    jax.block_until_ready(lk(emb_big))
+    float(lk(emb_big))
     best_l = 0.0
     for _ in range(3):
         t0 = time.time()
         for _ in range(10):
             r = lk(emb_big)
-        jax.block_until_ready(r)
+        float(r)
         best_l = max(best_l, 10 / (time.time() - t0))
     lifted_gflops = 2 * n_mine * n_mine * d_mine / 1e9 * best_l
 
