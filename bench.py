@@ -101,6 +101,18 @@ def main():
 
     fused_eps = best_throughput(one_fused, 50)
 
+    # bf16 feature shipping (--bf16_features): halves the dominant HBM read
+    x16 = x.astype(jnp.bfloat16)
+    state, aux = step(state, x16, labels, mask, key, lr)  # compile
+    float(aux["loss"])
+
+    def one_fused16():
+        nonlocal state
+        state, aux = step(state, x16, labels, mask, key, lr)
+        return aux["loss"]
+
+    fused16_eps = best_throughput(one_fused16, 50)
+
     # --- reference-style step: device embed -> host mine -> device gather
     #     + re-forward.  The device<->host copies here ride a development
     #     tunnel whose latency is not representative of co-located PCIe, so
@@ -178,6 +190,7 @@ def main():
         "vs_baseline": round(fused_eps / ref_eps, 3),
         "detail": {
             "embed_events_per_sec": round(embed_eps, 2),
+            "fused_step_bf16_features_events_per_sec": round(fused16_eps, 2),
             "reference_style_step_events_per_sec": round(ref_eps, 2),
             "pallas_dist_mining_gflops": round(kernel_gflops, 1),
             "pallas_lifted_gflops": round(lifted_gflops, 1),

@@ -129,6 +129,16 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
     else:
         raise NotImplementedError(cfg.triplet_select)
 
+    # bf16 feature shipping: cast on host (ml_dtypes) so both the
+    # host->device transfer and the step's dominant HBM read are halved;
+    # params/optimizer/loss stay f32 (mining + triplet losses are
+    # insensitive to bf16 feature quantization — see RESULTS.md)
+    if cfg.bf16_features:
+        import ml_dtypes
+        _cast = lambda a: np.asarray(a).astype(ml_dtypes.bfloat16)  # noqa: E731
+    else:
+        _cast = lambda a: a  # noqa: E731
+
     metrics = {}
     epoch = epoch_of_step(int(state.step), batch_per_epoch)
     while epoch < cfg.max_epochs:
@@ -138,7 +148,7 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
         for batch in loader.epoch():
             t0 = time.time()
             rng, key = jax.random.split(rng)
-            events = jnp.asarray(batch["events"])
+            events = jnp.asarray(_cast(batch["events"]))
             if cfg.triplet_select == "facenet":
                 if mesh is not None:
                     from multimodal_similarity_tpu.parallel import (

@@ -184,3 +184,28 @@ def test_host_device_miner_metric_parity(tmp_path_factory, tmp_path):
     assert results["facenet"] > 0.45, results
     assert results["facenet_host"] > 0.45, results
     assert abs(results["facenet"] - results["facenet_host"]) < 0.25, results
+
+
+def test_triplet_step_bf16_features_close(rng):
+    """The fused step accepts bfloat16 event features (halved HBM read /
+    transfer); loss should track the f32 result closely."""
+    from multimodal_similarity_tpu.models import build_encoder
+    from multimodal_similarity_tpu.train.state import (TrainState,
+                                                       build_optimizer)
+    from multimodal_similarity_tpu.train.steps import make_triplet_train_step
+
+    n = 32
+    model = build_encoder("tsn", num_seg=3, emb_dim=8, n_input=6)
+    x = jnp.asarray(rng.randn(n, 3, 6).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 3, size=n))
+    mask = jnp.ones(n, jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x[:2])["params"]
+    step = make_triplet_train_step(model, triplet_per_batch=12, alpha=0.2)
+    key = jax.random.PRNGKey(1)
+
+    s32 = TrainState.create(params, build_optimizer("ADAM", 0.01))
+    _, aux32 = step(s32, x, labels, mask, key, jnp.float32(0.01))
+    s16 = TrainState.create(params, build_optimizer("ADAM", 0.01))
+    _, aux16 = step(s16, x.astype(jnp.bfloat16), labels, mask, key,
+                    jnp.float32(0.01))
+    assert abs(float(aux32["loss"]) - float(aux16["loss"])) < 3e-2
