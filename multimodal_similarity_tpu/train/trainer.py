@@ -19,6 +19,15 @@ from multimodal_similarity_tpu.eval.metrics import retrieval_metrics_device
 from multimodal_similarity_tpu.train.steps import embed_in_chunks
 
 
+def feature_caster(cfg):
+    """Host-side feature cast for --bf16_features: halves the host->device
+    transfer and the step's dominant HBM read; params/losses stay f32."""
+    if getattr(cfg, "bf16_features", False):
+        import ml_dtypes
+
+        return lambda a: np.asarray(a).astype(ml_dtypes.bfloat16)
+    return lambda a: a
+
 
 def setup_experiment(cfg, timestamp: bool = True,
                      result_dir: Optional[str] = None) -> str:

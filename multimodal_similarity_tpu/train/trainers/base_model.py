@@ -129,15 +129,8 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
     else:
         raise NotImplementedError(cfg.triplet_select)
 
-    # bf16 feature shipping: cast on host (ml_dtypes) so both the
-    # host->device transfer and the step's dominant HBM read are halved;
-    # params/optimizer/loss stay f32 (mining + triplet losses are
-    # insensitive to bf16 feature quantization — see RESULTS.md)
-    if cfg.bf16_features:
-        import ml_dtypes
-        _cast = lambda a: np.asarray(a).astype(ml_dtypes.bfloat16)  # noqa: E731
-    else:
-        _cast = lambda a: a  # noqa: E731
+    from multimodal_similarity_tpu.train.trainer import feature_caster
+    _cast = feature_caster(cfg)
 
     metrics = {}
     epoch = epoch_of_step(int(state.step), batch_per_epoch)

@@ -67,6 +67,8 @@ def train(cfg: TrainConfig, loss_kind: str = "batchhard",
           result_dir: Optional[str] = None):
     exp = HondaExperiment(cfg, event_budget=event_budget,
                           result_dir=result_dir)
+    from multimodal_similarity_tpu.train.trainer import feature_caster
+    _cast = feature_caster(cfg)
     model = build_encoder(cfg.network, num_seg=cfg.num_seg,
                           emb_dim=cfg.emb_dim, n_input=cfg.n_input,
                           n_h=cfg.n_h, n_w=cfg.n_w, n_C=cfg.n_C,
@@ -96,7 +98,7 @@ def train(cfg: TrainConfig, loss_kind: str = "batchhard",
             if idx.size == 0:
                 continue
             state, aux = step_fn(
-                state, jnp.asarray(batch["events"][idx]),
+                state, jnp.asarray(_cast(batch["events"][idx])),
                 jnp.asarray(batch["labels"][idx]), exp.next_key(),
                 jnp.float32(lr))
             exp.log(int(state.step),

@@ -354,6 +354,8 @@ def train(cfg: TrainConfig, hard_only: bool = False,
     exp = HondaExperiment(cfg, modalities=modalities,
                           event_budget=event_budget, result_dir=result_dir,
                           limit_label_num=(cfg.task == "supervised"))
+    from multimodal_similarity_tpu.train.trainer import feature_caster
+    _cast = feature_caster(cfg)
     core, sensors_enc, sensors_pddm, segment_enc, segment_pddm = \
         build_models(cfg, sensors_dim=exp.val_extra[0].shape[-1],
                      segment_dim=exp.val_extra[1].shape[-1])
@@ -428,7 +430,7 @@ def train(cfg: TrainConfig, hard_only: bool = False,
                 use_mm = jnp.float32(
                     1.0 if epoch >= cfg.multimodal_epochs else 0.0)
                 state, aux = fused_step(
-                    state, jnp.asarray(batch["events"]),
+                    state, jnp.asarray(_cast(batch["events"])),
                     jnp.asarray(batch["events2"]),
                     jnp.asarray(batch["events3"]),
                     jnp.asarray(batch["labels"]),
@@ -476,7 +478,7 @@ def train(cfg: TrainConfig, hard_only: bool = False,
             gather, m_lab, m_hard, m_struct, marg = _pad_triplets(
                 idx, margins,
                 (triplet_count, hard_count, struct_count), tri_cap)
-            tri_events = jnp.asarray(batch["events"][:n][gather])
+            tri_events = jnp.asarray(_cast(batch["events"][:n][gather]))
             state, aux = step_fn(state, tri_events, jnp.asarray(m_lab),
                                  jnp.asarray(m_hard), jnp.asarray(m_struct),
                                  jnp.asarray(marg), exp.next_key(),
