@@ -29,16 +29,30 @@ def trace(log_dir: str, enabled: bool = True):
         jax.profiler.stop_trace()
 
 
+def _hard_sync(out):
+    """Synchronize on `out` with a host readback of one element per leaf.
+
+    jax.block_until_ready is not a reliable barrier on some remote PJRT
+    backends (observed returning before execution finished, turning timers
+    into dispatch-rate measurements); reading a value back to the host is
+    unambiguous.  Only one scalar per array leaf crosses the wire.
+    """
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "ravel"):
+            float(leaf.ravel()[0])
+
+
 def time_fn(fn, *args, reps: int = 10, warmup: int = 1, **kwargs) -> float:
-    """Mean seconds per call with block_until_ready framing."""
+    """Mean seconds per call, synchronized via host readback (see
+    _hard_sync for why not block_until_ready)."""
     out = None
     for _ in range(warmup):
         out = fn(*args, **kwargs)
-    jax.block_until_ready(out)
+    _hard_sync(out)
     t0 = time.time()
     for _ in range(reps):
         out = fn(*args, **kwargs)
-    jax.block_until_ready(out)
+    _hard_sync(out)
     return (time.time() - t0) / reps
 
 

@@ -1,6 +1,7 @@
 """Wall-clock step timing, mirroring the reference's per-batch
-load/select/train timers (base_model.py:244-291) with block_until_ready
-framing so device work is actually measured."""
+load/select/train timers (base_model.py:244-291), synchronized via host
+readback so device work is actually measured (see profiling._hard_sync:
+block_until_ready is not a reliable barrier on some remote backends)."""
 
 from __future__ import annotations
 
@@ -8,11 +9,10 @@ import contextlib
 import time
 from typing import Dict
 
-import jax
-
 
 class StepTimer:
-    """Accumulates named phase durations; ``block=True`` syncs the device."""
+    """Accumulates named phase durations; pass ``block_on`` to sync on a
+    device value before stopping the clock."""
 
     def __init__(self):
         self.durations: Dict[str, float] = {}
@@ -24,7 +24,9 @@ class StepTimer:
             yield
         finally:
             if block_on is not None:
-                jax.block_until_ready(block_on)
+                from multimodal_similarity_tpu.utils.profiling import (
+                    _hard_sync)
+                _hard_sync(block_on)
             self.durations[name] = self.durations.get(name, 0.0) + \
                 (time.time() - start)
 
