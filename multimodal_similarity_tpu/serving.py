@@ -69,6 +69,9 @@ class RetrievalIndex:
         # [Q, N] matrix never materializes (ops/chunked_topk.py)
         self.gallery_chunk = gallery_chunk
         self._gallery: Optional[np.ndarray] = None
+        # device-resident copy, uploaded once per add() generation — a
+        # query must never re-ship the gallery over PCIe/ICI
+        self._device_gallery = None
         self._meta: list = []
 
     def add(self, embeddings: np.ndarray, metadata: Optional[Sequence] = None):
@@ -77,11 +80,29 @@ class RetrievalIndex:
             self._gallery = embeddings
         else:
             self._gallery = np.concatenate([self._gallery, embeddings])
+        self._device_gallery = None  # invalidate; next query re-uploads once
         self._meta.extend(metadata if metadata is not None
                           else [None] * embeddings.shape[0])
 
     def __len__(self) -> int:
         return 0 if self._gallery is None else self._gallery.shape[0]
+
+    def _gallery_on_device(self):
+        if self._device_gallery is None:
+            gallery = self._gallery
+            if self.mesh is not None:
+                n_dev = self.mesh.devices.size
+                pad = (-len(self)) % n_dev
+                if pad:
+                    gallery = np.concatenate(
+                        [gallery,
+                         np.full((pad, self.emb_dim), 1e15, np.float32)])
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                self._device_gallery = jax.device_put(
+                    gallery, NamedSharding(self.mesh, P("data", None)))
+            else:
+                self._device_gallery = jnp.asarray(gallery)
+        return self._device_gallery
 
     def query(self, queries: np.ndarray, k: int = 10
               ) -> Tuple[np.ndarray, np.ndarray, list]:
@@ -90,27 +111,20 @@ class RetrievalIndex:
             raise ValueError("empty gallery")
         q = jnp.asarray(queries, jnp.float32)
         k = min(k, len(self))
+        gallery = self._gallery_on_device()
         if self.mesh is not None:
             from multimodal_similarity_tpu.parallel import (
                 sharded_retrieval_topk)
-            n_dev = self.mesh.devices.size
-            n = len(self)
-            pad = (-n) % n_dev
-            gallery = np.concatenate(
-                [self._gallery,
-                 np.full((pad, self.emb_dim), 1e15, np.float32)]) \
-                if pad else self._gallery
             d, idx = sharded_retrieval_topk(
-                self.mesh, q, jnp.asarray(gallery), k=k, metric=self.metric)
+                self.mesh, q, gallery, k=k, metric=self.metric)
         elif len(self) > self.gallery_chunk:
             from multimodal_similarity_tpu.ops.chunked_topk import (
                 chunked_topk)
-            d, idx = chunked_topk(q, jnp.asarray(self._gallery), k=k,
+            d, idx = chunked_topk(q, gallery, k=k,
                                   chunk=self.gallery_chunk,
                                   metric=self.metric)
         else:
-            dmat = pairwise_distance(q, jnp.asarray(self._gallery),
-                                     self.metric)
+            dmat = pairwise_distance(q, gallery, self.metric)
             neg, idx = jax.lax.top_k(-dmat, k)
             d = -neg
         d = np.asarray(d)

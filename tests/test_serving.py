@@ -89,3 +89,24 @@ def test_retrieval_index_chunked_path(rng):
     d2, i2, _ = big.query(q, k=5)
     np.testing.assert_allclose(d1, d2, rtol=1e-4, atol=1e-5)
     np.testing.assert_array_equal(i1, i2)
+
+
+def test_retrieval_index_gallery_cached_and_invalidated(rng):
+    """The gallery uploads to device once per add() generation; adding rows
+    invalidates the cache and new rows are retrievable."""
+    from multimodal_similarity_tpu.serving import RetrievalIndex
+
+    idx = RetrievalIndex(8)
+    idx.add(rng.randn(32, 8).astype(np.float32))
+    q = rng.randn(4, 8).astype(np.float32)
+    idx.query(q, k=3)
+    cached = idx._device_gallery
+    assert cached is not None
+    idx.query(q, k=3)
+    assert idx._device_gallery is cached  # reused, not re-uploaded
+
+    target = q[0:1] + 1e-4
+    idx.add(target)
+    assert idx._device_gallery is None    # invalidated
+    d, i, _ = idx.query(q[0:1], k=1)
+    assert int(i[0, 0]) == 32             # the new row wins
