@@ -55,19 +55,19 @@ def make_embed_fn(model, normalized: bool = True,
 
 
 def embed_in_chunks(embed_fn, params, events, chunk: int = 256):
-    """Fixed-chunk embedding of a host array (one compile for any N)."""
+    """Fixed-chunk embedding of a host or device array (one compile for
+    any N; device inputs are sliced in place, never copied back to host)."""
     import numpy as np
 
     n = events.shape[0]
     out = []
     for start in range(0, n, chunk):
-        block = events[start:start + chunk]
+        block = jnp.asarray(events[start:start + chunk])
         pad = chunk - block.shape[0]
         if pad:
-            block = np.concatenate(
-                [block, np.zeros((pad,) + block.shape[1:], block.dtype)])
-        out.append(np.asarray(embed_fn(params, jnp.asarray(block)))[:chunk - pad
-                                                                    or None])
+            block = jnp.concatenate(
+                [block, jnp.zeros((pad,) + block.shape[1:], block.dtype)])
+        out.append(np.asarray(embed_fn(params, block))[:chunk - pad or None])
     return np.concatenate(out, axis=0)[:n]
 
 

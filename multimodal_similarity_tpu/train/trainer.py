@@ -44,10 +44,28 @@ def setup_experiment(cfg, timestamp: bool = True,
     return result_dir
 
 
+# one-slot device cache for the validation feature tensor: trainers call
+# validate() every epoch with the same host array; re-uploading the full
+# val set over PCIe each time is pure waste (GBs/epoch at Honda dims)
+_VAL_DEVICE_CACHE: dict = {}
+
+
+def _val_feats_on_device(val_feats):
+    key = id(val_feats)
+    cached = _VAL_DEVICE_CACHE.get(key)
+    if cached is not None and cached.shape == val_feats.shape:
+        return cached
+    dev = jnp.asarray(np.asarray(val_feats))
+    _VAL_DEVICE_CACHE.clear()
+    _VAL_DEVICE_CACHE[key] = dev
+    return dev
+
+
 def validate(embed_fn, params, val_feats, val_labels, chunk: int = 256):
     """Per-epoch validation: chunked embed + device leave-one-out metrics
     (replaces base_model.py:307-313's host loop)."""
-    emb = embed_in_chunks(embed_fn, params, val_feats, chunk=chunk)
+    emb = embed_in_chunks(embed_fn, params, _val_feats_on_device(val_feats),
+                          chunk=chunk)
     mAP, mPrec, recalls = retrieval_metrics_device(emb, val_labels.reshape(-1))
     return {"val_mAP": mAP, "val_mPrec": mPrec,
             "val_recall@1": recalls[1]}, emb

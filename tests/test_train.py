@@ -209,3 +209,29 @@ def test_triplet_step_bf16_features_close(rng):
     _, aux16 = step(s16, x.astype(jnp.bfloat16), labels, mask, key,
                     jnp.float32(0.01))
     assert abs(float(aux32["loss"]) - float(aux16["loss"])) < 3e-2
+
+
+def test_validate_caches_val_feats_on_device(rng):
+    """validate() uploads the val features once and reuses the device copy
+    across epochs (same host array object)."""
+    from multimodal_similarity_tpu.models import build_encoder
+    from multimodal_similarity_tpu.train import trainer as trainer_mod
+    from multimodal_similarity_tpu.train.steps import make_embed_fn
+
+    model = build_encoder("tsn", num_seg=3, emb_dim=8, n_input=6)
+    val = rng.randn(20, 3, 6).astype(np.float32)
+    labels = np.array([1, 2] * 10, np.int32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(val[:2]))["params"]
+    embed_fn = make_embed_fn(model, True)
+
+    trainer_mod._VAL_DEVICE_CACHE.clear()
+    m1, _ = trainer_mod.validate(embed_fn, params, val, labels)
+    dev1 = trainer_mod._VAL_DEVICE_CACHE[id(val)]
+    m2, _ = trainer_mod.validate(embed_fn, params, val, labels)
+    assert trainer_mod._VAL_DEVICE_CACHE[id(val)] is dev1  # reused
+    assert m1["val_mAP"] == m2["val_mAP"]
+
+    val2 = rng.randn(24, 3, 6).astype(np.float32)
+    trainer_mod.validate(embed_fn, params, val2,
+                         np.array([1, 2] * 12, np.int32))
+    assert id(val) not in trainer_mod._VAL_DEVICE_CACHE  # one-slot cache
