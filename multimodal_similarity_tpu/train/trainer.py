@@ -61,6 +61,12 @@ def _val_feats_on_device(val_feats):
     return dev
 
 
+def cached_device(array):
+    """Device-resident copy of a long-lived host array (one-slot cache keyed
+    by object identity; see _val_feats_on_device)."""
+    return _val_feats_on_device(array)
+
+
 def validate(embed_fn, params, val_feats, val_labels, chunk: int = 256):
     """Per-epoch validation: chunked embed + device leave-one-out metrics
     (replaces base_model.py:307-313's host loop)."""

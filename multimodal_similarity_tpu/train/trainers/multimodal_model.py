@@ -44,7 +44,8 @@ from multimodal_similarity_tpu.train.checkpoints import load_pytree
 from multimodal_similarity_tpu.train.state import (
     TrainState, build_optimizer, l2_regularization, learning_rate_schedule)
 from multimodal_similarity_tpu.train.steps import l2_normalize, make_embed_fn
-from multimodal_similarity_tpu.train.trainer import epoch_of_step
+from multimodal_similarity_tpu.train.trainer import (
+    cached_device, epoch_of_step)
 from multimodal_similarity_tpu.train.trainers._honda import HondaExperiment
 
 SENSORS_EMB_DIM = 32
@@ -411,7 +412,7 @@ def train(cfg: TrainConfig, hard_only: bool = False,
         return embed_in_chunks(lambda p, x: embed_fn(p, x),
                                params["modality_core"], feats)
 
-    val_emb = core_embed(state.params, exp.val_feats)
+    val_emb = core_embed(state.params, cached_device(exp.val_feats))
     dist_dict = init_dist_dict(val_emb, exp.val_labels, cfg.metric)
 
     metrics = {}
@@ -497,7 +498,7 @@ def train(cfg: TrainConfig, hard_only: bool = False,
         if int(state.step) == step_at_epoch_start:
             print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")
             break
-        val_emb = core_embed(state.params, exp.val_feats)
+        val_emb = core_embed(state.params, cached_device(exp.val_feats))
         from multimodal_similarity_tpu.eval.metrics import (
             retrieval_metrics_device)
         mAP, mPrec, recalls = retrieval_metrics_device(

@@ -26,7 +26,8 @@ from multimodal_similarity_tpu.train.checkpoints import load_pytree
 from multimodal_similarity_tpu.train.state import (
     TrainState, build_optimizer, l2_regularization, learning_rate_schedule)
 from multimodal_similarity_tpu.train.steps import l2_normalize, make_embed_fn
-from multimodal_similarity_tpu.train.trainer import epoch_of_step
+from multimodal_similarity_tpu.train.trainer import (
+    cached_device, epoch_of_step)
 from multimodal_similarity_tpu.train.trainers._honda import HondaExperiment
 from multimodal_similarity_tpu.train.trainers.multimodal_model import _graft
 
@@ -224,7 +225,7 @@ def train(cfg: TrainConfig, use_mse: bool = False,
         if int(state.step) == step_at_epoch_start:
             print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")
             break
-        val_emb = core_embed(state.params, exp.val_feats)
+        val_emb = core_embed(state.params, cached_device(exp.val_feats))
         mAP, mPrec, recalls = retrieval_metrics_device(
             val_emb, exp.val_labels.reshape(-1))
         metrics = {"val_mAP": mAP, "val_mPrec": mPrec,
