@@ -18,7 +18,8 @@ from multimodal_similarity_tpu.configs import TrainConfig
 from multimodal_similarity_tpu.models import ConvTSNClassifier
 from multimodal_similarity_tpu.train.state import (
     TrainState, build_optimizer, l2_regularization, learning_rate_schedule)
-from multimodal_similarity_tpu.train.trainer import epoch_of_step
+from multimodal_similarity_tpu.train.trainer import (
+    cached_device, epoch_of_step)
 from multimodal_similarity_tpu.train.trainers._honda import HondaExperiment
 
 
@@ -85,7 +86,7 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                     f"[{cfg.name}] epoch {epoch + 1} step {int(state.step)} "
                     f"loss {float(aux['loss']):.4f} "
                     f"acc {float(aux['accuracy']):.3f}")
-        logits = np.asarray(infer(state.params, jnp.asarray(exp.val_feats)))
+        logits = np.asarray(infer(state.params, cached_device(exp.val_feats)))
         val_acc = float(np.mean(np.argmax(logits, -1)
                                 == exp.val_labels.reshape(-1)))
         metrics = {"val_accuracy": val_acc}

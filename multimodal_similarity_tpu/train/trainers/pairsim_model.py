@@ -24,7 +24,8 @@ from multimodal_similarity_tpu.configs import TrainConfig
 from multimodal_similarity_tpu.models import PairSim, build_encoder
 from multimodal_similarity_tpu.train.state import (
     TrainState, build_optimizer, l2_regularization, learning_rate_schedule)
-from multimodal_similarity_tpu.train.trainer import epoch_of_step
+from multimodal_similarity_tpu.train.trainer import (
+    cached_device, epoch_of_step)
 from multimodal_similarity_tpu.train.trainers._honda import HondaExperiment
 
 
@@ -211,7 +212,7 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
             print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")
             break
         val_acc, val_prob = evaluate_pairs(
-            state.params, jnp.asarray(exp.val_feats),
+            state.params, cached_device(exp.val_feats),
             jnp.asarray(val_idx_a), jnp.asarray(val_lab_a))
         metrics = {"val_acc": float(val_acc)}
         exp.log(int(state.step), metrics,

@@ -27,7 +27,8 @@ from multimodal_similarity_tpu.ops.mining import mine_semihard_triplets
 from multimodal_similarity_tpu.train.state import (
     TrainState, build_optimizer, l2_regularization, learning_rate_schedule)
 from multimodal_similarity_tpu.train.steps import l2_normalize, make_embed_fn
-from multimodal_similarity_tpu.train.trainer import epoch_of_step, validate
+from multimodal_similarity_tpu.train.trainer import (
+    cached_device, epoch_of_step, validate)
 from multimodal_similarity_tpu.train.trainers._honda import HondaExperiment
 
 _PAD = 1e30
@@ -170,7 +171,8 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
             lambda p, x: embed_fn(p["encoder"], x),
             state.params, exp.val_feats, exp.val_labels)
         sim = pddm_similarity_matrix(encoder, head, state.params,
-                                     exp.val_feats, cfg.normalized)
+                                     cached_device(exp.val_feats),
+                                     cfg.normalized)
         metrics["val_mAP_PDDM"] = mAP_PDDM(sim, exp.val_labels)
         exp.log(int(state.step), metrics,
                 f"[{cfg.name}] epoch {epoch + 1} "

@@ -19,7 +19,8 @@ from multimodal_similarity_tpu.configs import TrainConfig
 from multimodal_similarity_tpu.models import SAE, Seq2seqTSN
 from multimodal_similarity_tpu.train.state import (
     TrainState, build_optimizer, l2_regularization, learning_rate_schedule)
-from multimodal_similarity_tpu.train.trainer import epoch_of_step
+from multimodal_similarity_tpu.train.trainer import (
+    cached_device, epoch_of_step)
 from multimodal_similarity_tpu.train.trainers._honda import HondaExperiment
 
 
@@ -69,6 +70,10 @@ def train(cfg: TrainConfig, mode: str = "seq2seq",
 
     step_fn = step_fn_builder()
 
+    # hoisted so the cached_device one-slot cache sees a stable object
+    val_x_host = exp.val_feats if mode == "seq2seq" else \
+        exp.val_feats.reshape(exp.val_feats.shape[0], -1)
+
     metrics = {}
     epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
     while epoch < cfg.max_epochs:
@@ -84,8 +89,7 @@ def train(cfg: TrainConfig, mode: str = "seq2seq",
                     f"[{cfg.name}] epoch {epoch + 1} step {int(state.step)} "
                     f"mse {float(aux['mse']):.4f}")
         # validation reconstruction error
-        x = jnp.asarray(exp.val_feats) if mode == "seq2seq" else \
-            jnp.asarray(exp.val_feats.reshape(exp.val_feats.shape[0], -1))
+        x = cached_device(val_x_host)
         _, recon = model.apply({"params": state.params}, x)
         val_mse = float(jnp.mean(jnp.square(x - recon)))
         metrics = {"val_mse": val_mse}
