@@ -46,18 +46,29 @@ def setup_experiment(cfg, timestamp: bool = True,
 
 # one-slot device cache for the validation feature tensor: trainers call
 # validate() every epoch with the same host array; re-uploading the full
-# val set over PCIe each time is pure waste (GBs/epoch at Honda dims)
+# val set over PCIe each time is pure waste (GBs/epoch at Honda dims).
+# The slot holds a weakref to the host array and is only hit when the
+# referent is the SAME live object — a bare id() key would go stale if
+# the original array were freed and CPython reused its id for a new
+# same-shape array (plausible across back-to-back runs in one process).
 _VAL_DEVICE_CACHE: dict = {}
 
 
 def _val_feats_on_device(val_feats):
+    import weakref
+
     key = id(val_feats)
-    cached = _VAL_DEVICE_CACHE.get(key)
-    if cached is not None and cached.shape == val_feats.shape:
-        return cached
+    entry = _VAL_DEVICE_CACHE.get(key)
+    if entry is not None:
+        host_ref, dev = entry
+        if host_ref() is val_feats:
+            return dev
     dev = jnp.asarray(np.asarray(val_feats))
     _VAL_DEVICE_CACHE.clear()
-    _VAL_DEVICE_CACHE[key] = dev
+    try:
+        _VAL_DEVICE_CACHE[key] = (weakref.ref(val_feats), dev)
+    except TypeError:
+        pass  # non-weakrefable input: skip caching, stay correct
     return dev
 
 

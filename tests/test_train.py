@@ -226,10 +226,18 @@ def test_validate_caches_val_feats_on_device(rng):
 
     trainer_mod._VAL_DEVICE_CACHE.clear()
     m1, _ = trainer_mod.validate(embed_fn, params, val, labels)
-    dev1 = trainer_mod._VAL_DEVICE_CACHE[id(val)]
+    _, dev1 = trainer_mod._VAL_DEVICE_CACHE[id(val)]
     m2, _ = trainer_mod.validate(embed_fn, params, val, labels)
-    assert trainer_mod._VAL_DEVICE_CACHE[id(val)] is dev1  # reused
+    assert trainer_mod._VAL_DEVICE_CACHE[id(val)][1] is dev1  # reused
     assert m1["val_mAP"] == m2["val_mAP"]
+
+    # a dead weakref must never serve stale data: simulate id reuse by
+    # swapping in a different live array under the same key
+    other = rng.randn(20, 3, 6).astype(np.float32)
+    trainer_mod._VAL_DEVICE_CACHE[id(other)] = \
+        trainer_mod._VAL_DEVICE_CACHE.pop(id(val))
+    fresh = trainer_mod._val_feats_on_device(other)
+    np.testing.assert_array_equal(np.asarray(fresh), other)
 
     val2 = rng.randn(24, 3, 6).astype(np.float32)
     trainer_mod.validate(embed_fn, params, val2,
