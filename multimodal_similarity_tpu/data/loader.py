@@ -132,8 +132,11 @@ class SessionBatchLoader:
             try:
                 for g in groups:
                     q.put(self._load_group(g))
-            finally:
                 q.put(stop)
+            except BaseException as exc:  # noqa: BLE001 — re-raised below
+                # surface loader failures in the training thread instead of
+                # silently truncating the epoch
+                q.put(exc)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -141,5 +144,8 @@ class SessionBatchLoader:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, BaseException):
+                t.join()
+                raise item
             yield item
         t.join()

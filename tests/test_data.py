@@ -286,3 +286,14 @@ def test_segmentation_features(rng):
                           pool=5)
     assert down.shape == (2, 18, 32, 17)
     np.testing.assert_allclose(down.sum(-1), 1.0, rtol=1e-4)
+
+
+def test_loader_propagates_worker_exception(tmp_path):
+    """A failure inside the prefetch thread must raise in the consumer,
+    not silently truncate the epoch."""
+    from multimodal_similarity_tpu.data.loader import SessionBatchLoader
+
+    rows = [["/nonexistent/feat.npy", "/nonexistent/lab.npy"]] * 2
+    loader = SessionBatchLoader(rows, sess_per_batch=2, event_budget=8)
+    with pytest.raises(BaseException):
+        next(iter(loader.epoch()))
