@@ -106,8 +106,9 @@ class EventTFRecordLoader:
             try:
                 for g in groups:
                     q.put(self._make_batch(g))
-            finally:
                 q.put(stop)
+            except BaseException as exc:  # noqa: BLE001 — re-raised below
+                q.put(exc)  # surface failures in the consumer thread
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -115,5 +116,8 @@ class EventTFRecordLoader:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, BaseException):
+                t.join()
+                raise item
             yield item
         t.join()
