@@ -51,9 +51,13 @@ class CheckpointManager:
         return steps[-1] if steps else None
 
     def save(self, target: Any, step: int) -> str:
+        # write-then-rename: a crash mid-write must never leave a truncated
+        # file at the final path, or latest_step() would resume from it
         path = self._path(step)
-        with open(path, "wb") as f:
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
             f.write(serialization.to_bytes(target))
+        os.replace(tmp, path)
         for old in self.all_steps()[: -self.max_to_keep]:
             os.remove(self._path(old))
         return path
@@ -103,5 +107,7 @@ def state_dict_of(tree: Any):
 
 def save_pytree(path: str, tree: Any) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(tree))
+    os.replace(tmp, path)  # atomic: no truncated file at the final path
