@@ -31,13 +31,22 @@ def _build() -> Optional[str]:
     if os.path.exists(_SO) and \
             os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
         return _SO
+    # compile to a process-unique temp and rename into place: g++ writes
+    # its output incrementally, and another process may dlopen _SO while
+    # we build (os.replace is atomic; open handles keep the old inode)
+    tmp = f"{_SO}.tmp.{os.getpid()}"
     try:
         subprocess.run(
             ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-             _SRC, "-o", _SO],
+             _SRC, "-o", tmp],
             check=True, capture_output=True, timeout=300)
+        os.replace(tmp, _SO)
         return _SO
     except (OSError, subprocess.SubprocessError):
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
         return None
 
 
