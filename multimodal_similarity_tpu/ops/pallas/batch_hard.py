@@ -6,6 +6,22 @@ ops/losses.py:batch_hard / reference networks.py:797-833) in one pass of
 [TM, D] x [TN, D] MXU tiles — the N x N distance matrix never exists in
 HBM, so the mining batch can grow to tens of thousands of events.
 
+Performance notes (the kernel is VPU-bound at small D, MXU-bound at
+D >= ~512; see bench.py's roofline output):
+  * row norms are computed ONCE outside the kernel in f32 (exact) and
+    streamed as [*, 1] columns — the kernel never touches ``a * a``;
+  * validity is folded into the prepared inputs: invalid columns get a
+    sentinel label (never equal to any real label -> excluded from the
+    positive set) and a +inf-penalized norm (never win the closest-
+    negative min), so the per-tile mask algebra is one label compare;
+  * the self-pair exclusion compares streamed global-index columns
+    (one VPU compare) instead of generating two broadcasted iotas per
+    tile;
+  * with precision="bf16" the operand tiles are CAST ONCE on the host
+    side and streamed as bf16, halving HBM traffic and removing the
+    per-tile f32->bf16 conversion (f32 accumulation on the MXU either
+    way).
+
 The custom VJP back-propagates only through each row's winning pair
 (identical to XLA's gradient of masked max/min over the dense matrix):
 d|a-b|^2/da = 2(a-b) into the anchor, -2(a-b) scattered into the winner.
@@ -23,50 +39,59 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jnp.ndarray
 _POS_INF = 1e30
+# label sentinel for invalid/padded columns: real labels are >= 0 floats
+_INVALID_LABEL = -2.0
 
 
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _stats_kernel(a_ref, b_ref, la_ref, lb_ref, vb_ref,
-                  fp_ref, fpi_ref, cn_ref, cni_ref, nc_ref,
-                  *, block_n: int, precision: str):
-    j = pl.program_id(1)
-    i = pl.program_id(0)
+def _tile_dist_and_masks(a, b, sqa, sqbp, la, lb, gi, gj):
+    """Shared tile math: penalized distance + positive/negative values.
 
-    a = a_ref[:]                                   # [TM, D]
-    b = b_ref[:]                                   # [TN, D]
-    # bf16 operands + f32 accumulation by default: matches XLA's default
-    # TPU matmul precision and quadruples MXU throughput vs f32 passthrough
-    mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
-    inner = jax.lax.dot_general(a.astype(mm_dtype), b.astype(mm_dtype),
-                                (((1,), (1,)), ((), ())),
+    Returns (pos_val [TM,TN]: dist on admissible positives else 0,
+             neg_val [TM,TN]: dist on admissible negatives else ~+inf,
+             same    [TM,TN]: admissible-positive-or-self mask).
+    Invalid columns carry sqbp ~ +1e30 (excluded from neg min) and a
+    sentinel label (excluded from pos max); the relu keeps them huge.
+    ``gi``/``gj`` are streamed global row/col index columns — the self-pair
+    exclusion is one compare per element instead of two broadcasted iotas
+    (and a lax.cond over a full tile breaks Mosaic's vector-carry limits).
+
+    When the operands arrive as bf16 the post-matmul elementwise tile math
+    (distance assembly, masks, selects) ALSO runs in bf16: vregs pack
+    16x128 instead of 8x128, doubling VPU throughput on the O(N^2)
+    per-element work that bounds the kernel at small D.  The MXU still
+    accumulates in f32; bf16's exponent range covers the 1e30 sentinels.
+    """
+    inner = jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-    sq_a = jnp.sum(a * a, axis=1, keepdims=True)   # [TM, 1]
-    sq_b = jnp.sum(b * b, axis=1, keepdims=True)   # [TN, 1]
-    dist = jnp.maximum(sq_a + sq_b.T - 2.0 * inner, 0.0)   # [TM, TN]
+    cd = jnp.bfloat16 if a.dtype == jnp.bfloat16 else jnp.float32
+    dist = jnp.maximum(
+        sqa.astype(cd) + sqbp.astype(cd).T - 2.0 * inner.astype(cd),
+        jnp.asarray(0.0, cd))
+    same = la == lb.T
+    pos_val = jnp.where(same & (gi != gj.T), dist, jnp.asarray(0.0, cd))
+    neg_val = jnp.where(same, jnp.asarray(_POS_INF, cd), dist)
+    return pos_val, neg_val, same
 
-    tm, tn = dist.shape
-    la = la_ref[:]                                 # [TM, 1] f32 labels
-    lb = lb_ref[:]                                 # [TN, 1]
-    vb = vb_ref[:]                                 # [TN, 1] validity
-    row_ids = i * tm + jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 0)
-    col_ids = j * tn + jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 1)
 
-    same = la == lb.T                              # [TM, TN]
-    valid = vb.T > 0.0
-    eye = row_ids == col_ids
-    pos_m = same & ~eye & valid
-    neg_m = (~same) & valid
+def _stats_kernel(a_ref, b_ref, sqa_ref, sqbp_ref, la_ref, lb_ref,
+                  gi_ref, gj_ref, vb_ref,
+                  fp_ref, fpi_ref, cn_ref, cni_ref, nc_ref, *, block_n: int):
+    j = pl.program_id(1)
+    pos_val, neg_val, same = _tile_dist_and_masks(
+        a_ref[:], b_ref[:], sqa_ref[:], sqbp_ref[:], la_ref[:], lb_ref[:],
+        gi_ref[:], gj_ref[:])
+    tm, tn = pos_val.shape
 
-    pos_val = dist * pos_m.astype(jnp.float32)
-    tile_fp = jnp.max(pos_val, axis=1, keepdims=True)          # [TM, 1]
+    tile_fp = jnp.max(pos_val, axis=1, keepdims=True).astype(jnp.float32)
     tile_fpa = jnp.argmax(pos_val, axis=1).reshape(tm, 1) + j * tn
-    neg_val = jnp.where(neg_m, dist, _POS_INF)
-    tile_cn = jnp.min(neg_val, axis=1, keepdims=True)
+    tile_cn = jnp.min(neg_val, axis=1, keepdims=True).astype(jnp.float32)
     tile_cna = jnp.argmin(neg_val, axis=1).reshape(tm, 1) + j * tn
-    tile_nc = jnp.sum(neg_m.astype(jnp.float32), axis=1, keepdims=True)
+    tile_nc = jnp.sum(jnp.where(same, 0.0, vb_ref[:].T), axis=1,
+                      keepdims=True)
 
     @pl.when(j == 0)
     def _init():
@@ -89,40 +114,20 @@ def _stats_kernel(a_ref, b_ref, la_ref, lb_ref, vb_ref,
         nc_ref[:] = nc_ref[:] + tile_nc
 
 
-def _stats_kernel_noidx(a_ref, b_ref, la_ref, lb_ref, vb_ref,
-                        fp_ref, cn_ref, nc_ref,
-                        *, block_n: int, precision: str):
+def _stats_kernel_noidx(a_ref, b_ref, sqa_ref, sqbp_ref, la_ref, lb_ref,
+                        gi_ref, gj_ref, vb_ref,
+                        fp_ref, cn_ref, nc_ref, *, block_n: int):
     """Forward-only variant: no argmax/argmin winner tracking — fewer VPU
     reduction passes for inference/eval calls where no VJP is needed."""
     j = pl.program_id(1)
-    i = pl.program_id(0)
+    pos_val, neg_val, same = _tile_dist_and_masks(
+        a_ref[:], b_ref[:], sqa_ref[:], sqbp_ref[:], la_ref[:], lb_ref[:],
+        gi_ref[:], gj_ref[:])
 
-    a = a_ref[:]
-    b = b_ref[:]
-    mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
-    inner = jax.lax.dot_general(a.astype(mm_dtype), b.astype(mm_dtype),
-                                (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-    sq_a = jnp.sum(a * a, axis=1, keepdims=True)
-    sq_b = jnp.sum(b * b, axis=1, keepdims=True)
-    dist = jnp.maximum(sq_a + sq_b.T - 2.0 * inner, 0.0)
-
-    tm, tn = dist.shape
-    la = la_ref[:]
-    lb = lb_ref[:]
-    vb = vb_ref[:]
-    row_ids = i * tm + jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 0)
-    col_ids = j * tn + jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 1)
-    same = la == lb.T
-    valid = vb.T > 0.0
-    pos_m = same & (row_ids != col_ids) & valid
-    neg_m = (~same) & valid
-
-    tile_fp = jnp.max(dist * pos_m.astype(jnp.float32), axis=1,
+    tile_fp = jnp.max(pos_val, axis=1, keepdims=True).astype(jnp.float32)
+    tile_cn = jnp.min(neg_val, axis=1, keepdims=True).astype(jnp.float32)
+    tile_nc = jnp.sum(jnp.where(same, 0.0, vb_ref[:].T), axis=1,
                       keepdims=True)
-    tile_cn = jnp.min(jnp.where(neg_m, dist, _POS_INF), axis=1,
-                      keepdims=True)
-    tile_nc = jnp.sum(neg_m.astype(jnp.float32), axis=1, keepdims=True)
 
     @pl.when(j == 0)
     def _init():
@@ -137,46 +142,73 @@ def _stats_kernel_noidx(a_ref, b_ref, la_ref, lb_ref, vb_ref,
         nc_ref[:] = nc_ref[:] + tile_nc
 
 
-def _stats_pallas_noidx(emb: Array, labels_f: Array, valid_f: Array,
-                        block: int, precision: str = "bf16"):
+def _prep_operands(emb: Array, labels_f: Array, valid_f: Array, block: int,
+                   precision: str):
+    """Pad to the block size and pre-fold validity into the streamed
+    inputs (see module docstring).  Returns
+    (opd, sq, sq_pen, lab_eff, val, n_padded)."""
     n, d = emb.shape
     pad = (-n) % block
     emb_p = jnp.pad(emb, ((0, pad), (0, 0)))
-    lab_p = jnp.pad(labels_f, ((0, pad),), constant_values=-1.0)
+    lab_p = jnp.pad(labels_f, ((0, pad),), constant_values=_INVALID_LABEL)
     val_p = jnp.pad(valid_f, ((0, pad),), constant_values=0.0)
-    np_ = n + pad
+    invalid = val_p <= 0.0
+    # column-side labels get the sentinel so invalid columns never join the
+    # positive set; ROW labels stay real — invalid rows still produce the
+    # same (downstream-masked) stats as the dense oracle
+    lab_eff = jnp.where(invalid, _INVALID_LABEL, lab_p)
+    sq = jnp.sum(emb_p * emb_p, axis=1, keepdims=True)        # exact f32
+    sq_pen = jnp.where(invalid[:, None], _POS_INF, sq)
+    opd = emb_p.astype(jnp.bfloat16) if precision == "bf16" else emb_p
+    gidx = jnp.arange(n + pad, dtype=jnp.float32).reshape(-1, 1)
+    return (opd, sq, sq_pen, lab_p.reshape(-1, 1),
+            lab_eff.reshape(-1, 1), gidx, val_p.reshape(-1, 1), n + pad)
+
+
+def _col_spec(block, ix):
+    return pl.BlockSpec((block, 1), ix, memory_space=pltpu.VMEM)
+
+
+def _stats_in_specs(block, d):
+    row_ix = lambda i, j: (i, 0)   # noqa: E731
+    col_ix = lambda i, j: (j, 0)   # noqa: E731
+    return [
+        pl.BlockSpec((block, d), row_ix, memory_space=pltpu.VMEM),  # a
+        pl.BlockSpec((block, d), col_ix, memory_space=pltpu.VMEM),  # b
+        _col_spec(block, row_ix),                                   # sq_a
+        _col_spec(block, col_ix),                                   # sq_b pen
+        _col_spec(block, row_ix),                                   # la
+        _col_spec(block, col_ix),                                   # lb
+        _col_spec(block, row_ix),                                   # gi
+        _col_spec(block, col_ix),                                   # gj
+        _col_spec(block, col_ix),                                   # vb
+    ]
+
+
+def _stats_pallas_noidx(emb: Array, labels_f: Array, valid_f: Array,
+                        block: int, precision: str = "bf16"):
+    n, d = emb.shape
+    opd, sq, sq_pen, lab, lab_eff, gidx, val, np_ = _prep_operands(
+        emb, labels_f, valid_f, block, precision)
     grid = (np_ // block, np_ // block)
-    row_spec = pl.BlockSpec((block, 1), lambda i, j: (i, 0),
-                            memory_space=pltpu.VMEM)
+    row_spec = _col_spec(block, lambda i, j: (i, 0))
+    esize = 2 if precision == "bf16" else 4
     outs = pl.pallas_call(
-        functools.partial(_stats_kernel_noidx, block_n=block,
-                          precision=precision),
+        functools.partial(_stats_kernel_noidx, block_n=block),
         out_shape=[jax.ShapeDtypeStruct((np_, 1), jnp.float32)] * 3,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((block, d), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, d), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 1), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 1), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 1), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=_stats_in_specs(block, d),
         out_specs=[row_spec] * 3,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * np_ * np_ * d,
-            bytes_accessed=4 * (2 * np_ * d + 3 * np_),
+            bytes_accessed=esize * 2 * np_ * d + 4 * 6 * np_,
             transcendentals=0,
         ),
         interpret=_use_interpret(),
-    )(emb_p, emb_p, lab_p.reshape(-1, 1), lab_p.reshape(-1, 1),
-      val_p.reshape(-1, 1))
+    )(opd, opd, sq, sq_pen, lab, lab_eff, gidx, gidx, val)
     fp, cn, nc = outs
     return fp[:n, 0], cn[:n, 0], nc[:n, 0]
 
@@ -185,11 +217,8 @@ def _stats_pallas(emb: Array, labels_f: Array, valid_f: Array,
                   block: int, precision: str = "bf16",
                   ) -> Tuple[Array, Array, Array, Array, Array]:
     n, d = emb.shape
-    pad = (-n) % block
-    emb_p = jnp.pad(emb, ((0, pad), (0, 0)))
-    lab_p = jnp.pad(labels_f, ((0, pad),), constant_values=-1.0)
-    val_p = jnp.pad(valid_f, ((0, pad),), constant_values=0.0)
-    np_ = n + pad
+    opd, sq, sq_pen, lab, lab_eff, gidx, val, np_ = _prep_operands(
+        emb, labels_f, valid_f, block, precision)
     grid = (np_ // block, np_ // block)
 
     out_shapes = [
@@ -199,36 +228,24 @@ def _stats_pallas(emb: Array, labels_f: Array, valid_f: Array,
         jax.ShapeDtypeStruct((np_, 1), jnp.int32),     # cn idx
         jax.ShapeDtypeStruct((np_, 1), jnp.float32),   # neg count
     ]
-    row_spec = pl.BlockSpec((block, 1), lambda i, j: (i, 0),
-                            memory_space=pltpu.VMEM)
+    row_spec = _col_spec(block, lambda i, j: (i, 0))
+    esize = 2 if precision == "bf16" else 4
     outs = pl.pallas_call(
-        functools.partial(_stats_kernel, block_n=block, precision=precision),
+        functools.partial(_stats_kernel, block_n=block),
         out_shape=out_shapes,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((block, d), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, d), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 1), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 1), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 1), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=_stats_in_specs(block, d),
         out_specs=[row_spec] * 5,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * np_ * np_ * d,
-            bytes_accessed=4 * (2 * np_ * d + 5 * np_),
+            bytes_accessed=esize * 2 * np_ * d + 4 * 8 * np_,
             transcendentals=0,
         ),
         interpret=_use_interpret(),
-    )(emb_p, emb_p, lab_p.reshape(-1, 1), lab_p.reshape(-1, 1),
-      val_p.reshape(-1, 1))
+    )(opd, opd, sq, sq_pen, lab, lab_eff, gidx, gidx, val)
     fp, fpi, cn, cni, nc = outs
     return (fp[:n, 0], cn[:n, 0], nc[:n, 0], fpi[:n, 0], cni[:n, 0])
 
@@ -241,9 +258,7 @@ def _auto_block(d: int) -> int:
     """Largest tile that keeps the [TM, TN] working set well inside VMEM."""
     if d <= 128:
         return 1024
-    if d <= 512:
-        return 512
-    return 256
+    return 512
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -296,7 +311,9 @@ def _stats_bwd(block, precision, res, grads):
     grad = 2.0 * coef_fp[:, None] * diff_fp
     grad = grad.at[fpi].add(-2.0 * coef_fp[:, None] * diff_fp)
 
-    coef_cn = g_cn * (cn < _POS_INF)
+    # 0.5x threshold: in bf16 mode the 1e30 no-negative sentinel rounds,
+    # so an exact compare could leak gradient into an arbitrary "winner"
+    coef_cn = g_cn * (cn < 0.5 * _POS_INF)
     diff_cn = emb - emb[cni]
     grad = grad + 2.0 * coef_cn[:, None] * diff_cn
     grad = grad.at[cni].add(-2.0 * coef_cn[:, None] * diff_cn)

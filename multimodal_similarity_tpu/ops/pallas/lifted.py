@@ -10,6 +10,14 @@ computed FlashAttention-style: each [TM, d] x [TN, d] tile issues one MXU
 matmul and folds into running (max, sum-exp) accumulators — the N x N
 matrix never exists in HBM.
 
+Performance structure mirrors ops/pallas/batch_hard.py: row norms are
+precomputed in f32 outside the kernel, validity is folded into a
+column-label sentinel + a +inf-penalized column norm (margin - dist then
+lands at -inf for invalid columns with no extra mask algebra), the
+self-pair exclusion compares streamed global-index columns instead of
+generating per-tile iotas, and bf16 operand tiles are cast once on the
+host side (f32 MXU accumulation).
+
 The custom VJP recomputes tiles (no residual matrix): with
   C_ij = g_fp_i * softmax^pos_ij * pos_mask_ij
        - g_cn_i * softmax^neg_ij * neg_mask_ij
@@ -32,46 +40,60 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jnp.ndarray
 _NEG_INF = -1e30
+_POS_INF = 1e30
+_INVALID_LABEL = -2.0
 
 
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _tile_values(a, b, la, lb, vb, row_off, col_off, margin,
-                 mm_dtype=jnp.float32):
-    """dist tile + masks + the two value matrices (v_pos, v_neg)."""
-    inner = jax.lax.dot_general(a.astype(mm_dtype), b.astype(mm_dtype),
-                                (((1,), (1,)), ((), ())),
+def _tile_values(a, b, sqa, sqbp, la, lb_eff, gi, gj, vb, margin):
+    """dist tile + masks + the two value matrices (v_pos, v_neg).
+
+    ``la`` are real row labels, ``lb_eff`` sentinel-encoded column labels
+    (invalid -> never equal), ``sqbp`` +inf-penalized column norms,
+    ``gi``/``gj`` streamed global row/col index columns for the self-pair
+    exclusion (one compare per element; a lax.cond over a full tile
+    breaks Mosaic's vector-carry limits).
+    """
+    inner = jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-    sq_a = jnp.sum(a * a, axis=1, keepdims=True)
-    sq_b = jnp.sum(b * b, axis=1, keepdims=True)
-    dist = jnp.maximum(sq_a + sq_b.T - 2.0 * inner, 0.0)
-    tm, tn = dist.shape
-    row_ids = row_off + jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 0)
-    col_ids = col_off + jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 1)
-    same = la == lb.T
-    valid = vb.T > 0.0
-    pos_m = same & (row_ids != col_ids) & valid
-    neg_m = (~same) & valid
-    v_pos = jnp.where(valid, dist * pos_m.astype(jnp.float32), _NEG_INF)
-    v_neg = jnp.where(neg_m, margin - dist, _NEG_INF)
-    return dist, pos_m, neg_m, v_pos, v_neg
+    # bf16 operands -> bf16 post-matmul tile math: 16x128 vreg packing
+    # doubles VPU throughput on the per-element masking/exp work (the
+    # online-logsumexp accumulators stay f32; see ops/pallas/batch_hard.py)
+    cd = jnp.bfloat16 if a.dtype == jnp.bfloat16 else jnp.float32
+    dist = jnp.maximum(
+        sqa.astype(cd) + sqbp.astype(cd).T - 2.0 * inner.astype(cd),
+        jnp.asarray(0.0, cd))
+    same = la == lb_eff.T
+    pos_m = same & (gi != gj.T)
+    # valid non-positives contribute exp(0) (reference quirk); invalid
+    # columns -inf; true positives their (unpenalized == real) distance
+    v_pos = (jnp.where(pos_m, dist, jnp.asarray(0.0, cd))
+             - (jnp.asarray(1.0, cd) - vb.astype(cd).T)
+             * jnp.asarray(_POS_INF, cd))
+    # invalid columns already sit at margin - ~1e30 via the norm penalty
+    v_neg = jnp.where(same, jnp.asarray(_NEG_INF, cd),
+                      jnp.asarray(margin, cd) - dist)
+    neg_m = jnp.where(same, 0.0, vb.T)
+    return pos_m, neg_m, v_pos, v_neg
 
 
-def _fwd_kernel(a_ref, b_ref, la_ref, lb_ref, vb_ref,
+def _fwd_kernel(a_ref, b_ref, sqa_ref, sqbp_ref, la_ref, lb_ref,
+                gi_ref, gj_ref, vb_ref,
                 fp_m_ref, fp_s_ref, cn_m_ref, cn_s_ref, nc_ref,
-                *, margin: float, block: int, precision: str):
-    i = pl.program_id(0)
+                *, margin: float, block: int):
     j = pl.program_id(1)
-    mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
-    _, _, neg_m, v_pos, v_neg = _tile_values(
-        a_ref[:], b_ref[:], la_ref[:], lb_ref[:], vb_ref[:],
-        i * block, j * block, margin, mm_dtype)
+    _, neg_m, v_pos, v_neg = _tile_values(
+        a_ref[:], b_ref[:], sqa_ref[:], sqbp_ref[:], la_ref[:], lb_ref[:],
+        gi_ref[:], gj_ref[:], vb_ref[:], margin)
 
     def online(m_ref, s_ref, v):
         t_max = jnp.max(v, axis=1, keepdims=True)
-        t_sum = jnp.sum(jnp.exp(v - t_max), axis=1, keepdims=True)
+        t_sum = jnp.sum(jnp.exp(v - t_max).astype(jnp.float32), axis=1,
+                        keepdims=True)
+        t_max = t_max.astype(jnp.float32)
 
         @pl.when(j == 0)
         def _():
@@ -88,7 +110,7 @@ def _fwd_kernel(a_ref, b_ref, la_ref, lb_ref, vb_ref,
     online(fp_m_ref, fp_s_ref, v_pos)
     online(cn_m_ref, cn_s_ref, v_neg)
 
-    t_nc = jnp.sum(neg_m.astype(jnp.float32), axis=1, keepdims=True)
+    t_nc = jnp.sum(neg_m, axis=1, keepdims=True)
 
     @pl.when(j == 0)
     def _():
@@ -99,10 +121,11 @@ def _fwd_kernel(a_ref, b_ref, la_ref, lb_ref, vb_ref,
         nc_ref[:] = nc_ref[:] + t_nc
 
 
-def _bwd_kernel(a_ref, b_ref, la_ref, lb_ref, va_ref, vb_ref,
+def _bwd_kernel(a_ref, b_ref, sqa_ref, sqb_ref, sqap_ref, sqbp_ref,
+                la_ref, lb_ref, lae_ref, lbe_ref, gi_ref, gj_ref,
+                va_ref, vb_ref,
                 fp_ref, cn_ref, gfp_ref, gcn_ref, grad_ref,
-                *, margin: float, block: int, transpose: bool,
-                precision: str):
+                *, margin: float, block: int, transpose: bool):
     """One directional pass: accumulates the row-side (or, with
     ``transpose``, the column-side) gradient contribution for the a-block.
 
@@ -110,34 +133,34 @@ def _bwd_kernel(a_ref, b_ref, la_ref, lb_ref, va_ref, vb_ref,
     COLUMN block of the conceptual matrix, and C^T is applied; fp/cn/g
     then belong to the b-block rows.
     """
-    i = pl.program_id(0)
     j = pl.program_id(1)
     a = a_ref[:]
     b = b_ref[:]
-    mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     if not transpose:
-        _, pos_m, neg_m, v_pos, v_neg = _tile_values(
-            a, b, la_ref[:], lb_ref[:], vb_ref[:],
-            i * block, j * block, margin, mm_dtype)
-        soft_pos = jnp.exp(v_pos - fp_ref[:]) * pos_m.astype(jnp.float32)
-        soft_neg = jnp.exp(v_neg - cn_ref[:]) * neg_m.astype(jnp.float32)
+        pos_m, neg_m, v_pos, v_neg = _tile_values(
+            a, b, sqa_ref[:], sqbp_ref[:], la_ref[:], lbe_ref[:],
+            gi_ref[:], gj_ref[:], vb_ref[:], margin)
+        soft_pos = jnp.exp(v_pos.astype(jnp.float32) - fp_ref[:]) \
+            * pos_m.astype(jnp.float32)
+        soft_neg = jnp.exp(v_neg.astype(jnp.float32) - cn_ref[:]) * neg_m
         c = gfp_ref[:] * soft_pos - gcn_ref[:] * soft_neg     # [TM, TN]
         rowsum = jnp.sum(c, axis=1, keepdims=True)
-        contrib = 2.0 * (rowsum * a - jnp.dot(
-            c.astype(mm_dtype), b.astype(mm_dtype),
+        contrib = 2.0 * (rowsum * a.astype(jnp.float32) - jax.lax.dot_general(
+            c.astype(b.dtype), b, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))
     else:
         # conceptual (k = b rows, i = a rows as columns): C_kb with fp/cn/g
         # of the b-block; accumulate 2 * (colsum * a - C^T @ E_k)
-        _, pos_m, neg_m, v_pos, v_neg = _tile_values(
-            b, a, lb_ref[:], la_ref[:], va_ref[:],
-            j * block, i * block, margin, mm_dtype)
-        soft_pos = jnp.exp(v_pos - fp_ref[:]) * pos_m.astype(jnp.float32)
-        soft_neg = jnp.exp(v_neg - cn_ref[:]) * neg_m.astype(jnp.float32)
+        pos_m, neg_m, v_pos, v_neg = _tile_values(
+            b, a, sqb_ref[:], sqap_ref[:], lb_ref[:], lae_ref[:],
+            gj_ref[:], gi_ref[:], va_ref[:], margin)
+        soft_pos = jnp.exp(v_pos.astype(jnp.float32) - fp_ref[:]) \
+            * pos_m.astype(jnp.float32)
+        soft_neg = jnp.exp(v_neg.astype(jnp.float32) - cn_ref[:]) * neg_m
         c = gfp_ref[:] * soft_pos - gcn_ref[:] * soft_neg     # [TN(k), TM(i)]
         colsum = jnp.sum(c, axis=0)[:, None]                  # [TM, 1]
-        contrib = 2.0 * (colsum * a - jnp.dot(
-            c.T.astype(mm_dtype), b.astype(mm_dtype),
+        contrib = 2.0 * (colsum * a.astype(jnp.float32) - jax.lax.dot_general(
+            c.T.astype(b.dtype), b, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))
 
     @pl.when(j == 0)
@@ -149,13 +172,22 @@ def _bwd_kernel(a_ref, b_ref, la_ref, lb_ref, va_ref, vb_ref,
         grad_ref[:] = grad_ref[:] + contrib
 
 
-def _pad_inputs(emb, labels_f, valid_f, block):
+def _prep_operands(emb, labels_f, valid_f, block, precision):
+    """Pad to the block and fold validity into the streamed inputs;
+    returns (opd, sq, sq_pen, lab, lab_eff, val, n_padded)."""
     n, d = emb.shape
     pad = (-n) % block
     emb_p = jnp.pad(emb, ((0, pad), (0, 0)))
-    lab_p = jnp.pad(labels_f, ((0, pad),), constant_values=-1.0)
+    lab_p = jnp.pad(labels_f, ((0, pad),), constant_values=_INVALID_LABEL)
     val_p = jnp.pad(valid_f, ((0, pad),), constant_values=0.0)
-    return emb_p, lab_p.reshape(-1, 1), val_p.reshape(-1, 1), n + pad
+    invalid = val_p <= 0.0
+    lab_eff = jnp.where(invalid, _INVALID_LABEL, lab_p)
+    sq = jnp.sum(emb_p * emb_p, axis=1, keepdims=True)
+    sq_pen = jnp.where(invalid[:, None], _POS_INF, sq)
+    opd = emb_p.astype(jnp.bfloat16) if precision == "bf16" else emb_p
+    gidx = jnp.arange(n + pad, dtype=jnp.float32).reshape(-1, 1)
+    return (opd, sq, sq_pen, lab_p.reshape(-1, 1),
+            lab_eff.reshape(-1, 1), gidx, val_p.reshape(-1, 1), n + pad)
 
 
 def _row_spec(block):
@@ -163,13 +195,19 @@ def _row_spec(block):
                         memory_space=pltpu.VMEM)
 
 
+def _col_spec(block):
+    return pl.BlockSpec((block, 1), lambda i, j: (j, 0),
+                        memory_space=pltpu.VMEM)
+
+
 def _lifted_fwd_pallas(emb, labels_f, valid_f, margin, block, precision):
-    emb_p, lab_p, val_p, np_ = _pad_inputs(emb, labels_f, valid_f, block)
+    opd, sq, sq_pen, lab, lab_eff, gidx, val, np_ = _prep_operands(
+        emb, labels_f, valid_f, block, precision)
     d = emb.shape[1]
     grid = (np_ // block, np_ // block)
+    esize = 2 if precision == "bf16" else 4
     outs = pl.pallas_call(
-        functools.partial(_fwd_kernel, margin=margin, block=block,
-                          precision=precision),
+        functools.partial(_fwd_kernel, margin=margin, block=block),
         out_shape=[jax.ShapeDtypeStruct((np_, 1), jnp.float32)] * 5,
         grid=grid,
         in_specs=[
@@ -177,17 +215,24 @@ def _lifted_fwd_pallas(emb, labels_f, valid_f, margin, block, precision):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block, d), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            _row_spec(block),
-            pl.BlockSpec((block, 1), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 1), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
+            _row_spec(block),     # sq_a (unpenalized)
+            _col_spec(block),     # sq_b penalized
+            _row_spec(block),     # la real
+            _col_spec(block),     # lb sentinel-encoded
+            _row_spec(block),     # gi
+            _col_spec(block),     # gj
+            _col_spec(block),     # vb
         ],
         out_specs=[_row_spec(block)] * 5,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * np_ * np_ * d,
+            bytes_accessed=esize * 2 * np_ * d + 4 * 8 * np_,
+            transcendentals=2 * np_ * np_,
+        ),
         interpret=_use_interpret(),
-    )(emb_p, emb_p, lab_p, lab_p, val_p)
+    )(opd, opd, sq, sq_pen, lab, lab_eff, gidx, gidx, val)
     fp_m, fp_s, cn_m, cn_s, nc = outs
     n = emb.shape[0]
     fp = (fp_m + jnp.log(jnp.maximum(fp_s, 1e-30)))[:n, 0]
@@ -197,7 +242,8 @@ def _lifted_fwd_pallas(emb, labels_f, valid_f, margin, block, precision):
 
 def _lifted_bwd_pallas(emb, labels_f, valid_f, fp, cn, g_fp, g_cn, margin,
                        block, transpose, precision):
-    emb_p, lab_p, val_p, np_ = _pad_inputs(emb, labels_f, valid_f, block)
+    opd, sq, sq_pen, lab, lab_eff, gidx, val, np_ = _prep_operands(
+        emb, labels_f, valid_f, block, precision)
     d = emb.shape[1]
     n = emb.shape[0]
     pad = np_ - n
@@ -215,7 +261,7 @@ def _lifted_bwd_pallas(emb, labels_f, valid_f, fp, cn, g_fp, g_cn, margin,
     stat_spec = pl.BlockSpec((block, 1), stat_ix, memory_space=pltpu.VMEM)
     grad = pl.pallas_call(
         functools.partial(_bwd_kernel, margin=margin, block=block,
-                          transpose=transpose, precision=precision),
+                          transpose=transpose),
         out_shape=jax.ShapeDtypeStruct((np_, d), jnp.float32),
         grid=grid,
         in_specs=[
@@ -223,12 +269,18 @@ def _lifted_bwd_pallas(emb, labels_f, valid_f, fp, cn, g_fp, g_cn, margin,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block, d), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            _row_spec(block),
-            pl.BlockSpec((block, 1), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            _row_spec(block),
-            pl.BlockSpec((block, 1), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
+            _row_spec(block),     # sq_a
+            _col_spec(block),     # sq_b
+            _row_spec(block),     # sq_a penalized
+            _col_spec(block),     # sq_b penalized
+            _row_spec(block),     # la real
+            _col_spec(block),     # lb real
+            _row_spec(block),     # la sentinel-encoded
+            _col_spec(block),     # lb sentinel-encoded
+            _row_spec(block),     # gi
+            _col_spec(block),     # gj
+            _row_spec(block),     # va
+            _col_spec(block),     # vb
             stat_spec, stat_spec, stat_spec, stat_spec,
         ],
         out_specs=pl.BlockSpec((block, d), lambda i, j: (i, 0),
@@ -236,7 +288,8 @@ def _lifted_bwd_pallas(emb, labels_f, valid_f, fp, cn, g_fp, g_cn, margin,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=_use_interpret(),
-    )(emb_p, emb_p, lab_p, lab_p, val_p, val_p, fp_p, cn_p, gfp_p, gcn_p)
+    )(opd, opd, sq, sq, sq_pen, sq_pen, lab, lab, lab_eff, lab_eff,
+      gidx, gidx, val, val, fp_p, cn_p, gfp_p, gcn_p)
     return grad[:n]
 
 

@@ -7,6 +7,7 @@ retrieval where the gallery is sharded across chips.
 """
 
 from multimodal_similarity_tpu.parallel.mesh import (
+    auto_mesh,
     create_mesh,
     replicate,
     shard_batch,
@@ -19,6 +20,8 @@ from multimodal_similarity_tpu.parallel.multihost import (
     make_global_batch,
 )
 from multimodal_similarity_tpu.parallel.ring_mining import (
+    make_ring_batch_hard_loss,
+    make_ring_batch_hard_stats_grad,
     ring_batch_hard_stats,
 )
 from multimodal_similarity_tpu.parallel.sharded_eval import (
@@ -30,12 +33,15 @@ from multimodal_similarity_tpu.parallel.tensor_parallel import (
 )
 
 __all__ = [
+    "auto_mesh",
     "create_mesh",
     "shard_batch",
     "replicate",
     "make_dp_triplet_step",
     "sharded_retrieval_topk",
     "ring_batch_hard_stats",
+    "make_ring_batch_hard_stats_grad",
+    "make_ring_batch_hard_loss",
     "make_global_batch",
     "host_local_sessions",
     "shard_params_tp",

@@ -24,6 +24,22 @@ def create_mesh(n_devices: Optional[int] = None,
     return Mesh(devs, axis_names)
 
 
+def auto_mesh(batch_axis_size: int, min_devices: int = 2):
+    """(mesh | None, rounded_batch_axis_size) for transparent data
+    parallelism: a 1-D "data" mesh over every visible device when more
+    than one is present, with the batch-axis size rounded UP to a device
+    multiple (batches are fixed-shape and mask-padded throughout, so
+    rounding up is free).  Single-device -> (None, unchanged)."""
+    n_devices = jax.device_count()
+    if n_devices < min_devices:
+        return None, batch_axis_size
+    rounded = -(-batch_axis_size // n_devices) * n_devices
+    if rounded != batch_axis_size:
+        print(f"[parallel] batch axis {batch_axis_size} rounded up to "
+              f"{rounded} for {n_devices}-device data parallelism")
+    return create_mesh(n_devices), rounded
+
+
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     """Place a pytree of arrays with the leading axis sharded over ``axis``."""
     def put(x):

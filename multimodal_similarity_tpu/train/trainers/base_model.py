@@ -58,6 +58,12 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
     result_dir = setup_experiment(cfg, result_dir=result_dir)
     logger = MetricsLogger(result_dir)
     event_budget = event_budget or cfg.event_per_batch
+    # round the (mask-padded, fixed-shape) event budget up to a device
+    # multiple so multi-device runs never silently fall back to one chip
+    mesh = None
+    if cfg.triplet_select == "facenet":
+        from multimodal_similarity_tpu.parallel import auto_mesh
+        mesh, event_budget = auto_mesh(event_budget)
 
     feat = cfg.feat if isinstance(cfg.feat, str) else cfg.feat[0]
     train_set = prepare_dataset(cfg.feature_root, cfg.train_session, feat,
@@ -99,13 +105,9 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
     embed_fn = make_embed_fn(model, cfg.normalized)
     # data-parallel over every visible device: batch sharded on the mesh,
     # embeddings all-gathered over ICI for global mining, grads psum'd
-    n_devices = jax.device_count()
-    mesh = None
-    if cfg.triplet_select == "facenet" and n_devices > 1 \
-            and event_budget % n_devices == 0:
-        from multimodal_similarity_tpu.parallel import (
-            create_mesh, make_dp_triplet_step, replicate, shard_batch)
-        mesh = create_mesh(n_devices)
+    # (the event budget was already rounded up to a device multiple above)
+    if mesh is not None:
+        from multimodal_similarity_tpu.parallel import make_dp_triplet_step
         state = jax.device_put(state, jax.sharding.NamedSharding(
             mesh, jax.sharding.PartitionSpec()))
         step_fn = make_dp_triplet_step(
@@ -113,7 +115,8 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
             alpha=cfg.alpha, num_negative=cfg.num_negative,
             metric=cfg.metric, normalized=cfg.normalized)
         if not cfg.silent_mode:
-            print(f"[{cfg.name}] data-parallel over {n_devices} devices")
+            print(f"[{cfg.name}] data-parallel over "
+                  f"{mesh.shape['data']} devices")
     elif cfg.triplet_select == "facenet":
         step_fn = make_triplet_train_step(
             model, triplet_per_batch=cfg.triplet_per_batch, alpha=cfg.alpha,

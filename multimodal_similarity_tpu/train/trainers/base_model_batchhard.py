@@ -30,11 +30,29 @@ from multimodal_similarity_tpu.train.trainer import epoch_of_step, validate
 from multimodal_similarity_tpu.train.trainers._honda import HondaExperiment
 
 
-def make_balanced_batch_step(model, cfg: TrainConfig, loss_kind: str):
+def make_balanced_batch_step(model, cfg: TrainConfig, loss_kind: str,
+                             mesh=None):
     """step(state, events [B], labels [B], key, lr) for batch-structured
-    losses over a class-balanced batch."""
+    losses over a class-balanced batch.
+
+    With ``mesh`` (1-D "data" mesh) the step runs data-parallel: events
+    sharded on the batch axis, and for batch-hard the O(B^2) hardest-pair
+    reduction runs as the RING pass — each device reduces its anchor shard
+    against the visiting embedding shard and forwards it over ICI
+    (parallel/ring_mining.py), so the full distance matrix never exists on
+    any chip.  Lifted falls back to gathered embeddings + the fused Pallas
+    kernel (its online-logsumexp has no ring variant yet)."""
     margin = "soft" if (loss_kind == "batchhard" and not cfg.no_soft) \
         else cfg.alpha
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        data_s = NamedSharding(mesh, P("data"))
+        repl_s = NamedSharding(mesh, P())
+        if loss_kind == "batchhard":
+            from multimodal_similarity_tpu.parallel import (
+                make_ring_batch_hard_loss)
+            ring_loss = make_ring_batch_hard_loss(mesh, margin,
+                                                  weighted=True)
 
     def step(state, events, labels, key, learning_rate):
         def loss_fn(params):
@@ -42,10 +60,15 @@ def make_balanced_batch_step(model, cfg: TrainConfig, loss_kind: str):
                               rngs={"dropout": key})
             if cfg.normalized:
                 emb = l2_normalize(emb)
-            if loss_kind == "batchhard":
+            if mesh is not None and loss_kind == "batchhard":
+                emb = jax.lax.with_sharding_constraint(emb, data_s)
+                loss, num_active, *_ = ring_loss(emb, labels)
+            elif loss_kind == "batchhard":
                 loss, num_active, *_ = batch_hard_pallas(
                     emb, labels, margin, weighted=True)
             else:
+                if mesh is not None:
+                    emb = jax.lax.with_sharding_constraint(emb, repl_s)
                 loss, num_active, *_ = lifted_loss_pallas(
                     emb, labels, cfg.alpha, weighted=True)
             total = loss
@@ -59,7 +82,9 @@ def make_balanced_batch_step(model, cfg: TrainConfig, loss_kind: str):
         state = state.apply_gradients(grads, learning_rate=learning_rate)
         return state, aux
 
-    return jax.jit(step)
+    if mesh is None:
+        return jax.jit(step)
+    return jax.jit(step, in_shardings=(None, data_s, repl_s, repl_s, repl_s))
 
 
 def train(cfg: TrainConfig, loss_kind: str = "batchhard",
@@ -83,8 +108,18 @@ def train(cfg: TrainConfig, loss_kind: str = "batchhard",
         state = load_pytree(cfg.model_path, state)
 
     embed_fn = make_embed_fn(model, cfg.normalized)
-    step_fn = make_balanced_batch_step(model, cfg, loss_kind)
     batch_size = cfg.batch_size if cfg.batch_size > 8 else 64
+    # >1 device: shard the balanced batch and run the ring batch-hard pass
+    from multimodal_similarity_tpu.parallel import auto_mesh
+    mesh, batch_size = auto_mesh(batch_size)
+    if mesh is not None:
+        state = jax.device_put(state, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec()))
+        if not cfg.silent_mode:
+            print(f"[{cfg.name}] {loss_kind} data-parallel over "
+                  f"{mesh.shape['data']} devices"
+                  + (" (ring mining)" if loss_kind == "batchhard" else ""))
+    step_fn = make_balanced_batch_step(model, cfg, loss_kind, mesh=mesh)
 
     metrics = {}
     epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)

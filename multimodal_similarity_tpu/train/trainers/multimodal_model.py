@@ -154,7 +154,7 @@ def build_models(cfg: TrainConfig, sensors_dim: int = 8,
 
 
 def make_mm_fused_step(core, sensors_enc, sensors_pddm, segment_enc,
-                       segment_pddm, cfg: TrainConfig):
+                       segment_pddm, cfg: TrainConfig, mesh=None):
     """Fully-fused flagship step: ONE jitted program per batch.
 
     Inside the program: eval-mode core embed -> device semi-hard mining of
@@ -163,6 +163,15 @@ def make_mm_fused_step(core, sensors_enc, sensors_pddm, segment_enc,
     dist_dict margins; gather; train-mode re-forward; three masked triplet
     losses.  No host hop remains (the reference paid three per batch,
     multimodal_model.py:443-520).
+
+    With ``mesh`` (a 1-D "data" mesh) the step runs data-parallel: the
+    event batch and the re-forward triplet batch are sharded on the batch
+    axis (the ConvRTSN forward/backward — the dominant cost at Honda video
+    dims — splits across chips; XLA SPMD inserts the ICI collectives),
+    the small core embeddings are all-gathered for the global mining pass,
+    parameters are replicated, and the gradients psum.  The tiny 32-d
+    sensors/segment towers + PDDM scoring are replicated — they are ~1%%
+    of step FLOPs at reference dims.
     """
     from multimodal_similarity_tpu.ops.mining import (
         mine_hard_structure_triplets,
@@ -172,6 +181,10 @@ def make_mm_fused_step(core, sensors_enc, sensors_pddm, segment_enc,
     lab_cap = cfg.triplet_per_batch
     hard_cap = cfg.triplet_per_batch
     struct_cap = cfg.triplet_per_batch // 2
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        data_s = NamedSharding(mesh, P("data"))
+        repl_s = NamedSharding(mesh, P())
 
     def step(state, events, eve_sensors, eve_segment, labels, mask,
              class_margins, use_multimodal, key, learning_rate):
@@ -182,6 +195,9 @@ def make_mm_fused_step(core, sensors_enc, sensors_pddm, segment_enc,
                                   events)
             if cfg.normalized:
                 emb_mine = l2_normalize(emb_mine)
+            if mesh is not None:
+                # gather the small embedding matrix for global mining
+                emb_mine = jax.lax.with_sharding_constraint(emb_mine, repl_s)
             emb_mine = jax.lax.stop_gradient(emb_mine)
             lab_mined = mine_semihard_triplets_from_embeddings(
                 emb_mine, labels, k_mine, lab_cap, alpha=cfg.alpha,
@@ -194,6 +210,9 @@ def make_mm_fused_step(core, sensors_enc, sensors_pddm, segment_enc,
             eg = segment_enc.apply(
                 {"params": params["modality_segment"]["encoder"]},
                 eve_segment)
+            if mesh is not None:
+                es = jax.lax.with_sharding_constraint(es, repl_s)
+                eg = jax.lax.with_sharding_constraint(eg, repl_s)
             block = min(128, es.shape[0])
             sim_s = score_all_pairs(functools.partial(
                 sensors_pddm.apply,
@@ -231,6 +250,10 @@ def make_mm_fused_step(core, sensors_enc, sensors_pddm, segment_enc,
                 [jnp.zeros(lab_t + hard_cap), mul.margins])
 
             tri_events = jnp.take(events, gather, axis=0)
+            if mesh is not None:
+                # re-forward batch sharded over chips too
+                tri_events = jax.lax.with_sharding_constraint(
+                    tri_events, data_s)
             emb = core.apply({"params": params["modality_core"]},
                              tri_events, train=True,
                              rngs={"dropout": k_drop})
@@ -260,7 +283,13 @@ def make_mm_fused_step(core, sensors_enc, sensors_pddm, segment_enc,
         state = state.apply_gradients(grads, learning_rate=learning_rate)
         return state, aux
 
-    return jax.jit(step)
+    if mesh is None:
+        return jax.jit(step)
+    in_shardings = (None,                      # state: placed by the caller
+                    data_s, data_s, data_s,    # events, sensors, segment
+                    repl_s, repl_s, repl_s,    # labels, mask, class_margins
+                    repl_s, repl_s, repl_s)    # use_multimodal, key, lr
+    return jax.jit(step, in_shardings=in_shardings)
 
 
 def make_mm_train_step(core, cfg: TrainConfig, tri_cap: int):
@@ -352,6 +381,15 @@ def train(cfg: TrainConfig, hard_only: bool = False,
     host-side sequential mining semantics."""
     modalities = cfg.feat if isinstance(cfg.feat, list) else \
         ["resnet", "sensors", "segment"]
+    # flagship data parallelism: with >1 visible device and device mining,
+    # run the fused step over a 1-D "data" mesh (event budget rounded up to
+    # a device multiple — batches are fixed-shape + mask-padded anyway)
+    mesh = None
+    if device_mining:
+        from multimodal_similarity_tpu.parallel import auto_mesh
+        mesh, rounded = auto_mesh(event_budget or cfg.event_per_batch)
+        if mesh is not None:
+            event_budget = rounded
     exp = HondaExperiment(cfg, modalities=modalities,
                           event_budget=event_budget, result_dir=result_dir,
                           limit_label_num=(cfg.task == "supervised"))
@@ -397,6 +435,12 @@ def train(cfg: TrainConfig, hard_only: bool = False,
         cfg.optimizer, cfg.learning_rate, frozen_scopes=frozen))
     if cfg.model_path:
         state = load_pytree(cfg.model_path, state)
+    if mesh is not None:
+        state = jax.device_put(state, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec()))
+        if not cfg.silent_mode:
+            print(f"[{cfg.name}] data-parallel fused step over "
+                  f"{mesh.shape['data']} devices")
 
     embed_fn = make_embed_fn(core, cfg.normalized)
     tri_cap = cfg.triplet_per_batch * 2
@@ -405,7 +449,8 @@ def train(cfg: TrainConfig, hard_only: bool = False,
                                   segment_pddm, cfg)
     if device_mining:
         fused_step = make_mm_fused_step(core, sensors_enc, sensors_pddm,
-                                        segment_enc, segment_pddm, cfg)
+                                        segment_enc, segment_pddm, cfg,
+                                        mesh=mesh)
 
     def core_embed(params, feats):
         from multimodal_similarity_tpu.train.steps import embed_in_chunks

@@ -118,3 +118,90 @@ def test_graft_dryrun_2d_mesh():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)   # dp x tp path
     ge.dryrun_multichip(2)   # dp-only path
+
+
+def test_ring_batch_hard_loss_matches_dense(rng):
+    """Differentiable ring loss == dense batch_hard oracle (value + grad)."""
+    from multimodal_similarity_tpu.ops.losses import batch_hard
+    from multimodal_similarity_tpu.parallel import (
+        create_mesh, make_ring_batch_hard_loss)
+    from multimodal_similarity_tpu.train.steps import masked_self_distance
+
+    n, d = 64, 16
+    labels = rng.randint(0, 5, size=n)
+    labels[:4] = 1  # guarantee positives
+    centers = rng.randn(5, d)
+    emb = jnp.asarray((centers[labels] + 0.7 * rng.randn(n, d))
+                      .astype(np.float32))
+    lab = jnp.asarray(labels)
+
+    mesh = create_mesh(8)
+    ring_loss = make_ring_batch_hard_loss(mesh, margin="soft", weighted=True)
+
+    def dense(e):
+        from multimodal_similarity_tpu.ops.distances import self_distance
+        return batch_hard(self_distance(e), lab.astype(jnp.float32),
+                          "soft", True)[0]
+
+    def ring(e):
+        e = jax.device_put(e, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("data", None)))
+        return ring_loss(e, lab)[0]
+
+    np.testing.assert_allclose(float(ring(emb)), float(dense(emb)),
+                               rtol=1e-5)
+    g_ring = jax.grad(lambda e: ring(e))(emb)
+    g_dense = jax.grad(dense)(emb)
+    np.testing.assert_allclose(np.asarray(g_ring), np.asarray(g_dense),
+                               rtol=1e-3, atol=1e-6)
+
+
+def test_flagship_fused_step_dp(rng):
+    """The flagship fused multimodal step compiles + runs under a 1-D data
+    mesh with sharded event/sensor/segment batches (VERDICT round-1 #3)."""
+    from multimodal_similarity_tpu.configs import TrainConfig
+    from multimodal_similarity_tpu.parallel import create_mesh
+    from multimodal_similarity_tpu.train.state import (
+        TrainState, build_optimizer)
+    from multimodal_similarity_tpu.train.trainers.multimodal_model import (
+        build_models, make_mm_fused_step)
+
+    cfg = TrainConfig(name="dp", network="convrtsn", n_input=8, n_h=2,
+                      n_w=2, n_C=4, emb_dim=16, num_seg=3,
+                      triplet_per_batch=12, keep_prob=0.9,
+                      silent_mode=True).resolve()
+    core, s_enc, s_pddm, g_enc, g_pddm = build_models(
+        cfg, sensors_dim=8, segment_dim=16)
+    n = 32
+    x = rng.randn(n, 3, 2, 2, 8).astype(np.float32)
+    xs = rng.randn(n, 3, 8).astype(np.float32)
+    xg = rng.randn(n, 3, 16).astype(np.float32)
+    labels = rng.randint(0, 4, size=n).astype(np.int32)
+    e32 = jnp.zeros((2, 32), jnp.float32)
+    params = {
+        "modality_core": core.init(jax.random.PRNGKey(0),
+                                   jnp.asarray(x[:2]))["params"],
+        "modality_sensors": {
+            "encoder": s_enc.init(jax.random.PRNGKey(1),
+                                  jnp.asarray(xs[:2]))["params"],
+            "pddm": s_pddm.init(jax.random.PRNGKey(2), e32, e32,
+                                method="score")["params"]},
+        "modality_segment": {
+            "encoder": g_enc.init(jax.random.PRNGKey(3),
+                                  jnp.asarray(xg[:2]))["params"],
+            "pddm": g_pddm.init(jax.random.PRNGKey(4), e32, e32,
+                                method="score")["params"]},
+    }
+    mesh = create_mesh(8)
+    state = TrainState.create(params, build_optimizer("ADAM", 0.01))
+    state = jax.device_put(state, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec()))
+    step = make_mm_fused_step(core, s_enc, s_pddm, g_enc, g_pddm, cfg,
+                              mesh=mesh)
+    cm = jnp.zeros(4, jnp.float32)
+    state2, aux = step(state, jnp.asarray(x), jnp.asarray(xs),
+                       jnp.asarray(xg), jnp.asarray(labels),
+                       jnp.ones(n, jnp.float32), cm, jnp.float32(1.0),
+                       jax.random.PRNGKey(5), jnp.float32(0.01))
+    assert np.isfinite(float(aux["loss"]))
+    assert int(state2.step) == 1
