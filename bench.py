@@ -149,39 +149,92 @@ def main():
     t_host = time.time() - t0
     ref_eps = n_events / (t_device + t_host)
 
-    # --- fused Pallas distance+batch-hard kernel at mega-batch scale -----
+    # --- fused Pallas distance+batch-hard kernel: MFU sweep --------------
+    # Methodology: the remote tunnel adds 0.6-2 ms of dispatch latency per
+    # program launch, which at these kernel times (sub-ms to few-ms) would
+    # dominate and understate the kernel by up to 3x.  Every timed program
+    # therefore chains CHAIN data-dependent kernel calls inside ONE jit via
+    # lax.scan and the per-call time divides the wall-clock by CHAIN.  The
+    # same methodology times the XLA dense-matmul roofline: the SAME GEMM
+    # shape the kernel contracts ([N,d] x [d,N] bf16 -> f32 + a max
+    # reduction, WITHOUT mining semantics and writing the NxN matrix to
+    # HBM).  That measured number — not the 197-TFLOP/s nameplate — is the
+    # speed-of-light for this op on this chip: at d=128 the MXU runs a
+    # K=128 contraction at ~8% of nameplate no matter who asks.
     from multimodal_similarity_tpu.ops.pallas import fused_batch_hard_stats
+
+    PEAK_GFLOPS = 197e3  # v5e bf16 nameplate
+    CHAIN = 10
+
+    def timed_chain(build_body):
+        """build_body(operand, carry) -> scalar; CHAIN chained calls/jit."""
+        def chained(op):
+            def body(c, _):
+                return build_body(op, c), None
+            out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=CHAIN)
+            return out
+        return jax.jit(chained)
+
+    def best_rate(f, arg, reps, rounds=2):
+        float(f(arg))  # compile + sync
+        best = 0.0
+        for _ in range(rounds):
+            t0 = time.time()
+            for _ in range(reps):
+                r = f(arg)
+            float(r)
+            best = max(best, reps * CHAIN / (time.time() - t0))
+        return best
+
+    kernel_sweep = []
+    for n_mine, d_mine in [(8192, 128), (8192, 256), (8192, 1024),
+                           (16384, 1024)]:
+        emb_big = jax.random.normal(jax.random.PRNGKey(3), (n_mine, d_mine))
+        lab_big = jnp.asarray(
+            np.random.RandomState(1).randint(0, 8, size=n_mine))
+
+        kern = timed_chain(
+            lambda e, c, lab=lab_big: fused_batch_hard_stats(
+                e + c * 1e-20, lab, None)[0].sum())
+        rate = best_rate(kern, emb_big, 5)
+        gflops = 2 * n_mine * n_mine * d_mine / 1e9 * rate
+
+        e16 = emb_big.astype(jnp.bfloat16)
+        mm = timed_chain(
+            lambda e, c: jax.lax.dot_general(
+                e + c * jnp.asarray(1e-20, e.dtype), e,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32).max())
+        mm_rate = best_rate(mm, e16, 3)
+        mm_gflops = 2 * n_mine * n_mine * d_mine / 1e9 * mm_rate
+
+        kernel_sweep.append({
+            "n": n_mine, "d": d_mine,
+            "gflops": round(gflops, 1),
+            "mfu": round(gflops / PEAK_GFLOPS, 4),
+            "t_ms": round(1000.0 / rate, 3),
+            "xla_dense_matmul_gflops": round(mm_gflops, 1),
+            "xla_dense_matmul_mfu": round(mm_gflops / PEAK_GFLOPS, 4),
+            "vs_xla_dense_matmul": round(gflops / mm_gflops, 3),
+        })
+
+    # headline kernel numbers: the d=128 mining point (Honda emb_dim
+    # operating range) and the MXU-bound d=1024 point (CUB feature width)
+    kernel_gflops = kernel_sweep[0]["gflops"]
+    mxu_point = kernel_sweep[-1]
+
+    # --- fused lifted-structured kernel (online logsumexp) ---------------
+    from multimodal_similarity_tpu.ops.pallas import lifted_loss_pallas
 
     n_mine, d_mine = 8192, 128
     emb_big = jax.random.normal(jax.random.PRNGKey(3), (n_mine, d_mine))
     lab_big = jnp.asarray(
         np.random.RandomState(1).randint(0, 8, size=n_mine))
-    kern = jax.jit(
-        lambda e: fused_batch_hard_stats(e, lab_big, None)[0].sum())
-    float(kern(emb_big))
-    best = 0.0
-    for _ in range(3):
-        t0 = time.time()
-        for _ in range(20):
-            r = kern(emb_big)
-        float(r)
-        best = max(best, 20 / (time.time() - t0))
-    kernel_gflops = 2 * n_mine * n_mine * d_mine / 1e9 * best
-
-    # --- fused lifted-structured kernel (online logsumexp) ---------------
-    from multimodal_similarity_tpu.ops.pallas import lifted_loss_pallas
-
-    lk = jax.jit(lambda e: lifted_loss_pallas(e, lab_big, 0.5, True,
-                                              block=512)[0])
-    float(lk(emb_big))
-    best_l = 0.0
-    for _ in range(3):
-        t0 = time.time()
-        for _ in range(10):
-            r = lk(emb_big)
-        float(r)
-        best_l = max(best_l, 10 / (time.time() - t0))
-    lifted_gflops = 2 * n_mine * n_mine * d_mine / 1e9 * best_l
+    lk = timed_chain(
+        lambda e, c: lifted_loss_pallas(e + c * 1e-20, lab_big, 0.5, True,
+                                        block=512)[0])
+    rate_l = best_rate(lk, emb_big, 3)
+    lifted_gflops = 2 * n_mine * n_mine * d_mine / 1e9 * rate_l
 
     result = {
         "metric": "fused_train_step_events_per_sec",
@@ -193,7 +246,10 @@ def main():
             "fused_step_bf16_features_events_per_sec": round(fused16_eps, 2),
             "reference_style_step_events_per_sec": round(ref_eps, 2),
             "pallas_dist_mining_gflops": round(kernel_gflops, 1),
+            "pallas_mfu_sweep": kernel_sweep,
+            "pallas_mxu_bound_mfu": mxu_point["mfu"],
             "pallas_lifted_gflops": round(lifted_gflops, 1),
+            "pallas_lifted_mfu": round(lifted_gflops / PEAK_GFLOPS, 4),
             "pallas_mining_n": n_mine,
             "n_events": n_events,
             "backend": jax.default_backend(),

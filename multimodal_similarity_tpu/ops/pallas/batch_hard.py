@@ -254,11 +254,19 @@ def _stats_pallas(emb: Array, labels_f: Array, valid_f: Array,
 # Differentiable wrapper
 # ---------------------------------------------------------------------------
 
-def _auto_block(d: int) -> int:
-    """Largest tile that keeps the [TM, TN] working set well inside VMEM."""
-    if d <= 128:
-        return 1024
-    return 512
+def _auto_block(d: int, precision: str = "bf16") -> int:
+    """Largest tile that keeps the [TM, TN] working set well inside VMEM.
+
+    Measured on v5e (BENCH methodology, chained dispatch): at d=1024 a
+    1024-tile runs the kernel at 49%/75% MFU (N=8192/16384) vs 29%/55%
+    with a 512-tile — the bigger operand tile amortizes per-grid-step
+    overhead and MXU weight loads.  bf16 operands at block=1024, d=1024:
+    2 x 2 MB tiles double-buffered + a 2 MB elementwise tile ~ 10 MB,
+    inside the 16 MB VMEM budget; f32 doubles that, so it stays at 512.
+    """
+    if precision != "bf16":
+        return 1024 if d <= 128 else 512
+    return 1024 if d <= 1024 else 512
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -276,7 +284,7 @@ def fused_batch_hard_stats(emb: Array, labels: Array,
     winner indices are only computed when the VJP needs them.
     """
     if not block:
-        block = _auto_block(emb.shape[1])
+        block = _auto_block(emb.shape[1], precision)
     emb32 = emb.astype(jnp.float32)
     labels_f = labels.reshape(-1).astype(jnp.float32)
     n = emb32.shape[0]
@@ -287,7 +295,7 @@ def fused_batch_hard_stats(emb: Array, labels: Array,
 
 def _stats_impl(emb, labels, valid, block, precision="bf16"):
     if not block:
-        block = _auto_block(emb.shape[1])
+        block = _auto_block(emb.shape[1], precision)
     emb = emb.astype(jnp.float32)
     labels_f = labels.reshape(-1).astype(jnp.float32)
     n = emb.shape[0]
