@@ -26,6 +26,11 @@ from multimodal_similarity_tpu.models.heads import (
     PairSim2,
     score_all_pairs,
 )
+from multimodal_similarity_tpu.models.inception_v2 import (
+    InceptionV2,
+    graft_slim_npz,
+    graft_slim_variables,
+)
 from multimodal_similarity_tpu.models.lstm import LSTM, BiLSTM, TFLSTMCell
 
 
@@ -59,5 +64,6 @@ __all__ = [
     "TSN", "RTSN", "ConvTSN", "ConvRTSN", "ConvBiRTSN", "ConvLSTM",
     "ConvTSNClassifier", "Seq2seqTSN", "SAE", "OutputLayer", "CUBLayer",
     "PairSim", "PairSim2", "PDDM", "score_all_pairs",
+    "InceptionV2", "graft_slim_variables", "graft_slim_npz",
     "LSTM", "BiLSTM", "TFLSTMCell", "build_encoder",
 ]

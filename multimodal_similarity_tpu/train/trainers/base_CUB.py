@@ -7,11 +7,16 @@ mylifted (networks.lifted_loss unweighted)}; class-balanced batches of 5-10
 images per class.  debug_CUB.py (reference :146-314) is the same harness
 under a debug config — exposed here as ``debug=True``.
 
-The reference's ImageNet-pretrained InceptionV2 checkpoint is not bundled
-(zero-egress build); the backbone is a compact conv net under the
-``InceptionV2`` param scope so a converted checkpoint can be grafted in
-later, and the 0.1x pretrained-branch gradient scale applies to that scope
-(train/state.py PRETRAINED_BRANCH_SCOPES).
+Backbones (--network): ``inception_v2`` builds the architecture-exact
+slim InceptionV2 tower (models/inception_v2.py, reference
+networks.py:916-947) with batch-norm statistics threaded through training
+and an optional slim-checkpoint graft (``slim_checkpoint=`` .npz of slim
+variable names -> arrays); any other value uses the compact ConvBackbone
+stand-in (fast CPU smoke path).  Either way the tower lives under the
+``InceptionV2`` param scope, so the reference's 0.1x pretrained-branch
+gradient scale applies (train/state.py PRETRAINED_BRANCH_SCOPES;
+reference utils.py:27-38) and ImageNet weights graft the moment a
+converted checkpoint is mounted (zero-egress build: none bundled).
 """
 
 from __future__ import annotations
@@ -78,6 +83,7 @@ def _random_crop(key, images, crop: int):
 
 def train(cfg: TrainConfig, data: Optional[dict] = None,
           crop: int = 56, debug: bool = False,
+          slim_checkpoint: Optional[str] = None,
           result_dir: Optional[str] = None):
     """``data`` must hold image_train [N,H,W,3] float in [0,1], label_train,
     image_test, label_test (or cfg.DATA_ROOT contains the .npy files)."""
@@ -99,13 +105,23 @@ def train(cfg: TrainConfig, data: Optional[dict] = None,
     for i, l in enumerate(labels):
         class_idx_dict.setdefault(int(l), []).append(i)
 
-    backbone = ConvBackbone()
+    use_inception = cfg.network == "inception_v2"
+    if use_inception:
+        from multimodal_similarity_tpu.models import (
+            InceptionV2, graft_slim_npz)
+        backbone = InceptionV2()
+    else:
+        backbone = ConvBackbone()
     head = CUBLayer(n_output=cfg.emb_dim, keep_prob=cfg.keep_prob)
 
     key = jax.random.PRNGKey(cfg.seed)
     x0 = jnp.asarray(images[:2, :crop, :crop])
+    bvars = backbone.init(key, x0)
+    if use_inception and slim_checkpoint:
+        bvars = graft_slim_npz(bvars, slim_checkpoint)
+    bn_stats = bvars.get("batch_stats", {})
     params = {
-        "InceptionV2": backbone.init(key, x0)["params"],
+        "InceptionV2": bvars["params"],
         "CUBLayer": head.init(key, jnp.zeros((2, 1024)))["params"],
     }
     state = TrainState.create(params, build_optimizer(cfg.optimizer,
@@ -114,13 +130,21 @@ def train(cfg: TrainConfig, data: Optional[dict] = None,
     loss_kind = cfg.loss
 
     def make_step():
-        def step(state, images_b, labels_b, key, learning_rate):
+        def step(state, bn_stats, images_b, labels_b, key, learning_rate):
             k_crop, k_drop = jax.random.split(key)
 
             def loss_fn(params):
                 x = _random_crop(k_crop, images_b, crop)
-                pool = backbone.apply({"params": params["InceptionV2"]}, x,
-                                      train=True)
+                if use_inception:
+                    pool, new_vars = backbone.apply(
+                        {"params": params["InceptionV2"],
+                         "batch_stats": bn_stats},
+                        x, train=True, mutable=["batch_stats"])
+                    new_bn = new_vars["batch_stats"]
+                else:
+                    pool = backbone.apply(
+                        {"params": params["InceptionV2"]}, x, train=True)
+                    new_bn = bn_stats
                 emb = head.apply({"params": params["CUBLayer"]}, pool,
                                  train=True, rngs={"dropout": k_drop})
                 if cfg.normalized:
@@ -148,24 +172,30 @@ def train(cfg: TrainConfig, data: Optional[dict] = None,
                 total = metric
                 if cfg.lambda_l2:
                     total = total + cfg.lambda_l2 * l2_regularization(params)
-                return total, {"loss": total, "metric_loss": metric}
+                return total, ({"loss": total, "metric_loss": metric},
+                               new_bn)
 
-            (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params)
+            (_, (aux, new_bn)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
             return (state.apply_gradients(grads,
-                                          learning_rate=learning_rate), aux)
+                                          learning_rate=learning_rate),
+                    new_bn, aux)
 
         return jax.jit(step)
 
     step_fn = make_step()
 
     @jax.jit
-    def embed(params, images_b):
+    def embed(params, bn_stats, images_b):
         # center crop at eval
         h = images_b.shape[1]
         off = (h - crop) // 2
         x = (images_b[:, off:off + crop, off:off + crop] - 0.5) * 2.0
-        pool = backbone.apply({"params": params["InceptionV2"]}, x)
+        if use_inception:
+            pool = backbone.apply({"params": params["InceptionV2"],
+                                   "batch_stats": bn_stats}, x)
+        else:
+            pool = backbone.apply({"params": params["InceptionV2"]}, x)
         emb = head.apply({"params": params["CUBLayer"]}, pool)
         return l2_normalize(emb) if cfg.normalized else emb
 
@@ -178,12 +208,13 @@ def train(cfg: TrainConfig, data: Optional[dict] = None,
                                     cfg.static_epochs, max_epochs)
         idx = sample_cub_batch(class_idx_dict, batch, rng_np)
         key, k = jax.random.split(key)
-        state, aux = step_fn(state, jnp.asarray(images[idx]),
-                             jnp.asarray(labels[idx]), k, jnp.float32(lr))
+        state, bn_stats, aux = step_fn(
+            state, bn_stats, jnp.asarray(images[idx]),
+            jnp.asarray(labels[idx]), k, jnp.float32(lr))
         logger.log(int(state.step), {k2: float(v) for k2, v in aux.items()})
         if (epoch + 1) % max(max_epochs // 5, 1) == 0 \
                 or epoch == max_epochs - 1:
-            val_emb = np.asarray(embed(state.params,
+            val_emb = np.asarray(embed(state.params, bn_stats,
                                        jnp.asarray(val_images)))
             mAP, _, recalls = retrieval_metrics_device(val_emb, val_labels)
             metrics = {"val_mAP": mAP, "val_recall@1": recalls[1]}
@@ -191,7 +222,8 @@ def train(cfg: TrainConfig, data: Optional[dict] = None,
             if not cfg.silent_mode:
                 print(f"[{cfg.name}] step {int(state.step)} "
                       f"R@1 {recalls[1]:.4f}")
-            ckpt.save(state, int(state.step))
+            ckpt.save({"state": state, "batch_stats": bn_stats},
+                      int(state.step))
 
     logger.close()
     return state, metrics, result_dir
