@@ -26,6 +26,10 @@ from multimodal_similarity_tpu.models.heads import (
     PairSim2,
     score_all_pairs,
 )
+from multimodal_similarity_tpu.models.inception_resnet_v2 import (
+    InceptionResNetV2,
+)
+from multimodal_similarity_tpu.models.inception_v1 import InceptionV1
 from multimodal_similarity_tpu.models.inception_v2 import (
     InceptionV2,
     graft_slim_npz,
@@ -64,6 +68,7 @@ __all__ = [
     "TSN", "RTSN", "ConvTSN", "ConvRTSN", "ConvBiRTSN", "ConvLSTM",
     "ConvTSNClassifier", "Seq2seqTSN", "SAE", "OutputLayer", "CUBLayer",
     "PairSim", "PairSim2", "PDDM", "score_all_pairs",
-    "InceptionV2", "graft_slim_variables", "graft_slim_npz",
+    "InceptionV2", "InceptionV1", "InceptionResNetV2",
+    "graft_slim_variables", "graft_slim_npz",
     "LSTM", "BiLSTM", "TFLSTMCell", "build_encoder",
 ]

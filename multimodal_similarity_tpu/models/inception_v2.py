@@ -22,7 +22,7 @@ update them.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax.numpy as jnp
 import numpy as np
@@ -138,91 +138,20 @@ class InceptionV2(nn.Module):
 
 
 # ---------------------------------------------------------------------------
-# slim checkpoint grafting
+# slim checkpoint grafting (generic machinery in models/slim_graft.py)
 # ---------------------------------------------------------------------------
 
-def _slim_to_flax(slim_name: str) -> Optional[Tuple[str, ...]]:
-    """Map one slim variable name to (collection, module, param) or None
-    for variables that have no trunk counterpart (Logits / optimizer
-    slots)."""
-    name = slim_name
-    if name.startswith("InceptionV2/"):
-        name = name[len("InceptionV2/"):]
-    if name.startswith("Logits") or "/ExponentialMovingAverage" in name \
-            or name.endswith(("/Momentum", "/RMSProp", "/RMSProp_1",
-                              "/Adam", "/Adam_1")) or name == "global_step":
-        return None
-    parts = name.split("/")
-    leaf = parts[-1]
-    if leaf == "depthwise_weights":
-        return ("params", "_".join(parts[:-1]) + "_depthwise", "kernel")
-    if leaf == "pointwise_weights":
-        return ("params", "_".join(parts[:-1]) + "_pointwise", "kernel")
-    if leaf == "weights":
-        return ("params", "_".join(parts[:-1]), "kernel")
-    if leaf == "biases":
-        return ("params", "_".join(parts[:-1]), "bias")
-    if len(parts) >= 2 and parts[-2] == "BatchNorm":
-        scope = "_".join(parts[:-2]) + "_BatchNorm"
-        if leaf == "beta":
-            return ("params", scope, "bias")
-        if leaf == "gamma":
-            return ("params", scope, "scale")
-        if leaf == "moving_mean":
-            return ("batch_stats", scope, "mean")
-        if leaf == "moving_variance":
-            return ("batch_stats", scope, "var")
-    raise KeyError(f"unrecognized slim variable: {slim_name}")
+from multimodal_similarity_tpu.models import slim_graft as _graft
 
 
 def graft_slim_variables(variables: Dict[str, Any],
                          slim_vars: Dict[str, np.ndarray]) -> Dict[str, Any]:
     """Graft a slim InceptionV2 checkpoint (name -> array dict, e.g. from
-    an .npz conversion of inception_v2.ckpt) into this module's variables.
-
-    ``variables`` is the dict returned by ``InceptionV2().init(...)``
-    (collections ``params`` and ``batch_stats``).  Every trunk variable in
-    ``slim_vars`` must land (shape-checked); every flax parameter must be
-    covered — partial grafts raise.  Returns a new variables dict.
-    """
-    params = {k: dict(v) for k, v in variables["params"].items()}
-    stats = {k: dict(v) for k, v in variables["batch_stats"].items()}
-    out = {"params": params, "batch_stats": stats}
-    covered = {("params", m, p): False
-               for m, d in params.items() for p in d}
-    covered.update({("batch_stats", m, p): False
-                    for m, d in stats.items() for p in d})
-
-    for slim_name, value in slim_vars.items():
-        dest = _slim_to_flax(slim_name)
-        if dest is None:
-            continue
-        coll, module, leaf = dest
-        tree = out[coll]
-        if module not in tree or leaf not in tree[module]:
-            raise KeyError(f"{slim_name} -> {dest}: no such flax parameter")
-        value = np.asarray(value)
-        if slim_name.split("/")[-1] == "depthwise_weights":
-            # slim depthwise [H, W, C, M] -> flax grouped-conv kernel
-            # [H, W, 1, C*M] (output channel ordering c*M + m matches
-            # tf.nn.depthwise_conv2d)
-            h, w, c, m = value.shape
-            value = value.reshape(h, w, 1, c * m)
-        want = tuple(np.shape(tree[module][leaf]))
-        if tuple(value.shape) != want:
-            raise ValueError(
-                f"{slim_name}: shape {value.shape} != flax {want}")
-        tree[module][leaf] = jnp.asarray(value)
-        covered[(coll, module, leaf)] = True
-
-    missing = sorted(k for k, v in covered.items() if not v)
-    if missing:
-        raise KeyError(f"slim checkpoint leaves {len(missing)} flax "
-                       f"parameters unset, e.g. {missing[:4]}")
-    return out
+    an .npz conversion of inception_v2.ckpt) into this module's init
+    variables.  See slim_graft.graft_slim_variables."""
+    return _graft.graft_slim_variables(variables, slim_vars, "InceptionV2")
 
 
 def graft_slim_npz(variables: Dict[str, Any], path: str) -> Dict[str, Any]:
     """Graft from an .npz of {slim variable name: array}."""
-    with np.load(path) as data:
-        return graft_slim_variables(variables, dict(data))
+    return _graft.graft_slim_npz(variables, path, "InceptionV2")

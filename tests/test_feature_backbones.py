@@ -1,0 +1,258 @@
+"""Feature-extraction backbones: InceptionV1 / InceptionResNetV2 + the
+frames -> features -> train pipeline.
+
+Reference: preprocess/feat_extract_ResNetV2.py:10-143 (8x8x1536 conv
+maps) and feat_extract_GoogleNet.py:10-45 (1024-d pools).
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multimodal_similarity_tpu.models.inception_resnet_v2 import (
+    ENDPOINT_CHANNELS as IRV2_CHANNELS, InceptionResNetV2)
+from multimodal_similarity_tpu.models.inception_v1 import (
+    ENDPOINT_CHANNELS as IV1_CHANNELS, InceptionV1)
+from multimodal_similarity_tpu.models.slim_graft import (
+    graft_slim_variables, slim_to_flax)
+
+
+def test_inception_v1_contract_shapes_and_params():
+    """Slim endpoint channels + trunk param count at the 224 contract,
+    via eval_shape (no compute)."""
+    m = InceptionV1(capture_endpoints=True)
+    x = jnp.zeros((1, 224, 224, 3))
+    variables = jax.eval_shape(m.init, jax.random.PRNGKey(0), x)
+    pool, eps = jax.eval_shape(lambda v, b: m.apply(v, b), variables,
+                               jnp.zeros((2, 224, 224, 3)))
+    assert pool.shape == (2, 1024)
+    for k, c in IV1_CHANNELS.items():
+        assert eps[k].shape[-1] == c, k
+    assert eps["Mixed_5c"].shape == (2, 7, 7, 1024)
+    n = sum(int(np.prod(p.shape))
+            for p in jax.tree_util.tree_leaves(variables["params"]))
+    assert n == 5_592_624  # slim inception_v1 trunk (kernels + BN betas)
+
+
+def test_inception_resnet_v2_contract_shapes_and_params():
+    """The Honda 'resnet' feature contract: 8x8x1536 conv maps at 299
+    (base_config.py:51), slim endpoint channels, trunk param count."""
+    m = InceptionResNetV2(capture_endpoints=True)
+    x = jnp.zeros((1, 299, 299, 3))
+    variables = jax.eval_shape(m.init, jax.random.PRNGKey(0), x)
+    out, eps = jax.eval_shape(lambda v, b: m.apply(v, b), variables,
+                              jnp.zeros((2, 299, 299, 3)))
+    assert out.shape == (2, 8, 8, 1536)
+    for k, c in IRV2_CHANNELS.items():
+        assert eps[k].shape[-1] == c, k
+    assert eps["Mixed_5b"].shape == (2, 35, 35, 320)
+    assert eps["Mixed_6a"].shape == (2, 17, 17, 1088)
+    n = sum(int(np.prod(p.shape))
+            for p in jax.tree_util.tree_leaves(variables["params"]))
+    assert n == 54_276_192  # slim IRv2 trunk to Conv2d_7b_1x1
+
+
+def _fake_slim_dict(variables, prefix, rng, scale=0.02):
+    """Build a fake slim checkpoint by inverting the forward mapper:
+    for every flax leaf, enumerate every possible slash placement of the
+    module name's underscores and keep the first slim name the forward
+    mapper sends back to that exact leaf.  Exhaustive, so it makes no
+    assumption about which underscores are scope separators."""
+    slim = {}
+
+    def candidates(mod, leaf, coll):
+        if coll == "params" and leaf == "kernel":
+            if mod.endswith("_depthwise"):
+                yield from _slash_variants(mod[: -len("_depthwise")],
+                                           "/depthwise_weights")
+                return
+            if mod.endswith("_pointwise"):
+                yield from _slash_variants(mod[: -len("_pointwise")],
+                                           "/pointwise_weights")
+                return
+            yield from _slash_variants(mod, "/weights")
+        elif coll == "params" and leaf == "bias":
+            if mod.endswith("_BatchNorm"):
+                yield from _slash_variants(mod[: -len("_BatchNorm")],
+                                           "/BatchNorm/beta")
+            else:
+                yield from _slash_variants(mod, "/biases")
+        elif coll == "batch_stats":
+            stat = {"mean": "moving_mean", "var": "moving_variance"}[leaf]
+            yield from _slash_variants(mod[: -len("_BatchNorm")],
+                                       f"/BatchNorm/{stat}")
+
+    def _slash_variants(mod, suffix):
+        # the forward mapper flat-joins scope components with "_", so
+        # slash positions are immaterial; the flat name suffices (real
+        # slim names are pinned separately in
+        # test_real_slim_names_map_to_expected_leaves)
+        yield mod + suffix
+
+    for coll in ("params", "batch_stats"):
+        for mod, leaves in variables.get(coll, {}).items():
+            for leaf, val in leaves.items():
+                placed = False
+                for cand in candidates(mod, leaf, coll):
+                    full = f"{prefix}/{cand}"
+                    try:
+                        dest = slim_to_flax(full, prefix)
+                    except KeyError:
+                        continue
+                    if dest == (coll, mod, leaf):
+                        shape = tuple(val.shape)
+                        if cand.endswith("depthwise_weights"):
+                            h, w, one, cm = shape
+                            shape = (h, w, 3, cm // 3)
+                        arr = (scale * rng.randn(*shape)).astype(np.float32)
+                        if leaf == "var":
+                            arr = np.abs(arr) + 1.0
+                        slim[full] = arr
+                        placed = True
+                        break
+                assert placed, (coll, mod, leaf)
+    return slim
+
+
+@pytest.mark.parametrize("which", ["inception_v1", "inception_resnet_v2"])
+def test_slim_graft_covers_every_parameter(which, rng):
+    """Every flax parameter of both towers is reachable from a slim
+    variable name (coverage is enforced by graft_slim_variables)."""
+    if which == "inception_v1":
+        m, prefix, hw = InceptionV1(), "InceptionV1", 64
+    else:
+        m, prefix, hw = InceptionResNetV2(), "InceptionResnetV2", 75
+    variables = jax.eval_shape(m.init, jax.random.PRNGKey(0),
+                               jnp.zeros((1, hw, hw, 3)))
+    slim = _fake_slim_dict(variables, prefix, rng)
+    real = m.init(jax.random.PRNGKey(0), jnp.zeros((1, hw, hw, 3)))
+    grafted = graft_slim_variables(real, slim, prefix)
+    # spot-check a leaf landed
+    mod = sorted(grafted["params"])[0]
+    leaf = sorted(grafted["params"][mod])[0]
+    assert np.asarray(grafted["params"][mod][leaf]).shape == tuple(
+        np.asarray(real["params"][mod][leaf]).shape)
+
+
+def test_real_slim_names_map_to_expected_leaves():
+    """Literal variable names from the released slim checkpoints must map
+    to the exact flax leaves (pins the naming convention to reality)."""
+    cases = [
+        ("InceptionResnetV2/Repeat_1/block17_12/Branch_1/Conv2d_0b_1x7/"
+         "weights", "InceptionResnetV2",
+         ("params", "Repeat_1_block17_12_Branch_1_Conv2d_0b_1x7", "kernel")),
+        ("InceptionResnetV2/Repeat/block35_3/Conv2d_1x1/biases",
+         "InceptionResnetV2",
+         ("params", "Repeat_block35_3_Conv2d_1x1", "bias")),
+        ("InceptionResnetV2/Conv2d_7b_1x1/BatchNorm/moving_variance",
+         "InceptionResnetV2",
+         ("batch_stats", "Conv2d_7b_1x1_BatchNorm", "var")),
+        ("InceptionV1/Mixed_4e/Branch_2/Conv2d_0b_3x3/BatchNorm/beta",
+         "InceptionV1",
+         ("params", "Mixed_4e_Branch_2_Conv2d_0b_3x3_BatchNorm", "bias")),
+        ("InceptionV1/Conv2d_1a_7x7/weights", "InceptionV1",
+         ("params", "Conv2d_1a_7x7", "kernel")),
+    ]
+    for slim_name, prefix, want in cases:
+        assert slim_to_flax(slim_name, prefix) == want, slim_name
+    # non-trunk names are skipped
+    assert slim_to_flax("InceptionV1/Logits/Conv2d_0c_1x1/weights",
+                        "InceptionV1") is None
+    assert slim_to_flax("InceptionResnetV2/AuxLogits/Conv2d_1b_1x1/weights",
+                        "InceptionResnetV2") is None
+
+
+def test_flax_backbone_fixed_seed_shapes_dtypes(tmp_path):
+    """flax_backbone embed_fns: output shape/dtype contracts on uint8
+    frames, deterministic across calls (fixed init seed)."""
+    from multimodal_similarity_tpu.preprocess.features import flax_backbone
+
+    frames = (np.random.RandomState(0).rand(3, 40, 52, 3) * 255
+              ).astype(np.uint8)
+
+    g = flax_backbone("inception_v1", image_size=64)
+    f1 = g(frames)
+    assert f1.shape == (3, 1024) and f1.dtype == np.float32
+    np.testing.assert_array_equal(f1, flax_backbone(
+        "inception_v1", image_size=64)(frames))
+
+    r = flax_backbone("inception_resnet_v2", image_size=75)
+    f2 = r(frames)
+    assert f2.shape == (3, 1, 1, 1536) and f2.dtype == np.float32
+    assert np.isfinite(f2).all()
+
+    with pytest.raises(NotImplementedError):
+        flax_backbone("nosuchnet")
+
+
+def test_text_features_matches_reference_recipe():
+    from multimodal_similarity_tpu.preprocess.features import text_features
+
+    wv = {"riding": np.ones(4, np.float32),
+          "a": 2 * np.ones(4, np.float32)}
+    rng = np.random.RandomState(0)
+    out = text_features(["riding_a_horse", "unknownword"], wv,
+                        counts=[3, 2], dim=4, noise=0.0, rng=rng)
+    assert out.shape == (5, 4)
+    np.testing.assert_allclose(out[:3], 1.5)   # mean of known words, tiled
+    np.testing.assert_allclose(out[3:], 0.0)   # no known words -> zeros
+
+
+def test_frames_to_features_to_training(tmp_path, rng):
+    """End-to-end: synthetic jpg frames -> InceptionV1 features ->
+    base_model training on the extracted features."""
+    from PIL import Image
+
+    from multimodal_similarity_tpu.configs import TrainConfig
+    from multimodal_similarity_tpu.data import generate_synthetic_honda
+    from multimodal_similarity_tpu.preprocess.features import (
+        extract_sessions, flax_backbone)
+    from multimodal_similarity_tpu.train.trainers import base_model
+
+    root = str(tmp_path / "honda")
+    n_frames = 260
+    generate_synthetic_honda(
+        root, n_sessions=5, frames_per_session=n_frames,
+        modal_dims={"resnet": (4,), "sensors": (8,), "segment": (6,)},
+        # seed 7: the val session has repeated foreground classes, so
+        # leave-one-out retrieval has valid queries (others are NaN-mAP
+        # degenerate by design)
+        class_scale=1.0, noise_scale=1.0, seed=7)
+
+    # frames whose brightness tracks the session index (some signal)
+    sessions = sorted(
+        os.path.splitext(f)[0]
+        for f in os.listdir(os.path.join(root, "features"))
+        if f.endswith(".npy") and "_" not in f)
+    frame_root = str(tmp_path / "frames")
+    for si, sess in enumerate(sessions):
+        d = os.path.join(frame_root, sess)
+        os.makedirs(d)
+        for i in range(n_frames):
+            img = (rng.rand(32, 32, 3) * 100 + si * 30).astype(np.uint8)
+            Image.fromarray(img).save(
+                os.path.join(d, f"frame_{i:06d}.jpg"))
+
+    # overwrite the 'resnet' feature files with真 extracted ones
+    feat_root = os.path.join(root, "features")
+    for sess in sessions:
+        os.remove(os.path.join(feat_root, sess + ".npy"))
+    extract_sessions(sessions, frame_root, feat_root,
+                     flax_backbone("inception_v1", image_size=32),
+                     batch_size=32)
+    got = np.load(os.path.join(feat_root, sessions[0] + ".npy"))
+    assert got.shape == (n_frames, 1024)
+
+    cfg = TrainConfig(DATA_ROOT=root, name="f2t", network="rtsn",
+                      feat="resnet", n_input=1024, emb_dim=16, num_seg=3,
+                      sess_per_batch=2, max_epochs=1, triplet_per_batch=16,
+                      batch_size=16, learning_rate=0.01, keep_prob=1.0,
+                      silent_mode=True, seed=0,
+                      triplet_select="random").resolve()
+    state, metrics, _ = base_model.train(cfg, event_budget=32,
+                                         result_dir=str(tmp_path / "run"))
+    assert int(state.step) >= 1
+    assert np.isfinite(metrics["val_mAP"])
