@@ -37,7 +37,7 @@ def run(cfg: EvalConfig):
 
 def main(argv=None):
     cfg = EvalConfig.parse(argv)
-    run(cfg)
+    return run(cfg)
 
 
 if __name__ == "__main__":
