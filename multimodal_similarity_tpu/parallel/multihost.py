@@ -21,17 +21,29 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def initialize_distributed(coordinator_address=None, num_processes=None,
                            process_id=None) -> None:
     """jax.distributed bootstrap for multi-host runs (no-op when the
-    environment provides the settings, e.g. on Cloud TPU pods)."""
-    if jax.process_count() > 1:
+    environment provides the settings, e.g. on Cloud TPU pods).
+
+    When coordinator settings are passed EXPLICITLY, failure raises: a
+    misconfigured pod run must die loudly, not degrade into N silent
+    single-process trainings.  Only the zero-argument environment-driven
+    form is allowed to fall back (it is a best-effort probe on platforms
+    that may not provide a distributed runtime at all).
+    """
+    # NOTE: probe via the distributed-runtime state, NOT
+    # jax.process_count() — that call initializes the XLA backend, after
+    # which jax.distributed.initialize refuses to run (a latent bug the
+    # old swallow-all except used to hide)
+    if jax.distributed.is_initialized():
         return
-    kwargs = {}
     if coordinator_address is not None:
-        kwargs = dict(coordinator_address=coordinator_address,
-                      num_processes=num_processes, process_id=process_id)
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+        return
     try:
-        jax.distributed.initialize(**kwargs)
+        jax.distributed.initialize()
     except Exception:
-        pass  # single-process / already initialized
+        pass  # single-process / no env-provided cluster config
 
 
 def make_global_batch(mesh: Mesh, local_batch: Any,
