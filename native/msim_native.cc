@@ -151,10 +151,12 @@ struct EventData {
 };
 
 // Parse one SequenceExample payload for a single feature-list key.
+// Untrusted input: ev.ok reflects whether the top-level message walked
+// cleanly — a truncated or malformed record is rejected, not half-read.
 EventData parse_event(const uint8_t* buf, size_t n, const std::string& key) {
   EventData ev;
   Slice root{buf, n};
-  walk(root, [&](uint32_t f, uint32_t w, Slice payload, uint64_t) {
+  bool clean = walk(root, [&](uint32_t f, uint32_t w, Slice payload, uint64_t) {
     if (f == 1 && w == 2) {  // context Features
       walk(payload, [&](uint32_t f2, uint32_t, Slice entry, uint64_t) {
         if (f2 != 1) return;
@@ -163,7 +165,9 @@ EventData parse_event(const uint8_t* buf, size_t n, const std::string& key) {
           if (f3 == 1) name = p3;
           if (f3 == 2) feat = p3;
         });
-        std::string nm(reinterpret_cast<const char*>(name.p), name.n);
+        std::string nm = name.p
+            ? std::string(reinterpret_cast<const char*>(name.p), name.n)
+            : std::string();
         if (nm == "label") decode_int_feature(feat, &ev.label);
         if (nm == "length") decode_int_feature(feat, &ev.length);
       });
@@ -175,7 +179,9 @@ EventData parse_event(const uint8_t* buf, size_t n, const std::string& key) {
           if (f3 == 1) name = p3;
           if (f3 == 2) flist = p3;
         });
-        std::string nm(reinterpret_cast<const char*>(name.p), name.n);
+        std::string nm = name.p
+            ? std::string(reinterpret_cast<const char*>(name.p), name.n)
+            : std::string();
         if (nm != key) return;
         walk(flist, [&](uint32_t f4, uint32_t, Slice feature, uint64_t) {
           if (f4 == 1) decode_float_feature(feature, &ev.frames);
@@ -183,7 +189,7 @@ EventData parse_event(const uint8_t* buf, size_t n, const std::string& key) {
       });
     }
   });
-  ev.ok = true;
+  ev.ok = clean;
   return ev;
 }
 
@@ -191,17 +197,24 @@ EventData parse_event(const uint8_t* buf, size_t n, const std::string& key) {
 bool read_tfrecord_file(const char* path, std::vector<uint8_t>* record) {
   FILE* f = fopen(path, "rb");
   if (!f) return false;
+  // untrusted framing: a CRC-valid header can still claim an absurd
+  // length — bound the allocation by what the file can actually hold
+  // (header 8 + header crc 4 + payload + payload crc 4)
+  fseek(f, 0, SEEK_END);
+  int64_t file_size = ftell(f);
+  fseek(f, 0, SEEK_SET);
   uint8_t header[8];
   uint8_t crcbuf[4];
   bool got = false;
   // one event per file in the on-disk contract; read the first record
-  if (fread(header, 1, 8, f) == 8) {
+  if (file_size >= 16 && fread(header, 1, 8, f) == 8) {
     uint64_t len;
     memcpy(&len, header, 8);
     if (fread(crcbuf, 1, 4, f) == 4) {
       uint32_t hcrc;
       memcpy(&hcrc, crcbuf, 4);
-      if (masked_crc(header, 8) == hcrc && len < (1ull << 33)) {
+      if (masked_crc(header, 8) == hcrc &&
+          len <= static_cast<uint64_t>(file_size) - 16) {
         record->resize(len);
         if (fread(record->data(), 1, len, f) == len &&
             fread(crcbuf, 1, 4, f) == 4) {

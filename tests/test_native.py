@@ -100,3 +100,124 @@ def test_loader_native_path_matches_python(tmp_path, rng):
         python_batch = next(iter(loader.epoch()))
     for k in ("features", "seq_len", "labels", "mask"):
         np.testing.assert_array_equal(native_batch[k], python_batch[k])
+
+
+# ---------------------------------------------------------------------------
+# Adversarial inputs: the native parser consumes untrusted bytes with a
+# hand-rolled proto walker — malformed framing and payloads must produce
+# clean skips (ok count excludes them, zeroed outputs), never crashes.
+# ---------------------------------------------------------------------------
+
+def _frame(payload: bytes) -> bytes:
+    """Valid TFRecord framing around an arbitrary (possibly bogus) payload."""
+    import struct
+
+    from multimodal_similarity_tpu.data.tfrecords import _masked_crc
+    header = struct.pack("<Q", len(payload))
+    return (header + struct.pack("<I", _masked_crc(header))
+            + payload + struct.pack("<I", _masked_crc(payload)))
+
+
+def _good_record(rng, label=1, t=4, d=8) -> bytes:
+    frames = rng.randn(t, d).astype(np.float32)
+    return encode_sequence_example(
+        {"label": label, "length": t, "session_id": "s", "event_id": 0},
+        {"sensors": frames})
+
+
+@needs_native
+def test_native_rejects_malformed_inputs(tmp_path, rng):
+    """Table of hostile files: every one must be skipped cleanly."""
+    import struct
+
+    from multimodal_similarity_tpu.data.tfrecords import _masked_crc
+
+    good = _good_record(rng)
+    header8 = struct.pack("<Q", 1 << 40)  # 1 TiB claim, CRC-valid header
+    cases = {
+        "empty": b"",
+        "short": b"\x01\x02\x03",
+        "garbage_no_framing": bytes(rng.bytes(64)),
+        # framing CRC failures
+        "bad_header_crc": struct.pack("<QI", len(good), 0xDEADBEEF)
+            + good + struct.pack("<I", _masked_crc(good)),
+        "bad_payload_crc": struct.pack("<Q", len(good))
+            + struct.pack("<I", _masked_crc(struct.pack("<Q", len(good))))
+            + good + struct.pack("<I", 0),
+        # CRC-valid header claiming far more bytes than the file holds
+        # (must not attempt a 1 TiB allocation)
+        "oversized_length": header8
+            + struct.pack("<I", _masked_crc(header8)) + b"xx",
+        "truncated_payload": _frame(good)[: len(_frame(good)) // 2],
+        # CRC-valid framing around protobuf garbage
+        "crc_valid_garbage": _frame(bytes(rng.bytes(100))),
+        # unterminated varint (10 continuation bytes)
+        "malformed_varint": _frame(b"\xFF" * 10),
+        # wire type 2 with length pointing past the payload end
+        "overlong_field": _frame(b"\x0a\xff\x01" + b"z" * 4),
+        # wire type 7 (invalid)
+        "bad_wire_type": _frame(b"\x0f\x01"),
+        # deeply nested length-delimited fields
+        "deep_nesting": _frame(_nested(120)),
+    }
+    paths = []
+    for name, blob in cases.items():
+        p = str(tmp_path / f"{name}.tfrecords")
+        with open(p, "wb") as f:
+            f.write(blob)
+        paths.append(p)
+    # plus one genuinely missing file and one good file
+    paths.append(str(tmp_path / "does_not_exist.tfrecords"))
+    good_path = str(tmp_path / "good.tfrecords")
+    write_tfrecord(good_path, [good])
+    paths.append(good_path)
+
+    out, seq_len, labels, ok = native_load_event_batch(
+        paths, "sensors", max_time=8, feat_dim=8)
+    # only the good file carries data; "deep_nesting" is structurally
+    # valid protobuf with no feature data, so it parses as an empty
+    # event (counted ok, zero frames) — everything hostile is skipped
+    assert ok == 2
+    # hostile rows are zeroed with the default seq_len/label
+    for i in range(len(paths) - 1):
+        assert labels[i] == 0, paths[i]
+        np.testing.assert_array_equal(out[i], 0.0)
+    assert labels[-1] == 1
+    assert seq_len[-1] == 4
+    assert np.abs(out[-1][:4]).sum() > 0
+
+
+def _nested(depth: int) -> bytes:
+    """field 1, wire 2, nested `depth` levels deep."""
+    body = b"\x08\x01"  # innermost: field 1 varint 1
+    for _ in range(depth):
+        out = bytearray()
+        out += b"\x0a"
+        # varint length
+        n = len(body)
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            out.append(b | (0x80 if n else 0))
+            if not n:
+                break
+        out += body
+        body = bytes(out)
+    return body
+
+
+@needs_native
+def test_native_truncated_float_list_is_safe(tmp_path, rng):
+    """A float list whose byte length is not a multiple of 4 must not
+    over-read (count floors) and still parses the rest of the record."""
+    good = _good_record(rng, label=3, t=2, d=4)
+    # append a feature_lists entry with a ragged float payload
+    ragged = b"\x12\x09\x0a\x07\x12\x05\x0a\x03abc"
+    blob = _frame(good + ragged)
+    p = str(tmp_path / "ragged.tfrecords")
+    with open(p, "wb") as f:
+        f.write(blob)
+    out, seq_len, labels, ok = native_load_event_batch(
+        [p], "sensors", max_time=4, feat_dim=4)
+    assert ok == 1
+    assert labels[0] == 3
