@@ -48,6 +48,8 @@ from multimodal_similarity_tpu.train.trainer import (
 )
 from multimodal_similarity_tpu.utils.logging import (
     MetricsLogger,
+    write_projector_config,
+    write_projector_embedding,
     write_projector_metadata,
 )
 
@@ -209,6 +211,9 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
         metrics, val_emb = validate(embed_fn, state.params, val_feats,
                                     val_labels)
         logger.log(int(state.step), metrics)
+        # per-epoch embedding-projector refresh (base_model.py:316-320)
+        write_projector_embedding(result_dir, np.asarray(val_emb))
+        write_projector_config(result_dir)
         if not cfg.silent_mode:
             print(f"[{cfg.name}] epoch {epoch + 1} "
                   f"val mAP {metrics['val_mAP']:.4f} "

@@ -45,6 +45,36 @@ class MetricsLogger:
             self._tb.close()
 
 
+def write_projector_embedding(result_dir: str, embeddings,
+                              filename: str = "embedding_val.tsv") -> str:
+    """Embedding values TSV for the TensorBoard projector."""
+    path = os.path.join(result_dir, filename)
+    with open(path, "w") as fout:
+        for row in embeddings:
+            fout.write("\t".join(f"{v:.6g}" for v in row) + "\n")
+    return path
+
+
+def write_projector_config(result_dir: str,
+                           tensor_filename: str = "embedding_val.tsv",
+                           metadata_filename: str = "metadata_val.tsv",
+                           ) -> str:
+    """projector_config.pbtxt wiring the embedding to its metadata.
+
+    The reference wires the projector to a TF checkpoint variable each
+    epoch (base_model.py:316-320); checkpoints here are flax pytrees, so
+    the config uses the projector's tensor_path TSV form instead — same
+    visualization, no TF variable needed.
+    """
+    path = os.path.join(result_dir, "projector_config.pbtxt")
+    with open(path, "w") as fout:
+        fout.write("embeddings {\n"
+                   f"  tensor_path: \"{tensor_filename}\"\n"
+                   f"  metadata_path: \"{metadata_filename}\"\n"
+                   "}\n")
+    return path
+
+
 def write_projector_metadata(result_dir: str, labels, sessions=None,
                              boundaries=None,
                              filename: str = "metadata_val.tsv") -> str:

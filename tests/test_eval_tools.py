@@ -182,3 +182,66 @@ def test_check_inconsistent_pddm_head(setup, tmp_path):
     import os
     assert os.path.exists(os.path.join(str(tmp_path / "pd2"),
                                        "inconsistent_pddm.pkl"))
+
+
+def test_analysis_tools(setup, tmp_path, capsys):
+    """analysis.py: label stats, confusion formatting, results summary,
+    CLI (notebooks/parse_results.ipynb + check_label.ipynb equivalents)."""
+    from multimodal_similarity_tpu.eval import analysis, evaluate_model
+
+    root, ckpt = setup
+    cfg = EvalConfig(DATA_ROOT=root, model_path=ckpt, network="rtsn",
+                     feat="sensors", n_input=8, emb_dim=16).resolve()
+    evaluate_model.run(cfg)
+    pkl = os.path.join(os.path.dirname(ckpt), "results.pkl")
+
+    # label stats table
+    table = analysis.label_distribution(np.array([0, 1, 1, 3, 3, 3]))
+    assert "fraction" in table
+    assert any(line.split()[:2] == ["3", "3"] for line in table.splitlines()[1:])
+
+    # summary over a REAL results.pkl
+    text = analysis.summarize_results(pkl)
+    assert "mAP" in text and "Recall@1" in text and "per-class mAP" in text
+
+    # CLI prints the same summary and writes the PNG when matplotlib exists
+    png = str(tmp_path / "conf.png")
+    analysis.main([pkl, "--png", png])
+    out = capsys.readouterr().out
+    assert "mAP" in out
+    try:
+        import matplotlib  # noqa: F401
+        assert os.path.exists(png)
+    except ImportError:
+        assert "matplotlib unavailable" in out
+
+
+def test_format_confusion_golden():
+    from multimodal_similarity_tpu.eval.analysis import format_confusion
+
+    conf = {"confusion_matrix": np.array([[0.8, 0.2], [0.3, 0.7]]),
+            "labels": [1, 2]}
+    text = format_confusion(conf)
+    lines = text.splitlines()
+    assert lines[0].split() == ["1", "2"]
+    assert lines[1].split() == ["1", "0.800", "0.200"]
+    assert lines[2].split() == ["2", "0.300", "0.700"]
+
+
+def test_projector_artifacts(tmp_path):
+    """Per-epoch projector emission: embedding TSV + pbtxt config wired to
+    the metadata (reference base_model.py:316-320)."""
+    from multimodal_similarity_tpu.utils.logging import (
+        write_projector_config, write_projector_embedding,
+        write_projector_metadata)
+
+    emb = np.arange(6, dtype=np.float32).reshape(2, 3)
+    d = str(tmp_path)
+    write_projector_metadata(d, np.array([[1], [2]]))
+    p1 = write_projector_embedding(d, emb)
+    p2 = write_projector_config(d)
+    rows = [l.split("\t") for l in open(p1).read().strip().split("\n")]
+    assert [[float(v) for v in r] for r in rows] == [[0, 1, 2], [3, 4, 5]]
+    cfgtext = open(p2).read()
+    assert 'tensor_path: "embedding_val.tsv"' in cfgtext
+    assert 'metadata_path: "metadata_val.tsv"' in cfgtext
