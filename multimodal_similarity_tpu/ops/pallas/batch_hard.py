@@ -269,16 +269,38 @@ def _auto_block(d: int, precision: str = "bf16") -> int:
     return 1024 if d <= 1024 else 512
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _use_triangular(n: int, d: int, block: int, algo: str) -> bool:
+    """auto -> triangular only where the kernel is MXU-bound.
+
+    The triangular pass halves the MXU contraction work but NOT the VPU
+    reduction work (each off-diagonal tile is reduced along both axes),
+    and adds accumulator read-modify-writes.  Measured on v5e (bf16,
+    auto blocks): d=128 tri is 0.80x row, d=256 0.88x — VPU-bound, row
+    wins; d=1024 tri is 1.09x (N=8192) / 1.19x (N=16384) — MXU-bound,
+    tri wins.  Crossover sits between d=256 and d=1024; gate at 512.
+    Also needs >= 4 tiles for the halved work to outweigh the RMWs.
+    """
+    if algo == "tri":
+        return True
+    if algo == "row":
+        return False
+    n_tiles = -(-n // block)
+    return d >= 512 and n_tiles >= 4
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_batch_hard_stats(emb: Array, labels: Array,
                            valid: Optional[Array] = None,
-                           block: int = 0, precision: str = "bf16"):
+                           block: int = 0, precision: str = "bf16",
+                           algo: str = "auto"):
     """-> (furthest_positive [N], closest_negative [N], neg_count [N]).
 
     Squared-euclidean distances; labels int; ``valid`` masks padding rows
     out of the positive/negative candidate sets.  Differentiable w.r.t.
     ``emb`` through each row's winning pair only.  precision: "bf16"
     (default, matches XLA's TPU matmul default) | "f32" (exact).
+    algo: "auto" | "row" (full-matrix tile stream) | "tri" (triangular —
+    half the MXU work; see batch_hard_tri.py).
 
     The primal (no-grad) path skips the argmax/argmin winner tracking —
     winner indices are only computed when the VJP needs them.
@@ -290,10 +312,15 @@ def fused_batch_hard_stats(emb: Array, labels: Array,
     n = emb32.shape[0]
     valid_f = (jnp.ones(n, jnp.float32) if valid is None
                else valid.reshape(-1).astype(jnp.float32))
+    if _use_triangular(n, emb.shape[1], block, algo):
+        from multimodal_similarity_tpu.ops.pallas.batch_hard_tri import (
+            _stats_tri)
+        return _stats_tri(emb32, labels_f, valid_f, block, precision,
+                          with_idx=False)
     return _stats_pallas_noidx(emb32, labels_f, valid_f, block, precision)
 
 
-def _stats_impl(emb, labels, valid, block, precision="bf16"):
+def _stats_impl(emb, labels, valid, block, precision="bf16", algo="auto"):
     if not block:
         block = _auto_block(emb.shape[1], precision)
     emb = emb.astype(jnp.float32)
@@ -301,15 +328,21 @@ def _stats_impl(emb, labels, valid, block, precision="bf16"):
     n = emb.shape[0]
     valid_f = (jnp.ones(n, jnp.float32) if valid is None
                else valid.reshape(-1).astype(jnp.float32))
+    if _use_triangular(n, emb.shape[1], block, algo):
+        from multimodal_similarity_tpu.ops.pallas.batch_hard_tri import (
+            _stats_tri)
+        return _stats_tri(emb, labels_f, valid_f, block, precision,
+                          with_idx=True)
     return _stats_pallas(emb, labels_f, valid_f, block, precision)
 
 
-def _stats_fwd(emb, labels, valid, block, precision):
-    fp, cn, nc, fpi, cni = _stats_impl(emb, labels, valid, block, precision)
+def _stats_fwd(emb, labels, valid, block, precision, algo):
+    fp, cn, nc, fpi, cni = _stats_impl(emb, labels, valid, block,
+                                       precision, algo)
     return (fp, cn, nc), (emb.astype(jnp.float32), fp, cn, fpi, cni)
 
 
-def _stats_bwd(block, precision, res, grads):
+def _stats_bwd(block, precision, algo, res, grads):
     emb, fp, cn, fpi, cni = res
     g_fp, g_cn, _ = grads
     n = emb.shape[0]
@@ -333,7 +366,8 @@ fused_batch_hard_stats.defvjp(_stats_fwd, _stats_bwd)
 
 def batch_hard_pallas(emb: Array, pids: Array, margin="soft",
                       weighted: bool = True, valid: Optional[Array] = None,
-                      block: int = 0, precision: str = "bf16"):
+                      block: int = 0, precision: str = "bf16",
+                      algo: str = "auto"):
     """Batch-hard loss from embeddings via the fused kernel.
 
     Same return tuple as ops.losses.batch_hard: (loss, num_active, diff,
@@ -343,7 +377,7 @@ def batch_hard_pallas(emb: Array, pids: Array, margin="soft",
     valid_f = (jnp.ones(n, jnp.float32) if valid is None
                else valid.reshape(-1).astype(jnp.float32))
     fp, cn, neg_count = fused_batch_hard_stats(emb, pids, valid, block,
-                                               precision)
+                                               precision, algo)
 
     diff = fp - cn
     if margin == "soft":

@@ -110,6 +110,83 @@ def test_fused_stats_bf16_close(rng):
                                rtol=5e-2, atol=5e-2)
 
 
+def _dense_stats(emb, labels, valid=None):
+    n = emb.shape[0]
+    d = np.asarray(self_distance(emb))
+    lab = np.asarray(labels)
+    same = lab[:, None] == lab[None, :]
+    colmask = np.ones(n, bool) if valid is None else np.asarray(valid) > 0
+    pos_m = same & ~np.eye(n, dtype=bool) & colmask[None, :]
+    neg_m = ~same & colmask[None, :]
+    return (d * pos_m).max(1), np.where(neg_m, d, 1e30).min(1), neg_m.sum(1)
+
+
+@pytest.mark.parametrize("n", [70, 64])
+def test_tri_stats_match_dense(rng, n):
+    emb, labels = _clustered(rng, n=n)
+    fp, cn, nc = fused_batch_hard_stats(emb, labels, None, 16, "f32", "tri")
+    want_fp, want_cn, want_nc = _dense_stats(emb, labels)
+    np.testing.assert_allclose(np.asarray(fp), want_fp, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cn), want_cn, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(nc), want_nc)
+
+
+def test_tri_stats_respect_valid_mask(rng):
+    emb, labels = _clustered(rng, n=70)
+    valid = jnp.array((np.arange(70) < 53).astype(np.float32))
+    fp, cn, nc = fused_batch_hard_stats(emb, labels, valid, 16, "f32", "tri")
+    want_fp, want_cn, want_nc = _dense_stats(emb, labels, valid)
+    np.testing.assert_allclose(np.asarray(fp), want_fp, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cn), want_cn, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(nc), want_nc)
+
+
+def test_tri_loss_and_gradients_match_dense(rng):
+    emb, labels = _clustered(rng, n=70, dim=16)
+    labels = labels.at[:3].set(1)
+    want = batch_hard(self_distance(emb), labels.astype(jnp.float32),
+                      "soft", True)
+    got = batch_hard_pallas(emb, labels, "soft", True, block=16,
+                            precision="f32", algo="tri")
+    np.testing.assert_allclose(float(got[0]), float(want[0]), rtol=1e-4)
+    np.testing.assert_allclose(float(got[1]), float(want[1]), rtol=1e-4)
+
+    def loss_dense(e):
+        return batch_hard(self_distance(e), labels.astype(jnp.float32),
+                          "soft", True)[0]
+
+    def loss_tri(e):
+        return batch_hard_pallas(e, labels, "soft", True, block=16,
+                                 precision="f32", algo="tri")[0]
+
+    g_dense = jax.grad(loss_dense)(emb)
+    g_tri = jax.grad(loss_tri)(emb)
+    np.testing.assert_allclose(np.asarray(g_tri), np.asarray(g_dense),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_tri_bf16_close_to_f32(rng):
+    emb, labels = _clustered(rng, n=80)
+    fp16, cn16, _ = fused_batch_hard_stats(emb, labels, None, 16, "bf16",
+                                           "tri")
+    fp32, cn32, _ = fused_batch_hard_stats(emb, labels, None, 16, "f32",
+                                           "tri")
+    np.testing.assert_allclose(np.asarray(fp16), np.asarray(fp32),
+                               rtol=5e-2, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(cn16), np.asarray(cn32),
+                               rtol=5e-2, atol=5e-2)
+
+
+def test_tri_auto_dispatch(rng):
+    # auto gates tri on d >= 512 and >= 4 tiles; whichever kernel it
+    # picks must match the oracle
+    emb, labels = _clustered(rng, n=70)
+    want_fp, want_cn, _ = _dense_stats(emb, labels)
+    fp, cn, _ = fused_batch_hard_stats(emb, labels, None, 16, "f32", "auto")
+    np.testing.assert_allclose(np.asarray(fp), want_fp, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cn), want_cn, rtol=1e-4, atol=1e-4)
+
+
 def test_fused_lifted_matches_dense(rng):
     from multimodal_similarity_tpu.ops.losses import lifted_loss
     from multimodal_similarity_tpu.ops.pallas.lifted import (
