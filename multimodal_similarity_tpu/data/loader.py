@@ -10,6 +10,8 @@ pad-or-subsample to ``event_budget``.
 
 from __future__ import annotations
 
+import functools
+import inspect
 import os
 import queue
 import threading
@@ -47,13 +49,28 @@ class SessionBatchLoader:
         self.sess_per_batch = sess_per_batch
         self.event_budget = event_budget
         self.num_modalities = len(self.dataset[0]) - 1
+        self.rng = np.random.RandomState(seed)
         if prepare_funcs is None:
             prepare_funcs = [None] * self.num_modalities
-        self.prepare_funcs = list(prepare_funcs)
+        self.prepare_funcs = [self._bind_rng(f) for f in prepare_funcs]
         self.shuffle = shuffle
         self.transfer = transfer
-        self.rng = np.random.RandomState(seed)
         self.prefetch = prefetch
+
+    def _bind_rng(self, func: Optional[Callable]) -> Optional[Callable]:
+        """Bind the loader's seeded RNG into prepare functions that accept
+        an ``rng`` kwarg (e.g. tsn_prepare_input's per-segment sampling) so
+        batch contents are a pure function of the loader seed, not of
+        whatever global np.random state the process happens to be in."""
+        if func is None:
+            return None
+        try:
+            params = inspect.signature(func).parameters
+        except (TypeError, ValueError):
+            return func
+        if "rng" not in params:
+            return func
+        return functools.partial(func, rng=self.rng)
 
     @property
     def batches_per_epoch(self) -> int:

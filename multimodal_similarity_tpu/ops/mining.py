@@ -358,7 +358,7 @@ def select_triplets_facenet(
 
             if len(all_neg) > 0:
                 for _ in range(min(len(all_neg), num_negative)):
-                    neg_idx = int(all_neg[np.random.randint(len(all_neg))])
+                    neg_idx = int(all_neg[rng.randrange(len(all_neg))])
                     triplet_idx.extend([an_idx, pos_idx, neg_idx])
                     if len(triplet_idx) >= triplet_per_batch * 3:
                         return triplet_idx, float(np.mean(neg_counts))
@@ -401,7 +401,7 @@ def select_triplets_random(
                 del foreground[key]
                 continue
             for _ in range(num_negative):
-                neg_idx = int(all_neg[np.random.randint(len(all_neg))])
+                neg_idx = int(all_neg[rng.randrange(len(all_neg))])
                 triplet_idx.extend([an_idx, pos_idx, neg_idx])
     return triplet_idx
 

@@ -12,6 +12,7 @@ Run:  python -m multimodal_similarity_tpu.train.trainers.base_model \
 from __future__ import annotations
 
 import functools
+import random
 import sys
 import time
 from typing import Optional
@@ -138,6 +139,9 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
     _cast = feature_caster(cfg)
 
     metrics = {}
+    # host-side miners draw from a config-seeded stream, independent of
+    # process-global RNG state (keeps host-vs-device A/B runs repeatable)
+    mine_rng = random.Random(cfg.seed)
     epoch = epoch_of_step(int(state.step), batch_per_epoch)
     while epoch < cfg.max_epochs:
         lr = learning_rate_schedule(epoch, cfg.learning_rate,
@@ -177,11 +181,12 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                         jnp.asarray(emb), jnp.asarray(emb)), cfg.metric))
                     idx, _ = select_triplets_facenet(
                         batch["labels"][:n], dists, cfg.triplet_per_batch,
-                        cfg.alpha, cfg.num_negative)
+                        cfg.alpha, cfg.num_negative, rng=mine_rng)
                 else:
                     idx = select_triplets_random(batch["labels"][:n],
                                                  cfg.triplet_per_batch,
-                                                 cfg.num_negative)
+                                                 cfg.num_negative,
+                                                 rng=mine_rng)
                 if not idx:
                     continue
                 t_cap = cfg.triplet_per_batch

@@ -25,8 +25,8 @@ from __future__ import annotations
 
 import functools
 import os
-import pickle
 import random
+import pickle
 import sys
 from typing import Dict, List, Optional
 
@@ -54,9 +54,11 @@ SEGMENT_EMB_DIM = 32
 
 def select_triplets_mul(triplet_input_idx, lab, sim_prob, dist_dict,
                         triplet_per_batch, triplet_per_event=2,
-                        threshold_up=0.65, threshold_down=0.35):
+                        threshold_up=0.65, threshold_down=0.35, rng=None):
     """Hard + structure mining from pseudo-similarities
-    (reference :72-142, semantics-exact)."""
+    (reference :72-142, semantics-exact).  ``rng`` (RandomState) makes the
+    anchor sweep / pair shuffle / far-negative draw repeatable."""
+    rng = rng or np.random
     lab = np.asarray(lab).reshape(-1, 1)
 
     triplet_selected = []
@@ -71,7 +73,7 @@ def select_triplets_mul(triplet_input_idx, lab, sim_prob, dist_dict,
 
     struct_selected: List[tuple] = []
     margins: List[float] = []
-    for i in np.random.permutation(lab.shape[0]):
+    for i in rng.permutation(lab.shape[0]):
         if lab[i] > 0:
             hard_pos = np.where(np.logical_and(
                 adjacency[i], sim_prob[i] < threshold_down))[0]
@@ -92,7 +94,7 @@ def select_triplets_mul(triplet_input_idx, lab, sim_prob, dist_dict,
                 hard_neg = np.array([all_neg[np.nanargmax(sim)]], "int32")
 
             hard_comb = [(hp, hn) for hn in hard_neg for hp in hard_pos]
-            random.shuffle(hard_comb)
+            rng.shuffle(hard_comb)
             for count in range(min(triplet_per_event, len(hard_comb))):
                 hp, hn = hard_comb[count]
                 triplet = (i, hp, hn)
@@ -102,7 +104,7 @@ def select_triplets_mul(triplet_input_idx, lab, sim_prob, dist_dict,
                         np.squeeze(lab) == lab[hn],
                         sim_prob[i] < threshold_down))[0]
                     if len(far_neg):
-                        fn = np.random.choice(far_neg)
+                        fn = rng.choice(far_neg)
                         triplet = (i, hn, fn)
                         if triplet not in struct_selected:
                             struct_selected.append(triplet)
@@ -461,6 +463,10 @@ def train(cfg: TrainConfig, hard_only: bool = False,
     dist_dict = init_dist_dict(val_emb, exp.val_labels, cfg.metric)
 
     metrics = {}
+    # config-seeded host-miner streams: facenet uses a random.Random, the
+    # mul selectors a RandomState — independent of process-global RNG state
+    mine_rng = random.Random(cfg.seed)
+    mul_rng = np.random.RandomState(cfg.seed)
     epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
     while epoch < cfg.max_epochs:
         lr = learning_rate_schedule(epoch, cfg.learning_rate,
@@ -498,7 +504,8 @@ def train(cfg: TrainConfig, hard_only: bool = False,
             dists = cdist(all_diffs(emb, emb), cfg.metric)
             idx, active_count = select_triplets_facenet(
                 batch["labels"][:n], np.asarray(dists),
-                cfg.triplet_per_batch, cfg.alpha, cfg.num_negative)
+                cfg.triplet_per_batch, cfg.alpha, cfg.num_negative,
+                rng=mine_rng)
             if not idx:
                 continue
             triplet_count = len(idx) // 3
@@ -513,13 +520,15 @@ def train(cfg: TrainConfig, hard_only: bool = False,
                     idx, triplet_count, hard_count = \
                         select_triplets_mul_hard(
                             idx, batch["labels"][:n].reshape(-1, 1), sim,
-                            cfg.triplet_per_batch, 3, 0.8, 0.2)
+                            cfg.triplet_per_batch, 3, 0.8, 0.2,
+                            rng=mul_rng)
                     margins, struct_count = [], 0
                 else:
                     idx, margins, triplet_count, hard_count, struct_count = \
                         select_triplets_mul(
                             idx, batch["labels"][:n], sim, dist_dict,
-                            cfg.triplet_per_batch, 3, 0.8, 0.2)
+                            cfg.triplet_per_batch, 3, 0.8, 0.2,
+                            rng=mul_rng)
 
             gather, m_lab, m_hard, m_struct, marg = _pad_triplets(
                 idx, margins,
@@ -573,8 +582,10 @@ def train(cfg: TrainConfig, hard_only: bool = False,
 
 def select_triplets_mul_hard(triplet_input_idx, lab, sim_prob,
                              triplet_per_batch, triplet_per_event=2,
-                             threshold_up=0.65, threshold_down=0.35):
+                             threshold_up=0.65, threshold_down=0.35,
+                             rng=None):
     """Hard-mining-only ablation (multimodal_model_hardonly.py:71-126)."""
+    rng = rng or np.random
     lab = np.asarray(lab).reshape(-1, 1)
     triplet_selected = []
     for i in range(0, len(triplet_input_idx), 3):
@@ -585,7 +596,7 @@ def select_triplets_mul_hard(triplet_input_idx, lab, sim_prob,
     triplet_count = len(triplet_selected)
     adjacency = np.equal(lab, lab.T)
 
-    for i in np.random.permutation(lab.shape[0]):
+    for i in rng.permutation(lab.shape[0]):
         if lab[i] > 0:
             hard_pos = np.where(np.logical_and(
                 adjacency[i], sim_prob[i] < threshold_down))[0]
@@ -604,7 +615,7 @@ def select_triplets_mul_hard(triplet_input_idx, lab, sim_prob,
                 hard_neg = np.array(
                     [all_neg[np.nanargmax(sim_prob[i, all_neg])]], "int32")
             hard_comb = [(hp, hn) for hn in hard_neg for hp in hard_pos]
-            random.shuffle(hard_comb)
+            rng.shuffle(hard_comb)
             for count in range(min(triplet_per_event, len(hard_comb))):
                 hp, hn = hard_comb[count]
                 triplet = (i, hp, hn)

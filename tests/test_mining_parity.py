@@ -22,11 +22,13 @@ MAP_TOLERANCE = 0.12
 
 @pytest.fixture(scope="module")
 def parity_root(tmp_path_factory):
-    # learnable but non-trivial: enough signal that 4 epochs separate
-    # trained from untrained clearly on both mining paths
+    # learnable but non-trivial, with a val session large enough (~15+
+    # foreground events) that mAP granularity is much finer than the
+    # tolerance band — a 300-frame val session quantizes mAP to ~0.25
+    # steps, which swamps the A/B signal
     root = str(tmp_path_factory.mktemp("honda_ab"))
     generate_synthetic_honda(
-        root, n_sessions=5, frames_per_session=300,
+        root, n_sessions=6, frames_per_session=800,
         modal_dims={"resnet": (2, 2, 8), "sensors": (8,), "segment": (16,)},
         class_scale=1.5, noise_scale=0.9, seed=7)
     return root
@@ -35,7 +37,7 @@ def parity_root(tmp_path_factory):
 def _cfg(root, **kw):
     d = dict(DATA_ROOT=root, name="ab", network="rtsn", feat="sensors",
              n_input=8, emb_dim=16, num_seg=3, sess_per_batch=2,
-             max_epochs=4, triplet_per_batch=24, batch_size=32,
+             max_epochs=5, triplet_per_batch=24, batch_size=32,
              learning_rate=0.01, keep_prob=1.0, silent_mode=True, seed=3)
     d.update(kw)
     return TrainConfig(**d).resolve()
@@ -50,13 +52,13 @@ def test_base_model_host_vs_device_mining(parity_root, tmp_path):
     for mode in ("facenet", "facenet_host"):
         cfg = _cfg(parity_root, triplet_select=mode)
         _, metrics, _ = base_model.train(
-            cfg, event_budget=48, result_dir=str(tmp_path / mode))
+            cfg, event_budget=64, result_dir=str(tmp_path / mode))
         results[mode] = metrics["val_mAP"]
 
     # untrained baseline on the same val split
     cfg0 = _cfg(parity_root, triplet_select="facenet", max_epochs=0)
     try:
-        _, m0, _ = base_model.train(cfg0, event_budget=48,
+        _, m0, _ = base_model.train(cfg0, event_budget=64,
                                     result_dir=str(tmp_path / "init"))
         base = m0.get("val_mAP", None)
     except Exception:
