@@ -25,7 +25,7 @@ from multimodal_similarity_tpu.data import (
 from multimodal_similarity_tpu.eval.evaluate_model import (
     restore_encoder_params)
 from multimodal_similarity_tpu.models import PDDM, PairSim, build_encoder, \
-    score_all_pairs
+    score_all_pairs, score_all_pairs_sym
 from multimodal_similarity_tpu.train.steps import l2_normalize
 
 
@@ -60,7 +60,11 @@ def run(cfg: EvalConfig, head_kind: str = "pddm", threshold: float = 0.9):
                                           cfg.transfer)
         lab = lab.reshape(-1)
         emb = embed(jnp.asarray(eve))
-        sim = np.asarray(score_all_pairs(
+        # PDDM is swap-symmetric -> half the head evaluations; PairSim
+        # (concat order matters) must score every ordered pair
+        scorer = (score_all_pairs_sym if head_kind == "pddm"
+                  else score_all_pairs)
+        sim = np.asarray(scorer(
             lambda a, b: score_fn(a, b), emb,
             block=min(64, emb.shape[0])))
         sess_id = os.path.basename(row[0]).split(".")[0].split("_")[0]

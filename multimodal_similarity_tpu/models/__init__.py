@@ -25,6 +25,7 @@ from multimodal_similarity_tpu.models.heads import (
     PairSim,
     PairSim2,
     score_all_pairs,
+    score_all_pairs_sym,
 )
 from multimodal_similarity_tpu.models.inception_resnet_v2 import (
     InceptionResNetV2,
@@ -68,6 +69,7 @@ __all__ = [
     "TSN", "RTSN", "ConvTSN", "ConvRTSN", "ConvBiRTSN", "ConvLSTM",
     "ConvTSNClassifier", "Seq2seqTSN", "SAE", "OutputLayer", "CUBLayer",
     "PairSim", "PairSim2", "PDDM", "score_all_pairs",
+    "score_all_pairs_sym",
     "InceptionV2", "InceptionV1", "InceptionResNetV2",
     "graft_slim_variables", "graft_slim_npz",
     "LSTM", "BiLSTM", "TFLSTMCell", "build_encoder",

@@ -14,6 +14,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 Array = jnp.ndarray
@@ -119,3 +120,38 @@ def score_all_pairs(score_fn, embeddings: Array, block: int = 128) -> Array:
 
     sims = jax.lax.map(one_block, rows).reshape(-1, n)      # [nb*B, N]
     return sims[:n]
+
+
+def score_all_pairs_sym(score_fn, embeddings: Array,
+                        block: int = 128) -> Array:
+    """``score_all_pairs`` for SYMMETRIC heads: half the head evaluations.
+
+    PDDM's pair features (u = |x_i - x_j|, v = (x_i + x_j)/2) and
+    PairSim2's (squared difference) are swap-invariant, so
+    score(a, b) == score(b, a) exactly and only the T(T+1)/2
+    upper-triangle [block, block] tile pairs need evaluating; the lower
+    triangle is the transposed mirror.  NOT valid for PairSim (concat
+    order matters).
+    """
+    n, d = embeddings.shape
+    pad = (-n) % block
+    emb_pad = jnp.pad(embeddings, ((0, pad), (0, 0)))
+    nb = emb_pad.shape[0] // block
+    tiles = emb_pad.reshape(nb, block, d)
+    ti, tj = np.triu_indices(nb)                            # static coords
+
+    def one_pair(pair):
+        a, b = pair                                         # [B, d] each
+        aa = jnp.repeat(a, block, axis=0)
+        bb = jnp.tile(b, (block, 1))
+        _, prob = score_fn(aa, bb)
+        return prob[:, 1].reshape(block, block)
+
+    sims = jax.lax.map(one_pair, (tiles[ti], tiles[tj]))    # [P, B, B]
+    out = jnp.zeros((nb, nb, block, block), sims.dtype)
+    out = out.at[ti, tj].set(sims)
+    mirror = jnp.swapaxes(jnp.swapaxes(out, 0, 1), 2, 3)
+    diag = jnp.arange(nb)[:, None] == jnp.arange(nb)[None, :]
+    full = out + jnp.where(diag[:, :, None, None], 0.0, mirror)
+    full = full.transpose(0, 2, 1, 3).reshape(nb * block, nb * block)
+    return full[:n, :n]

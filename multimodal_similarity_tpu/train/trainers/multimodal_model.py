@@ -36,7 +36,7 @@ import numpy as np
 
 from multimodal_similarity_tpu.configs import TrainConfig
 from multimodal_similarity_tpu.models import (
-    PDDM, RTSN, build_encoder, score_all_pairs)
+    PDDM, RTSN, build_encoder, score_all_pairs_sym)
 from multimodal_similarity_tpu.ops.distances import all_diffs, cdist
 from multimodal_similarity_tpu.ops.losses import triplet_loss_masked
 from multimodal_similarity_tpu.ops.mining import select_triplets_facenet
@@ -216,11 +216,11 @@ def make_mm_fused_step(core, sensors_enc, sensors_pddm, segment_enc,
                 es = jax.lax.with_sharding_constraint(es, repl_s)
                 eg = jax.lax.with_sharding_constraint(eg, repl_s)
             block = min(128, es.shape[0])
-            sim_s = score_all_pairs(functools.partial(
+            sim_s = score_all_pairs_sym(functools.partial(
                 sensors_pddm.apply,
                 {"params": params["modality_sensors"]["pddm"]},
                 method="score"), es, block=block)
-            sim_g = score_all_pairs(functools.partial(
+            sim_g = score_all_pairs_sym(functools.partial(
                 segment_pddm.apply,
                 {"params": params["modality_segment"]["pddm"]},
                 method="score"), eg, block=block)
@@ -339,10 +339,10 @@ def make_fused_sim_fn(sensors_enc, sensors_pddm, segment_enc, segment_pddm,
         eg = segment_enc.apply(
             {"params": params["modality_segment"]["encoder"]}, eve_segment)
         block = min(128, es.shape[0])
-        sim_s = score_all_pairs(functools.partial(
+        sim_s = score_all_pairs_sym(functools.partial(
             sensors_pddm.apply, {"params": params["modality_sensors"]["pddm"]},
             method="score"), es, block=block)
-        sim_g = score_all_pairs(functools.partial(
+        sim_g = score_all_pairs_sym(functools.partial(
             segment_pddm.apply, {"params": params["modality_segment"]["pddm"]},
             method="score"), eg, block=block)
         return 0.5 * (sim_s + sim_g)

@@ -11,6 +11,7 @@ policy per --multimodal_select: confidence | random | nopos (:25-126).
 from __future__ import annotations
 
 import itertools
+import random
 import sys
 from typing import List, Optional, Tuple
 
@@ -35,7 +36,8 @@ from multimodal_similarity_tpu.train.trainers.multimodal_model import (
     SENSORS_EMB_DIM, _graft)
 
 
-def select_triplets_multimodal(sim_prob, threshold=0.8, max_num=1000):
+def select_triplets_multimodal(sim_prob, threshold=0.8, max_num=1000,
+                               rng=None):
     """High-confidence pseudo-label triplets (reference :98-126).
 
     NOTE: the reference permutes the matrix rows and then emits the
@@ -43,16 +45,17 @@ def select_triplets_multimodal(sim_prob, threshold=0.8, max_num=1000):
     row/column index-space mix-up.  Intended semantics (anchors visited in
     random order, indices in the original space) used here (SURVEY.md §7).
     """
+    rng = rng or np.random
     mul_idx: List[int] = []
     count = 0
-    for i in np.random.permutation(sim_prob.shape[0]):
+    for i in rng.permutation(sim_prob.shape[0]):
         row = sim_prob[i]
         pos_idx = np.where(row > threshold)[0]
         neg_idx = np.where(row < (1 - threshold))[0]
         if len(pos_idx) and len(neg_idx):
             neg_idx = np.argsort(row)[: len(pos_idx)]
             high_confidence = np.hstack((pos_idx, neg_idx))
-            np.random.shuffle(high_confidence)
+            rng.shuffle(high_confidence)
             for pair in itertools.combinations(high_confidence, 2):
                 mul_idx.extend([i, pair[0], pair[1]])
                 count += 1
@@ -61,20 +64,21 @@ def select_triplets_multimodal(sim_prob, threshold=0.8, max_num=1000):
     return mul_idx, count
 
 
-def random_triplets_multimodal(sim_prob, max_num=1000):
+def random_triplets_multimodal(sim_prob, max_num=1000, rng=None):
     """Random pseudo-triplets from rows with >1 positives (reference
     :62-96; same index-space fix as select_triplets_multimodal)."""
+    rng = rng or np.random
     pos_rows = np.where(np.sum(sim_prob > 0.5, axis=1) > 1)[0]
-    np.random.shuffle(pos_rows)
+    rng.shuffle(pos_rows)
     mul_idx: List[int] = []
     count = 0
     for i in pos_rows:
         pos_idx = np.where(sim_prob[i] > 0.5)[0]
         neg_idx = np.where(sim_prob[i] < 0.5)[0]
-        np.random.shuffle(neg_idx)
+        rng.shuffle(neg_idx)
         neg_idx = neg_idx[: len(pos_idx)]
         idx = np.hstack((pos_idx, neg_idx))
-        np.random.shuffle(idx)
+        rng.shuffle(idx)
         perm2 = itertools.permutations(idx, 2)
         for _ in range(int(np.ceil(max_num / max(len(pos_rows), 1)))):
             try:
@@ -88,21 +92,22 @@ def random_triplets_multimodal(sim_prob, max_num=1000):
     return mul_idx, count
 
 
-def nopos_triplets_multimodal(sim_prob, max_num=1000):
+def nopos_triplets_multimodal(sim_prob, max_num=1000, rng=None):
     """Random pseudo-triplets without the positive-row constraint
     (reference :25-60; same index-space fix)."""
+    rng = rng or np.random
     mul_idx: List[int] = []
     count = 0
-    for i in np.random.permutation(sim_prob.shape[0]):
+    for i in rng.permutation(sim_prob.shape[0]):
         pos_idx = np.where(sim_prob[i] > 0.5)[0]
         neg_idx = np.where(sim_prob[i] < 0.5)[0]
-        np.random.shuffle(neg_idx)
+        rng.shuffle(neg_idx)
         if len(pos_idx):
             neg_idx = neg_idx[: len(pos_idx)]
             idx = np.hstack((pos_idx, neg_idx))
         else:
             idx = neg_idx[:8]
-        np.random.shuffle(idx)
+        rng.shuffle(idx)
         perm2 = itertools.permutations(idx, 2)
         for _ in range(int(np.ceil(max_num / sim_prob.shape[0]))):
             try:
@@ -233,10 +238,10 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
     def sensors_sim(params, eve_sensors):
         import functools
 
-        from multimodal_similarity_tpu.models import score_all_pairs
+        from multimodal_similarity_tpu.models import score_all_pairs_sym
         es = sensors_enc.apply(
             {"params": params["modality_sensors"]["encoder"]}, eve_sensors)
-        return score_all_pairs(functools.partial(
+        return score_all_pairs_sym(functools.partial(
             sensors_pddm.apply,
             {"params": params["modality_sensors"]["pddm"]}, method="score"),
             es, block=min(128, es.shape[0]))
@@ -247,6 +252,9 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                                params["modality_core"], feats)
 
     metrics = {}
+    # config-seeded host-miner streams (independent of global RNG state)
+    mine_rng = random.Random(cfg.seed)
+    mul_rng = np.random.RandomState(cfg.seed)
     epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
     while epoch < cfg.max_epochs:
         lr = learning_rate_schedule(epoch, cfg.learning_rate,
@@ -268,7 +276,8 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                 dists = cdist(all_diffs(emb, emb), cfg.metric)
                 idx, _ = select_triplets_facenet(
                     labels[lab_idx_map], np.asarray(dists),
-                    cfg.triplet_per_batch, cfg.alpha, cfg.num_negative)
+                    cfg.triplet_per_batch, cfg.alpha, cfg.num_negative,
+                    rng=mine_rng)
                 if idx:
                     gather, mask = _pad_flat(
                         lab_idx_map[np.asarray(idx, np.int64)].tolist(),
@@ -285,13 +294,13 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                 np.fill_diagonal(sim, np.nan)
                 if cfg.multimodal_select == "confidence":
                     mul_idx, count = select_triplets_multimodal(
-                        sim, 0.9, cfg.triplet_per_batch)
+                        sim, 0.9, cfg.triplet_per_batch, rng=mul_rng)
                 elif cfg.multimodal_select == "random":
                     mul_idx, count = random_triplets_multimodal(
-                        sim, cfg.triplet_per_batch)
+                        sim, cfg.triplet_per_batch, rng=mul_rng)
                 elif cfg.multimodal_select == "nopos":
                     mul_idx, count = nopos_triplets_multimodal(
-                        sim, cfg.triplet_per_batch)
+                        sim, cfg.triplet_per_batch, rng=mul_rng)
                 else:
                     raise NotImplementedError(cfg.multimodal_select)
                 if count:

@@ -6,7 +6,8 @@ probability) plus 0.5x triplet loss; mining runs FaceNet-style but on the
 all-pairs PDDM dissimilarity matrix instead of embedding distance
 (reference :270); validation adds the PDDM-ranking mAP (mAP_PDDM,
 reference :322-331).  The O(N^2) pairwise scoring loop becomes the
-blockwise on-device ``score_all_pairs`` pass.
+blockwise on-device ``score_all_pairs_sym`` pass (PDDM is
+swap-symmetric, so only the upper-triangle tile pairs are scored).
 """
 
 from __future__ import annotations
@@ -21,7 +22,8 @@ import numpy as np
 
 from multimodal_similarity_tpu.configs import TrainConfig
 from multimodal_similarity_tpu.eval.metrics import average_precision
-from multimodal_similarity_tpu.models import PDDM, build_encoder, score_all_pairs
+from multimodal_similarity_tpu.models import (
+    PDDM, build_encoder, score_all_pairs_sym)
 from multimodal_similarity_tpu.ops.losses import triplet_loss_masked
 from multimodal_similarity_tpu.ops.mining import mine_semihard_triplets
 from multimodal_similarity_tpu.train.state import (
@@ -44,7 +46,7 @@ def make_pddm_step(encoder, head, cfg: TrainConfig):
         def dissim_matrix(params, emb):
             score_fn = functools.partial(
                 head.apply, {"params": params["pddm"]}, method="score")
-            sim = score_all_pairs(
+            sim = score_all_pairs_sym(
                 lambda a, b: score_fn(a, b), emb,
                 block=min(128, emb.shape[0]))
             return 1.0 - sim  # prob[:, 0] = dissimilar = 1 - prob[:, 1]
@@ -105,7 +107,7 @@ def pddm_similarity_matrix(encoder, head, params, feats, normalized=True,
         emb = l2_normalize(emb)
     score_fn = functools.partial(head.apply, {"params": params["pddm"]},
                                  method="score")
-    return np.asarray(score_all_pairs(lambda a, b: score_fn(a, b), emb,
+    return np.asarray(score_all_pairs_sym(lambda a, b: score_fn(a, b), emb,
                                       block=min(block, emb.shape[0])))
 
 

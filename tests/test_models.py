@@ -171,6 +171,23 @@ def test_score_all_pairs_matches_direct(rng):
                                        rtol=1e-5, atol=1e-6)
 
 
+def test_score_all_pairs_sym_matches_full(rng):
+    """Triangular pass == full pass for the symmetric heads, at aligned
+    and non-aligned N, and for a PairSim2 head too."""
+    import functools
+
+    from multimodal_similarity_tpu.models import (PairSim2,
+                                                  score_all_pairs_sym)
+    for head, n in ((PDDM(n_input=8), 10), (PDDM(n_input=8), 16),
+                    (PairSim2(n_input=8), 13)):
+        emb = jnp.array(rng.randn(n, 8).astype(np.float32))
+        v = head.init(jax.random.PRNGKey(0), jnp.stack([emb, emb], 1))
+        score_fn = functools.partial(head.apply, v, method="score")
+        full = np.asarray(score_all_pairs(score_fn, emb, block=4))
+        sym = np.asarray(score_all_pairs_sym(score_fn, emb, block=4))
+        np.testing.assert_allclose(sym, full, rtol=1e-6, atol=1e-7)
+
+
 def test_build_encoder_unknown():
     with pytest.raises(NotImplementedError):
         build_encoder("resnet50")
