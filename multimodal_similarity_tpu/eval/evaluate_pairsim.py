@@ -29,9 +29,11 @@ from multimodal_similarity_tpu.train.steps import l2_normalize
 
 
 def select_eval_triplets(lab, eve_embedding, triplet_per_batch,
-                         alpha=0.2, metric="squaredeuclidean") -> List[int]:
+                         alpha=0.2, metric="squaredeuclidean",
+                         rng=None) -> List[int]:
     """Hard + easy triplet construction (reference :23-92): per a-p pair,
     one semi-hard negative and one far negative (dist - pos > alpha)."""
+    rng = rng or random
     all_dist = np.asarray(cdist(all_diffs(
         jnp.asarray(eve_embedding), jnp.asarray(eve_embedding)), metric))
     np_lab = np.asarray(lab).reshape(-1)
@@ -40,7 +42,7 @@ def select_eval_triplets(lab, eve_embedding, triplet_per_batch,
     for i, l in enumerate(np_lab):
         idx_dict.setdefault(int(l), []).append(i)
     for key in idx_dict:
-        random.shuffle(idx_dict[key])
+        rng.shuffle(idx_dict[key])
     foreground = {k: itertools.permutations(v, 2)
                   for k, v in idx_dict.items() if k != 0}
 
@@ -65,10 +67,10 @@ def select_eval_triplets(lab, eve_embedding, triplet_per_batch,
             if len(hard) > 0 and len(easy) > 0:
                 triplet_idx.extend(
                     [an_idx, pos_idx,
-                     int(hard[np.random.randint(len(hard))])])
+                     int(hard[rng.randrange(len(hard))])])
                 triplet_idx.extend(
                     [an_idx, pos_idx,
-                     int(easy[np.random.randint(len(easy))])])
+                     int(easy[rng.randrange(len(easy))])])
     return triplet_idx
 
 
@@ -99,11 +101,13 @@ def run(cfg: EvalConfig):
 
     correct = total = 0
     per_session = {}
+    eval_rng = random.Random(cfg.seed)
     for row in test_set:
         eve, lab, _ = load_data_and_label(row[0], row[-1], prep,
                                           cfg.transfer)
         emb = np.asarray(embed(jnp.asarray(eve)))
-        tri = select_eval_triplets(lab, emb, 100, alpha=0.2)
+        tri = select_eval_triplets(lab, emb, 100, alpha=0.2,
+                                   rng=eval_rng)
         if not tri:
             continue
         tri = np.asarray(tri).reshape(-1, 3)

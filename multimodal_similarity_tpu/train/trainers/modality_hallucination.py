@@ -12,6 +12,7 @@ and hallucinated embedding weighted by lambda_multimodal (:156-173).  The
 
 from __future__ import annotations
 
+import random
 import sys
 from typing import Optional
 
@@ -189,6 +190,8 @@ def train(cfg: TrainConfig, sensors_only: bool = False,
                                params["modality_core"], feats)
 
     metrics = {}
+    # config-seeded host-miner stream (independent of global RNG)
+    mine_rng = random.Random(cfg.seed)
     epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
     while epoch < cfg.max_epochs:
         lr = learning_rate_schedule(epoch, cfg.learning_rate,
@@ -200,7 +203,8 @@ def train(cfg: TrainConfig, sensors_only: bool = False,
             dists = cdist(all_diffs(emb, emb), cfg.metric)
             idx, _ = select_triplets_facenet(
                 batch["labels"][:n], np.asarray(dists),
-                cfg.triplet_per_batch, cfg.alpha, cfg.num_negative)
+                cfg.triplet_per_batch, cfg.alpha, cfg.num_negative,
+                rng=mine_rng)
             if not idx:
                 continue
             t = min(len(idx) // 3, tri_cap)

@@ -10,6 +10,7 @@ reference's two feed paths.
 
 from __future__ import annotations
 
+import random
 import sys
 from typing import Optional
 
@@ -165,6 +166,10 @@ def train(cfg: TrainConfig, use_mse: bool = False,
                                params["modality_core"], feats)
 
     metrics = {}
+    # config-seeded host-side streams (miner + unsup slice), independent
+    # of process-global RNG state
+    mine_rng = random.Random(cfg.seed)
+    unsup_rng = np.random.RandomState(cfg.seed)
     epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
     while epoch < cfg.max_epochs:
         lr = learning_rate_schedule(epoch, cfg.learning_rate,
@@ -188,7 +193,8 @@ def train(cfg: TrainConfig, use_mse: bool = False,
                 dists = cdist(all_diffs(emb, emb), cfg.metric)
                 idx, _ = select_triplets_facenet(
                     labels[lab_map], np.asarray(dists),
-                    cfg.triplet_per_batch, cfg.alpha, cfg.num_negative)
+                    cfg.triplet_per_batch, cfg.alpha, cfg.num_negative,
+                    rng=mine_rng)
                 t = min(len(idx) // 3, tri_cap)
                 if t:
                     gather[: 3 * t] = lab_map[
@@ -200,9 +206,9 @@ def train(cfg: TrainConfig, use_mse: bool = False,
             # fixed-size unsupervised slice; resample with replacement if
             # the batch is short (padding zeros would corrupt the DCCA
             # covariances)
-            perm = np.random.permutation(n)[:unsup_cap]
+            perm = unsup_rng.permutation(n)[:unsup_cap]
             if perm.size < unsup_cap:
-                extra = np.random.randint(0, n, size=unsup_cap - perm.size)
+                extra = unsup_rng.randint(0, n, size=unsup_cap - perm.size)
                 perm = np.concatenate([perm, extra])
             u_idx = perm.astype(np.int32)
 

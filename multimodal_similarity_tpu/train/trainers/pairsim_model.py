@@ -30,9 +30,10 @@ from multimodal_similarity_tpu.train.trainers._honda import HondaExperiment
 
 
 def random_pairs(lab, batch_size: int, num_negative: int = 1,
-                 test: bool = False) -> Tuple[List[int], List[int]]:
+                 test: bool = False,
+                 rng=None) -> Tuple[List[int], List[int]]:
     """Mirrored positive/negative pair sampling (reference :26-73)."""
-    rng = random.Random(1) if test else random
+    rng = random.Random(1) if test else (rng or random)
     np_lab = np.asarray(lab).reshape(-1)
     idx_dict = {}
     for i, l in enumerate(np_lab):
@@ -58,7 +59,7 @@ def random_pairs(lab, batch_size: int, num_negative: int = 1,
             label.extend([1, 1])
             all_neg = np.where(np_lab != key)[0]
             for _ in range(num_negative):
-                neg_idx = int(all_neg[np.random.randint(len(all_neg))])
+                neg_idx = int(all_neg[rng.randrange(len(all_neg))])
                 pair_idx.extend([an_idx, neg_idx, neg_idx, an_idx])
                 label.extend([0, 0])
     return pair_idx, label
@@ -167,6 +168,8 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
         return acc, prob
 
     metrics = {}
+    # config-seeded pair-sampler stream (independent of global RNG)
+    mine_rng = random.Random(cfg.seed)
     epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
     while epoch < cfg.max_epochs:
         lr = learning_rate_schedule(epoch, cfg.learning_rate,
@@ -176,7 +179,8 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
             n = int(batch["num_events"])
             pair_idx, pair_lab = random_pairs(batch["labels"][:n],
                                               cfg.batch_size,
-                                              cfg.num_negative)
+                                              cfg.num_negative,
+                                              rng=mine_rng)
             if not pair_lab:
                 continue
             # keep host-side lists in sync with the padded device batch so

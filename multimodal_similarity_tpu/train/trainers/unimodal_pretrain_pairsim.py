@@ -30,9 +30,11 @@ from multimodal_similarity_tpu.train.trainer import setup_experiment
 from multimodal_similarity_tpu.utils.logging import MetricsLogger
 
 
-def enumerate_batch(labels: np.ndarray, num_pos: int, phase: float):
+def enumerate_batch(labels: np.ndarray, num_pos: int, phase: float,
+                    rng=None):
     """Curriculum pair batches (reference :26-64): per block of ``num_pos``
     rows, all same-cluster permutations plus phase * len(perm) negatives."""
+    rng = rng or np.random
     labels = np.asarray(labels).reshape(-1)
     label_num = int(np.max(labels)) + 1
     all_idx = np.transpose(
@@ -53,15 +55,17 @@ def enumerate_batch(labels: np.ndarray, num_pos: int, phase: float):
             neg_num = int(phase * len(perm))
             neg_label = [l for l in range(label_num) if l != i]
             for _ in range(neg_num):
-                temp = np.random.randint(start, end)
+                temp = rng.randint(start, end)
                 a_idx.append(all_idx[temp, i])
                 b_idx.append(all_idx[
-                    temp, neg_label[np.random.randint(len(neg_label))]])
+                    temp, neg_label[rng.randint(len(neg_label))]])
         yield a_idx, b_idx
 
 
-def prepare_val(labels: np.ndarray) -> Tuple[List[int], List[int]]:
+def prepare_val(labels: np.ndarray,
+                rng=None) -> Tuple[List[int], List[int]]:
     """Validation pairs (reference :66-91)."""
+    rng = rng or np.random
     labels = np.asarray(labels).reshape(-1)
     a_idx: List[int] = []
     b_idx: List[int] = []
@@ -77,7 +81,7 @@ def prepare_val(labels: np.ndarray) -> Tuple[List[int], List[int]]:
         neg_idx = np.where(labels != l)[0]
         for _ in range(count):
             a_idx.append(idx[0])
-            b_idx.append(int(neg_idx[np.random.randint(len(neg_idx))]))
+            b_idx.append(int(neg_idx[rng.randint(len(neg_idx))]))
     return a_idx, b_idx
 
 
@@ -151,7 +155,8 @@ def train(cfg: TrainConfig, train_data_path: Optional[str] = None,
         logits, _ = head.apply({"params": params}, a, b, method="score")
         return jnp.mean((jnp.argmax(logits, -1) == lab).astype(jnp.float32))
 
-    val_a, val_b = prepare_val(val_labels)
+    sample_rng = np.random.RandomState(cfg.seed)
+    val_a, val_b = prepare_val(val_labels, rng=sample_rng)
     if not val_a:  # degenerate tiny clusters: no permutations available
         val_a, val_b = [0], [0]
     val_lab = _pair_labels(val_labels, val_a, val_b)
@@ -164,7 +169,8 @@ def train(cfg: TrainConfig, train_data_path: Optional[str] = None,
                                     cfg.static_epochs, cfg.max_epochs)
         # curriculum: negative ratio grows with epoch (reference :174-185)
         phase = min(0.5 + epoch / max(cfg.max_epochs, 1), 2.0)
-        for a_idx, b_idx in enumerate_batch(labels, num_pos=5, phase=phase):
+        for a_idx, b_idx in enumerate_batch(labels, num_pos=5, phase=phase,
+                                            rng=sample_rng):
             if not a_idx:
                 continue
             lab = _pair_labels(labels, a_idx, b_idx)
