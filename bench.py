@@ -200,9 +200,11 @@ def main():
         gflops = 2 * n_mine * n_mine * d_mine / 1e9 * rate
 
         e16 = emb_big.astype(jnp.bfloat16)
+        # cast the f32 scan carry BEFORE the add: `e + c * 1e-20` would
+        # silently promote the bf16 operand to f32 and time an f32 GEMM
         mm = timed_chain(
             lambda e, c: jax.lax.dot_general(
-                e + c * jnp.asarray(1e-20, e.dtype), e,
+                e + (c * 1e-20).astype(e.dtype), e,
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32).max())
         mm_rate = best_rate(mm, e16, 3)

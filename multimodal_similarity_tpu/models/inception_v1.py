@@ -67,8 +67,11 @@ class InceptionV1(nn.Module):
                            (3, 3), train=train)
         r2 = self._conv_bn(f"{name}_Branch_2_Conv2d_0a_1x1", x, b2[0],
                            (1, 1), train=train)
-        r2 = self._conv_bn(f"{name}_Branch_2_Conv2d_0b_3x3", r2, b2[1],
-                           (3, 3), train=train)
+        # slim scope quirk: Mixed_5b's Branch_2 second conv is Conv2d_0a_3x3
+        # in the released checkpoint (every other block uses 0b)
+        b2_suffix = "0a" if name == "Mixed_5b" else "0b"
+        r2 = self._conv_bn(f"{name}_Branch_2_Conv2d_{b2_suffix}_3x3", r2,
+                           b2[1], (3, 3), train=train)
         p = nn.max_pool(x, (3, 3), strides=(1, 1), padding="SAME")
         r3 = self._conv_bn(f"{name}_Branch_3_Conv2d_0b_1x1", p, b3, (1, 1),
                            train=train)

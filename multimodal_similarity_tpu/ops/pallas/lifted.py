@@ -38,14 +38,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from multimodal_similarity_tpu.ops.pallas.batch_hard import (
+    _INVALID_LABEL,
+    _POS_INF,
+    _prep_operands,
+    _use_interpret,
+)
+
 Array = jnp.ndarray
 _NEG_INF = -1e30
-_POS_INF = 1e30
-_INVALID_LABEL = -2.0
-
-
-def _use_interpret() -> bool:
-    return jax.default_backend() != "tpu"
 
 
 def _tile_values(a, b, sqa, sqbp, la, lb_eff, gi, gj, vb, margin):
@@ -170,24 +171,6 @@ def _bwd_kernel(a_ref, b_ref, sqa_ref, sqb_ref, sqap_ref, sqbp_ref,
     @pl.when(j != 0)
     def _():
         grad_ref[:] = grad_ref[:] + contrib
-
-
-def _prep_operands(emb, labels_f, valid_f, block, precision):
-    """Pad to the block and fold validity into the streamed inputs;
-    returns (opd, sq, sq_pen, lab, lab_eff, val, n_padded)."""
-    n, d = emb.shape
-    pad = (-n) % block
-    emb_p = jnp.pad(emb, ((0, pad), (0, 0)))
-    lab_p = jnp.pad(labels_f, ((0, pad),), constant_values=_INVALID_LABEL)
-    val_p = jnp.pad(valid_f, ((0, pad),), constant_values=0.0)
-    invalid = val_p <= 0.0
-    lab_eff = jnp.where(invalid, _INVALID_LABEL, lab_p)
-    sq = jnp.sum(emb_p * emb_p, axis=1, keepdims=True)
-    sq_pen = jnp.where(invalid[:, None], _POS_INF, sq)
-    opd = emb_p.astype(jnp.bfloat16) if precision == "bf16" else emb_p
-    gidx = jnp.arange(n + pad, dtype=jnp.float32).reshape(-1, 1)
-    return (opd, sq, sq_pen, lab_p.reshape(-1, 1),
-            lab_eff.reshape(-1, 1), gidx, val_p.reshape(-1, 1), n + pad)
 
 
 def _row_spec(block):

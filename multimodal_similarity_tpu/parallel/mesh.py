@@ -24,17 +24,19 @@ def create_mesh(n_devices: Optional[int] = None,
     return Mesh(devs, axis_names)
 
 
-def auto_mesh(batch_axis_size: int, min_devices: int = 2):
+def auto_mesh(batch_axis_size: int, min_devices: int = 2,
+              verbose: bool = True):
     """(mesh | None, rounded_batch_axis_size) for transparent data
     parallelism: a 1-D "data" mesh over every visible device when more
     than one is present, with the batch-axis size rounded UP to a device
     multiple (batches are fixed-shape and mask-padded throughout, so
-    rounding up is free).  Single-device -> (None, unchanged)."""
+    rounding up is free).  Single-device -> (None, unchanged).
+    ``verbose=False`` suppresses the rounding notice (silent_mode runs)."""
     n_devices = jax.device_count()
     if n_devices < min_devices:
         return None, batch_axis_size
     rounded = -(-batch_axis_size // n_devices) * n_devices
-    if rounded != batch_axis_size:
+    if verbose and rounded != batch_axis_size:
         print(f"[parallel] batch axis {batch_axis_size} rounded up to "
               f"{rounded} for {n_devices}-device data parallelism")
     return create_mesh(n_devices), rounded

@@ -66,7 +66,8 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
     mesh = None
     if cfg.triplet_select == "facenet":
         from multimodal_similarity_tpu.parallel import auto_mesh
-        mesh, event_budget = auto_mesh(event_budget)
+        mesh, event_budget = auto_mesh(event_budget,
+                                       verbose=not cfg.silent_mode)
 
     feat = cfg.feat if isinstance(cfg.feat, str) else cfg.feat[0]
     train_set = prepare_dataset(cfg.feature_root, cfg.train_session, feat,

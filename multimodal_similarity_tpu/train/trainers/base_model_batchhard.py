@@ -111,7 +111,7 @@ def train(cfg: TrainConfig, loss_kind: str = "batchhard",
     batch_size = cfg.batch_size if cfg.batch_size > 8 else 64
     # >1 device: shard the balanced batch and run the ring batch-hard pass
     from multimodal_similarity_tpu.parallel import auto_mesh
-    mesh, batch_size = auto_mesh(batch_size)
+    mesh, batch_size = auto_mesh(batch_size, verbose=not cfg.silent_mode)
     if mesh is not None:
         state = jax.device_put(state, jax.sharding.NamedSharding(
             mesh, jax.sharding.PartitionSpec()))

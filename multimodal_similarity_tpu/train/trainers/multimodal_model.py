@@ -389,7 +389,8 @@ def train(cfg: TrainConfig, hard_only: bool = False,
     mesh = None
     if device_mining:
         from multimodal_similarity_tpu.parallel import auto_mesh
-        mesh, rounded = auto_mesh(event_budget or cfg.event_per_batch)
+        mesh, rounded = auto_mesh(event_budget or cfg.event_per_batch,
+                                  verbose=not cfg.silent_mode)
         if mesh is not None:
             event_budget = rounded
     exp = HondaExperiment(cfg, modalities=modalities,

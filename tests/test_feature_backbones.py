@@ -153,6 +153,11 @@ def test_real_slim_names_map_to_expected_leaves():
         ("InceptionV1/Mixed_4e/Branch_2/Conv2d_0b_3x3/BatchNorm/beta",
          "InceptionV1",
          ("params", "Mixed_4e_Branch_2_Conv2d_0b_3x3_BatchNorm", "bias")),
+        # slim scope quirk: Mixed_5b Branch_2's SECOND conv is 0a_3x3 in
+        # the released checkpoint (all other blocks use 0b)
+        ("InceptionV1/Mixed_5b/Branch_2/Conv2d_0a_3x3/weights",
+         "InceptionV1",
+         ("params", "Mixed_5b_Branch_2_Conv2d_0a_3x3", "kernel")),
         ("InceptionV1/Conv2d_1a_7x7/weights", "InceptionV1",
          ("params", "Conv2d_1a_7x7", "kernel")),
     ]
@@ -163,6 +168,26 @@ def test_real_slim_names_map_to_expected_leaves():
                         "InceptionV1") is None
     assert slim_to_flax("InceptionResnetV2/AuxLogits/Conv2d_1b_1x1/weights",
                         "InceptionResnetV2") is None
+
+
+def test_pinned_slim_leaves_exist_in_module(rng):
+    """The pinned real-checkpoint mappings must land on parameters that
+    actually exist in the initialized flax module — a mapping to a
+    non-existent leaf (e.g. missing the Mixed_5b Branch_2 0a quirk)
+    would only fail at graft time with a real checkpoint."""
+    import jax
+
+    from multimodal_similarity_tpu.models.inception_v1 import InceptionV1
+
+    x = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    variables = InceptionV1().init(jax.random.PRNGKey(0), x)
+    params = variables["params"]
+    assert "Mixed_5b_Branch_2_Conv2d_0a_3x3" in params
+    assert "Mixed_5b_Branch_2_Conv2d_0b_3x3" not in params
+    assert "Mixed_5c_Branch_2_Conv2d_0b_3x3" in params
+    for leaf in ("Mixed_4e_Branch_2_Conv2d_0b_3x3_BatchNorm",
+                 "Conv2d_1a_7x7"):
+        assert leaf in params, leaf
 
 
 def test_flax_backbone_fixed_seed_shapes_dtypes(tmp_path):
