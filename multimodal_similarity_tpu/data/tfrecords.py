@@ -77,12 +77,16 @@ def _read_varint(buf: bytes, pos: int) -> Tuple[int, int]:
     result = 0
     shift = 0
     while True:
+        if pos >= len(buf):
+            raise ValueError("corrupt protobuf: truncated varint")
         b = buf[pos]
         pos += 1
         result |= (b & 0x7F) << shift
         if not b & 0x80:
             return result, pos
         shift += 7
+        if shift > 63:
+            raise ValueError("corrupt protobuf: varint overflow")
 
 
 def _tag(field: int, wire: int) -> bytes:
@@ -155,15 +159,22 @@ def _iter_fields(buf: bytes) -> Iterator[Tuple[int, int, bytes]]:
         field, wire = key >> 3, key & 7
         if wire == 2:
             length, pos = _read_varint(buf, pos)
+            if pos + length > len(buf):
+                raise ValueError(
+                    "corrupt protobuf: field length past buffer end")
             yield field, wire, buf[pos:pos + length]
             pos += length
         elif wire == 0:
             value, pos = _read_varint(buf, pos)
             yield field, wire, value
         elif wire == 5:
+            if pos + 4 > len(buf):
+                raise ValueError("corrupt protobuf: truncated fixed32")
             yield field, wire, buf[pos:pos + 4]
             pos += 4
         elif wire == 1:
+            if pos + 8 > len(buf):
+                raise ValueError("corrupt protobuf: truncated fixed64")
             yield field, wire, buf[pos:pos + 8]
             pos += 8
         else:
@@ -251,14 +262,23 @@ def read_tfrecord(path: str, verify_crc: bool = True) -> Iterator[bytes]:
             if len(header) < 8:
                 return
             (length,) = struct.unpack("<Q", header)
-            (hcrc,) = struct.unpack("<I", f.read(4))
+            hcrc_raw = f.read(4)
+            if len(hcrc_raw) < 4:
+                raise ValueError("corrupt tfrecord: truncated header crc")
+            (hcrc,) = struct.unpack("<I", hcrc_raw)
+            # check the header BEFORE honoring its length claim: a corrupt
+            # 8-byte length field must not drive a huge read/allocation
+            if verify_crc and _masked_crc(header) != hcrc:
+                raise ValueError("corrupt tfrecord: bad length crc")
             data = f.read(length)
-            (dcrc,) = struct.unpack("<I", f.read(4))
-            if verify_crc:
-                if _masked_crc(header) != hcrc:
-                    raise ValueError("corrupt tfrecord: bad length crc")
-                if _masked_crc(data) != dcrc:
-                    raise ValueError("corrupt tfrecord: bad data crc")
+            if len(data) < length:
+                raise ValueError("corrupt tfrecord: truncated payload")
+            dcrc_raw = f.read(4)
+            if len(dcrc_raw) < 4:
+                raise ValueError("corrupt tfrecord: truncated payload crc")
+            (dcrc,) = struct.unpack("<I", dcrc_raw)
+            if verify_crc and _masked_crc(data) != dcrc:
+                raise ValueError("corrupt tfrecord: bad data crc")
             yield data
 
 
@@ -280,17 +300,30 @@ def generate_event_tfrecords(dataset, out_dir: str, feat_names,
         labels = None
         for m, name in enumerate(feat_names):
             prep = prepare_funcs[m] if prepare_funcs else None
-            eve, lab, _ = load_data_and_label(row[m], row[-1], prep)
-            per_modality.append(eve)
+            eve, lab, bounds = load_data_and_label(row[m], row[-1], prep)
+            # with identity prepare (the reference's raw per-frame
+            # contract, generate_tfrecords.py:46-81) the events arrive
+            # FRAME-concatenated: [total_frames, ...] — split back into
+            # per-event windows via the boundary lengths.  A prepared
+            # modality ([n_events, ...]) indexes directly.
+            lengths = [e - s for s, e in bounds]
+            if (eve.shape[0] == int(np.sum(lengths, dtype=np.int64))
+                    and eve.shape[0] != lab.shape[0]):
+                offs = np.concatenate([[0], np.cumsum(lengths)])
+                per_event = [eve[offs[j]: offs[j + 1]]
+                             for j in range(lab.shape[0])]
+            else:
+                per_event = [np.asarray(eve[j]).reshape(1, -1)
+                             if eve.ndim == 2 else np.asarray(eve[j])
+                             for j in range(lab.shape[0])]
+            per_modality.append(per_event)
             labels = lab
-        # per-event grouping: with identity prepare, events arrive
-        # concatenated; here we emit one record per event index
         n_events = labels.shape[0]
         for i in range(n_events):
             feature_lists = {}
-            for name, eve in zip(feat_names, per_modality):
-                frames = np.asarray(eve[i]).reshape(1, -1) if eve.ndim == 2 \
-                    else np.asarray(eve[i]).reshape(eve[i].shape[0], -1)
+            for name, per_event in zip(feat_names, per_modality):
+                ev = np.asarray(per_event[i])
+                frames = ev.reshape(ev.shape[0], -1)
                 feature_lists[name] = frames[:max_length]
             length = next(iter(feature_lists.values())).shape[0]
             rec = encode_sequence_example(

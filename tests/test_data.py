@@ -196,6 +196,35 @@ def test_tfrecord_file_roundtrip(tmp_path, rng):
 # Configs
 # ---------------------------------------------------------------------------
 
+def test_generate_event_tfrecords_identity_prepare(synth_root, tmp_path):
+    """With identity prepare (the reference's raw per-frame contract),
+    record i must carry event i's FRAME WINDOW and label — not frame i
+    of the concatenated session array."""
+    from multimodal_similarity_tpu.data.tfrecords import (
+        generate_event_tfrecords)
+
+    root, splits = synth_root
+    sess = splits["all"][0]
+    ds = prepare_dataset(os.path.join(root, "features"), [sess], "sensors",
+                         os.path.join(root, "labels"))
+    out = str(tmp_path / "tfr")
+    n = generate_event_tfrecords(ds, out, ["sensors"])
+
+    eve, lab, bounds = load_data_and_label(ds[0][0], ds[0][-1])
+    assert n == lab.shape[0]
+    raw = np.load(ds[0][0])
+    for i in (0, n // 2, n - 1):
+        path = os.path.join(out, f"{sess}_{i:04d}.tfrecords")
+        buf = next(iter(read_tfrecord(path)))
+        ctx, flists = parse_sequence_example(buf)
+        assert int(np.ravel(ctx["label"])[0]) == int(lab[i, 0])
+        s, e = bounds[i]
+        want = raw[s:e].reshape(e - s, -1).astype(np.float32)
+        got = np.asarray(flists["sensors"], np.float32)
+        assert int(np.ravel(ctx["length"])[0]) == want.shape[0]
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
 def test_train_config_cli(tmp_path):
     data_root = str(tmp_path)
     for split in ("all", "train", "val", "test"):
@@ -297,3 +326,28 @@ def test_loader_propagates_worker_exception(tmp_path):
     loader = SessionBatchLoader(rows, sess_per_batch=2, event_budget=8)
     with pytest.raises(BaseException):
         next(iter(loader.epoch()))
+
+
+def test_loader_releases_worker_on_abandoned_epoch(synth_root):
+    """Breaking out of an epoch mid-iteration (training-loop exception)
+    must cancel the prefetch worker instead of leaving it blocked on the
+    full queue for the process lifetime."""
+    import functools
+    import threading
+    import time
+
+    root, splits = synth_root
+    ds = prepare_dataset(os.path.join(root, "features"), splits["all"],
+                         "sensors", os.path.join(root, "labels"))
+    loader = SessionBatchLoader(
+        ds, sess_per_batch=1, event_budget=16,
+        prepare_funcs=[functools.partial(tsn_prepare_input, 3)],
+        seed=0, prefetch=1)
+    before = threading.active_count()
+    gen = loader.epoch()
+    next(gen)
+    gen.close()        # triggers GeneratorExit -> finally -> cancel+join
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
