@@ -10,8 +10,6 @@ from __future__ import annotations
 
 import glob
 import os
-import queue
-import threading
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -64,6 +62,12 @@ class EventTFRecordLoader:
 
     def _make_batch(self, paths: List[str]) -> Dict[str, np.ndarray]:
         b = self.event_per_batch
+        feats = np.zeros((b, self.max_time, self.feat_dim), np.float32)
+        seq_len = np.ones((b,), np.int32)
+        labels = np.zeros((b,), np.int32)
+        mask = np.zeros((b,), np.float32)
+        mask[: len(paths)] = 1.0
+
         # native C++ fast path: threaded TFRecord parse straight into the
         # batch buffer (data/native.py); Python fallback otherwise
         from multimodal_similarity_tpu.data.native import (
@@ -72,52 +76,21 @@ class EventTFRecordLoader:
                                          self.max_time, self.feat_dim)
         if native is not None and native[3] == len(paths):
             f, s, l, _ = native
-            feats = np.zeros((b, self.max_time, self.feat_dim), np.float32)
-            seq_len = np.ones((b,), np.int32)
-            labels = np.zeros((b,), np.int32)
-            mask = np.zeros((b,), np.float32)
             feats[: len(paths)] = f
             seq_len[: len(paths)] = s
             labels[: len(paths)] = l
-            mask[: len(paths)] = 1.0
-            return {"features": feats, "seq_len": seq_len, "labels": labels,
-                    "mask": mask, "num_events": len(paths)}
-
-        feats = np.zeros((b, self.max_time, self.feat_dim), np.float32)
-        seq_len = np.ones((b,), np.int32)
-        labels = np.zeros((b,), np.int32)
-        mask = np.zeros((b,), np.float32)
-        for i, p in enumerate(paths):
-            feats[i], seq_len[i], labels[i] = self._load_event(p)
-            mask[i] = 1.0
+        else:
+            for i, p in enumerate(paths):
+                feats[i], seq_len[i], labels[i] = self._load_event(p)
         return {"features": feats, "seq_len": seq_len, "labels": labels,
                 "mask": mask, "num_events": len(paths)}
 
     def epoch(self):
+        from multimodal_similarity_tpu.data.loader import _prefetched
+
         order = list(self.paths)
         if self.shuffle:
             self.rng.shuffle(order)
         groups = [order[i:i + self.event_per_batch]
                   for i in range(0, len(order), self.event_per_batch)]
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        stop = object()
-
-        def worker():
-            try:
-                for g in groups:
-                    q.put(self._make_batch(g))
-                q.put(stop)
-            except BaseException as exc:  # noqa: BLE001 — re-raised below
-                q.put(exc)  # surface failures in the consumer thread
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            if isinstance(item, BaseException):
-                t.join()
-                raise item
-            yield item
-        t.join()
+        yield from _prefetched(groups, self._make_batch, self.prefetch)

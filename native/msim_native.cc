@@ -148,6 +148,8 @@ struct EventData {
   int64_t label = 0;
   int64_t length = 0;
   bool ok = false;
+  bool found_key = false;     // the requested FeatureList exists
+  int64_t frame_width = -1;   // floats per frame (-1: none; -2: ragged)
 };
 
 // Parse one SequenceExample payload for a single feature-list key.
@@ -183,8 +185,15 @@ EventData parse_event(const uint8_t* buf, size_t n, const std::string& key) {
             ? std::string(reinterpret_cast<const char*>(name.p), name.n)
             : std::string();
         if (nm != key) return;
+        ev.found_key = true;
         walk(flist, [&](uint32_t f4, uint32_t, Slice feature, uint64_t) {
-          if (f4 == 1) decode_float_feature(feature, &ev.frames);
+          if (f4 == 1) {
+            size_t before = ev.frames.size();
+            decode_float_feature(feature, &ev.frames);
+            int64_t w = static_cast<int64_t>(ev.frames.size() - before);
+            if (ev.frame_width == -1) ev.frame_width = w;
+            else if (ev.frame_width != w) ev.frame_width = -2;  // ragged
+          }
         });
       });
     }
@@ -269,7 +278,12 @@ int64_t msim_load_event_batch(const char** paths, int64_t n_paths,
       labels[i] = 0;
       if (!read_tfrecord_file(paths[i], &record)) continue;
       EventData ev = parse_event(record.data(), record.size(), k);
-      if (!ev.ok || feat_dim == 0) continue;
+      // defer to the (loud) Python path when the key is absent or the
+      // on-disk frame width disagrees with feat_dim — reinterpreting the
+      // flat buffer as feat_dim-wide rows would silently misalign frames
+      if (!ev.ok || !ev.found_key || feat_dim == 0) continue;
+      if (ev.frame_width >= 0 && ev.frame_width != feat_dim) continue;
+      if (ev.frame_width == -2) continue;  // ragged frames
       int64_t t = static_cast<int64_t>(ev.frames.size()) / feat_dim;
       if (t > max_time) t = max_time;
       if (t > 0) {

@@ -174,10 +174,11 @@ def test_native_rejects_malformed_inputs(tmp_path, rng):
 
     out, seq_len, labels, ok = native_load_event_batch(
         paths, "sensors", max_time=8, feat_dim=8)
-    # only the good file carries data; "deep_nesting" is structurally
-    # valid protobuf with no feature data, so it parses as an empty
-    # event (counted ok, zero frames) — everything hostile is skipped
-    assert ok == 2
+    # only the good file parses: "deep_nesting" is structurally valid
+    # protobuf but carries no "sensors" FeatureList, and records without
+    # the requested key are NOT counted ok (they defer to the Python
+    # path, which raises a loud KeyError instead of yielding zeros)
+    assert ok == 1
     # hostile rows are zeroed with the default seq_len/label
     for i in range(len(paths) - 1):
         assert labels[i] == 0, paths[i]
@@ -221,3 +222,33 @@ def test_native_truncated_float_list_is_safe(tmp_path, rng):
         [p], "sensors", max_time=4, feat_dim=4)
     assert ok == 1
     assert labels[0] == 3
+
+
+@needs_native
+def test_native_defers_on_missing_key_and_width_mismatch(tmp_path, rng):
+    """Records whose requested FeatureList is absent, or whose on-disk
+    frame width differs from feat_dim, must NOT count as ok — the loader
+    then falls back to the Python path, which fails loudly (KeyError /
+    broadcast error) instead of yielding silently-zero or frame-misaligned
+    batches."""
+    frames = rng.randn(4, 16).astype(np.float32)
+    rec = encode_sequence_example({"label": 2, "length": 4},
+                                  {"sensors": frames})
+    p = str(tmp_path / "e.tfrecords")
+    write_tfrecord(p, [rec])
+
+    # missing key
+    out, seq_len, labels, ok = native_load_event_batch(
+        [p], "resnet", max_time=4, feat_dim=16)
+    assert ok == 0
+    np.testing.assert_array_equal(out, 0.0)
+
+    # width mismatch: on-disk 16-wide frames, loader configured for 8
+    out, seq_len, labels, ok = native_load_event_batch(
+        [p], "sensors", max_time=8, feat_dim=8)
+    assert ok == 0
+
+    # exact width still parses
+    _, _, labels, ok = native_load_event_batch(
+        [p], "sensors", max_time=4, feat_dim=16)
+    assert ok == 1 and labels[0] == 2
