@@ -91,6 +91,11 @@ def load_data_and_label(
                           else label["G"][i])
             boundary.append((label["s"][i], label["s"][i] + length))
 
+    if not events:
+        raise ValueError(
+            f"no event in session {feat_path!r} survives the length "
+            f"filters (MIN_LENGTH={MIN_LENGTH}, MIN_LENGTH_BACKGROUND="
+            f"{MIN_LENGTH_BACKGROUND}); {len(label['G'])} raw segments")
     events = np.concatenate(events, axis=0).astype("float32")
     labels = np.asarray(labels, dtype="int32").reshape(-1, 1)
     return events, labels, boundary

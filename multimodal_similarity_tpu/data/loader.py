@@ -22,6 +22,58 @@ import numpy as np
 from multimodal_similarity_tpu.data.datasets import load_data_and_label
 
 
+def _prefetched(items, load_one, prefetch: int):
+    """Yield load_one(item) for each item, loaded on a background thread.
+
+    Worker failures re-raise in the consumer; abandoning the generator
+    early (exception in the training loop, KeyboardInterrupt) cancels the
+    worker instead of leaving it blocked forever on a full queue holding
+    large batch arrays.
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=max(prefetch, 1))
+    stop = object()
+    cancel = threading.Event()
+
+    def _put(item) -> bool:
+        while not cancel.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def worker():
+        try:
+            for it in items:
+                if cancel.is_set() or not _put(load_one(it)):
+                    return
+            _put(stop)
+        except BaseException as exc:  # noqa: BLE001 — re-raised below
+            # surface loader failures in the training thread instead of
+            # silently truncating the epoch
+            _put(exc)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        cancel.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+        t.join()
+
+
 class SessionBatchLoader:
     """Iterates epochs of session groups, yielding padded event batches.
 
@@ -142,27 +194,4 @@ class SessionBatchLoader:
     def epoch(self):
         """Yield one epoch of batches with background prefetch."""
         groups = self._epoch_groups()
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        stop = object()
-
-        def worker():
-            try:
-                for g in groups:
-                    q.put(self._load_group(g))
-                q.put(stop)
-            except BaseException as exc:  # noqa: BLE001 — re-raised below
-                # surface loader failures in the training thread instead of
-                # silently truncating the epoch
-                q.put(exc)
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            if isinstance(item, BaseException):
-                t.join()
-                raise item
-            yield item
-        t.join()
+        yield from _prefetched(groups, self._load_group, self.prefetch)

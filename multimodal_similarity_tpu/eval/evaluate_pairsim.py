@@ -24,7 +24,7 @@ from multimodal_similarity_tpu.data import (
 from multimodal_similarity_tpu.eval.evaluate_model import (
     restore_encoder_params)
 from multimodal_similarity_tpu.models import PairSim, build_encoder
-from multimodal_similarity_tpu.ops.distances import all_diffs, cdist
+from multimodal_similarity_tpu.ops.distances import pairwise_distance
 from multimodal_similarity_tpu.train.steps import l2_normalize
 
 
@@ -34,8 +34,10 @@ def select_eval_triplets(lab, eve_embedding, triplet_per_batch,
     """Hard + easy triplet construction (reference :23-92): per a-p pair,
     one semi-hard negative and one far negative (dist - pos > alpha)."""
     rng = rng or random
-    all_dist = np.asarray(cdist(all_diffs(
-        jnp.asarray(eve_embedding), jnp.asarray(eve_embedding)), metric))
+    # pairwise_distance is one matmul with O(N^2) memory; the all_diffs
+    # route materializes an O(N^2 * d) difference tensor first
+    all_dist = np.asarray(pairwise_distance(
+        jnp.asarray(eve_embedding), jnp.asarray(eve_embedding), metric))
     np_lab = np.asarray(lab).reshape(-1)
 
     idx_dict: dict = {}

@@ -197,13 +197,21 @@ def evaluate(embeddings: np.ndarray, labels: np.ndarray,
         for key in conf:
             confusion_matrix[row, unique_labels.index(key)] += conf[key]
         count[row] += 1
+    # normalize per-class rows by their query counts; the background row
+    # (label 0, if present) holds the soft-assignment sums un-normalized
+    # and reports the background population instead (reference behavior —
+    # but do NOT assume label 0 exists in the test split)
     with np.errstate(divide="ignore", invalid="ignore"):
-        confusion_matrix[1:] /= count[1:]
-    count[0] = int((labels == 0).sum())
+        for r, l in enumerate(unique_labels):
+            if l != 0 and count[r] > 0:
+                confusion_matrix[r] /= count[r]
+    if 0 in unique_labels:
+        count[unique_labels.index(0)] = int((labels == 0).sum())
     confusion = {"confusion_matrix": confusion_matrix,
                  "labels": unique_labels}
 
-    recall = [float(num) / len(lab) for num in num_correct]
+    denom = len(lab) if lab else float("nan")
+    recall = [float(num) / denom for num in num_correct]
     return mAP, mAP_event, mPrec, confusion, count, recall
 
 

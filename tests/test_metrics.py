@@ -83,6 +83,26 @@ def test_evaluate_full_outputs(rng):
     assert cm.shape == (len(np.unique(labels)),) * 2
 
 
+def test_evaluate_without_background_labels(rng):
+    """A test split with no background (label 0) must still produce
+    normalized confusion rows and correct per-class query counts — the
+    background-row special case only applies when label 0 exists."""
+    emb, labels = _clustered(rng)
+    keep = labels > 0
+    emb, labels = emb[keep], labels[keep]
+    mAP, mAP_event, mPrec, confusion, count, recall = evaluate(emb, labels)
+    uniq = confusion["labels"]
+    assert 0 not in uniq
+    cm = confusion["confusion_matrix"]
+    for r, l in enumerate(uniq):
+        want_count = int((labels == l).sum())
+        assert int(count[r]) == want_count, (l, count[r], want_count)
+        if want_count:
+            # soft-assignment rows are per-query distributions -> a
+            # normalized row sums to ~1
+            np.testing.assert_allclose(cm[r].sum(), 1.0, rtol=1e-4)
+
+
 def test_device_metrics_match_oracle(rng):
     emb, labels = _clustered(rng, n=50)
     mAP_o, mPrec_o, rec1_o = evaluate_simple(emb, labels)
