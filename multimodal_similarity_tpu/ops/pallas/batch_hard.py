@@ -85,11 +85,15 @@ def _stats_kernel(a_ref, b_ref, sqa_ref, sqbp_ref, la_ref, lb_ref,
         a_ref[:], b_ref[:], sqa_ref[:], sqbp_ref[:], la_ref[:], lb_ref[:],
         gi_ref[:], gj_ref[:])
     tm, tn = pos_val.shape
+    # Mosaic's reduce-index only lowers for f32 operands — cast before the
+    # argmax/argmin (bf16 tiles otherwise crash the grad path on hardware)
+    pv32 = pos_val.astype(jnp.float32)
+    nv32 = neg_val.astype(jnp.float32)
 
-    tile_fp = jnp.max(pos_val, axis=1, keepdims=True).astype(jnp.float32)
-    tile_fpa = jnp.argmax(pos_val, axis=1).reshape(tm, 1) + j * tn
-    tile_cn = jnp.min(neg_val, axis=1, keepdims=True).astype(jnp.float32)
-    tile_cna = jnp.argmin(neg_val, axis=1).reshape(tm, 1) + j * tn
+    tile_fp = jnp.max(pv32, axis=1, keepdims=True)
+    tile_fpa = jnp.argmax(pv32, axis=1).reshape(tm, 1) + j * tn
+    tile_cn = jnp.min(nv32, axis=1, keepdims=True)
+    tile_cna = jnp.argmin(nv32, axis=1).reshape(tm, 1) + j * tn
     tile_nc = jnp.sum(jnp.where(same, 0.0, vb_ref[:].T), axis=1,
                       keepdims=True)
 
@@ -342,11 +346,11 @@ def _stats_fwd(emb, labels, valid, block, precision, algo):
     return (fp, cn, nc), (emb.astype(jnp.float32), fp, cn, fpi, cni)
 
 
-def _stats_bwd(block, precision, algo, res, grads):
-    emb, fp, cn, fpi, cni = res
-    g_fp, g_cn, _ = grads
-    n = emb.shape[0]
-
+def winning_pair_grad(emb, fp, cn, fpi, cni, g_fp, g_cn):
+    """Gradient of per-row (furthest-positive, closest-negative) stats
+    w.r.t. the embeddings, routed through each row's winning pair only —
+    exactly XLA's gradient of the masked max/min.  Shared by the fused
+    kernels' VJP and the ring pass (parallel/ring_mining.py)."""
     coef_fp = g_fp * (fp > 0.0)
     diff_fp = emb - emb[fpi]
     grad = 2.0 * coef_fp[:, None] * diff_fp
@@ -358,7 +362,13 @@ def _stats_bwd(block, precision, algo, res, grads):
     diff_cn = emb - emb[cni]
     grad = grad + 2.0 * coef_cn[:, None] * diff_cn
     grad = grad.at[cni].add(-2.0 * coef_cn[:, None] * diff_cn)
-    return grad, None, None
+    return grad
+
+
+def _stats_bwd(block, precision, algo, res, grads):
+    emb, fp, cn, fpi, cni = res
+    g_fp, g_cn, _ = grads
+    return winning_pair_grad(emb, fp, cn, fpi, cni, g_fp, g_cn), None, None
 
 
 fused_batch_hard_stats.defvjp(_stats_fwd, _stats_bwd)

@@ -38,8 +38,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from multimodal_similarity_tpu.ops.pallas.batch_hard import (
-    _INVALID_LABEL,
     _POS_INF,
+    _prep_operands,
     _use_interpret,
 )
 
@@ -138,14 +138,7 @@ def _tri_kernel_idx(ti_ref, tj_ref, a_ref, b_ref, sidei_ref, sidej_ref,
     (pos_r, neg_r, m_row), (pos_c, neg_c, m_col), (vb_i, vb_j) = \
         _tile_sides(a_ref[:], b_ref[:], sidei_ref[:], sidej_ref[:])
 
-    def update(row, pos, neg, m, vb, base):
-        fp_t = jnp.max(pos, axis=1).astype(jnp.float32)[None, :]
-        fpa = (jnp.argmax(pos, axis=1).astype(jnp.int32)
-               + base * block)[None, :]
-        cn_t = jnp.min(neg, axis=1).astype(jnp.float32)[None, :]
-        cna = (jnp.argmin(neg, axis=1).astype(jnp.int32)
-               + base * block)[None, :]
-        nc_t = jnp.sum(jnp.where(m, 0.0, vb), axis=1)[None, :]
+    def commit(row, fp_t, fpa, cn_t, cna, nc_t):
         cur_fp = fp_ref[pl.ds(row, 1), :]
         better_fp = fp_t > cur_fp
         fp_ref[pl.ds(row, 1), :] = jnp.where(better_fp, fp_t, cur_fp)
@@ -158,31 +151,51 @@ def _tri_kernel_idx(ti_ref, tj_ref, a_ref, b_ref, sidei_ref, sidej_ref,
             better_cn, cna, cni_ref[pl.ds(row, 1), :])
         nc_ref[pl.ds(row, 1), :] = nc_ref[pl.ds(row, 1), :] + nc_t
 
-    update(ti, pos_r, neg_r, m_row, vb_j.T, tj)
+    # Mosaic's reduce-index only lowers for f32 lane-axis reductions —
+    # cast before argmax/argmin; the column side must not transpose
+    # tiles (tpu.transpose fails to legalize), so its winner indices are
+    # recovered via a broadcasted row-iota + masked min instead
+    pr32 = pos_r.astype(jnp.float32)
+    nr32 = neg_r.astype(jnp.float32)
+    tm, tn = pr32.shape
+    fp_r = jnp.max(pr32, axis=1)[None, :]
+    fpa_r = (jnp.argmax(pr32, axis=1).astype(jnp.int32)
+             + tj * block)[None, :]
+    cn_r = jnp.min(nr32, axis=1)[None, :]
+    cna_r = (jnp.argmin(nr32, axis=1).astype(jnp.int32)
+             + tj * block)[None, :]
+    nc_r = jnp.sum(jnp.where(m_row, 0.0, vb_j.T), axis=1)[None, :]
+    commit(ti, fp_r, fpa_r, cn_r, cna_r, nc_r)
 
     @pl.when(ti != tj)
     def _col_side():
-        update(tj, pos_c.T, neg_c.T, m_col.T, vb_i.T, ti)
+        pc32 = pos_c.astype(jnp.float32)
+        nc32 = neg_c.astype(jnp.float32)
+        riota = jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 0)
+        fp_c = jnp.max(pc32, axis=0)[None, :]
+        win_fp = pc32 == fp_c
+        fpa_c = (jnp.min(jnp.where(win_fp, riota, tm), axis=0)
+                 .astype(jnp.int32) + ti * block)[None, :]
+        cn_c = jnp.min(nc32, axis=0)[None, :]
+        win_cn = nc32 == cn_c
+        cna_c = (jnp.min(jnp.where(win_cn, riota, tm), axis=0)
+                 .astype(jnp.int32) + ti * block)[None, :]
+        nc_c = jnp.sum(jnp.where(m_col, 0.0, vb_i), axis=0)[None, :]
+        commit(tj, fp_c, fpa_c, cn_c, cna_c, nc_c)
 
 
 def _prep(emb, labels_f, valid_f, block, precision):
-    n, d = emb.shape
-    pad = (-n) % block
-    emb_p = jnp.pad(emb, ((0, pad), (0, 0)))
-    lab_p = jnp.pad(labels_f, ((0, pad),), constant_values=_INVALID_LABEL)
-    val_p = jnp.pad(valid_f, ((0, pad),), constant_values=0.0)
-    invalid = val_p <= 0.0
-    lab_eff = jnp.where(invalid, _INVALID_LABEL, lab_p)
-    sq = jnp.sum(emb_p * emb_p, axis=1, keepdims=True)        # exact f32
-    pen = jnp.where(invalid[:, None], _POS_INF, 0.0)
-    opd = emb_p.astype(jnp.bfloat16) if precision == "bf16" else emb_p
-    gidx = jnp.arange(n + pad, dtype=jnp.float32).reshape(-1, 1)
-    # one packed stream per side: [sq, pen, la, le, g, vb, 0, 0]
+    """batch_hard's shared operand prep, repacked as one [*, 8] side
+    stream per tile side: [sq, pen, la, le, g, vb, 0, 0] (an ADDITIVE
+    penalty column replaces the penalized-norm form — each side serves as
+    both anchor and candidate here)."""
+    opd, sq, _sq_pen, lab, lab_eff, gidx, val, np_ = _prep_operands(
+        emb, labels_f, valid_f, block, precision)
+    pen = jnp.where(val <= 0.0, _POS_INF, 0.0)
     side = jnp.concatenate(
-        [sq, pen, lab_p.reshape(-1, 1), lab_eff.reshape(-1, 1), gidx,
-         val_p.reshape(-1, 1), jnp.zeros((n + pad, 2), jnp.float32)],
-        axis=1)
-    return opd, side, n + pad
+        [sq, pen, lab, lab_eff, gidx, val,
+         jnp.zeros((np_, 2), jnp.float32)], axis=1)
+    return opd, side, np_
 
 
 def _tri_specs(block, d, n_tiles):

@@ -120,17 +120,11 @@ def make_ring_batch_hard_stats_grad(mesh: Mesh, axis: str = "data"):
         return (fp, cn, nc), (emb32, fp, cn, fpi, cni)
 
     def bwd(res, grads):
+        from multimodal_similarity_tpu.ops.pallas.batch_hard import (
+            winning_pair_grad)
         emb, fp, cn, fpi, cni = res
         g_fp, g_cn, _ = grads
-        coef_fp = g_fp * (fp > 0.0)
-        diff_fp = emb - emb[fpi]
-        grad = 2.0 * coef_fp[:, None] * diff_fp
-        grad = grad.at[fpi].add(-2.0 * coef_fp[:, None] * diff_fp)
-        coef_cn = g_cn * (cn < _POS_INF)
-        diff_cn = emb - emb[cni]
-        grad = grad + 2.0 * coef_cn[:, None] * diff_cn
-        grad = grad.at[cni].add(-2.0 * coef_cn[:, None] * diff_cn)
-        return grad, None
+        return winning_pair_grad(emb, fp, cn, fpi, cni, g_fp, g_cn), None
 
     stats.defvjp(fwd, bwd)
     return stats
