@@ -10,8 +10,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def create_mesh(n_devices: Optional[int] = None,
-                axis_names: Sequence[str] = ("data",)) -> Mesh:
-    """1-D (or reshaped N-D) mesh over the first ``n_devices`` devices."""
+                axis_names: Sequence[str] = ("data",),
+                axis_sizes: Optional[Sequence[int]] = None) -> Mesh:
+    """Mesh over the first ``n_devices`` devices.
+
+    Multi-axis meshes take explicit ``axis_sizes`` (e.g. (4, 2) for a
+    dp x tp layout); without them, the trailing axes are factored out of
+    ``n_devices`` greedily (largest divisor <= sqrt of what remains), so
+    e.g. 8 devices over 2 axes become 4 x 2 — never a k-th-root reshape
+    that only works for perfect powers.
+    """
     devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
@@ -19,8 +27,24 @@ def create_mesh(n_devices: Optional[int] = None,
         raise ValueError(f"requested {n_devices} devices, have {len(devices)}")
     devs = np.asarray(devices[:n_devices])
     if len(axis_names) > 1:
-        per = int(round(n_devices ** (1 / len(axis_names))))
-        devs = devs.reshape((per,) * len(axis_names))
+        if axis_sizes is not None:
+            if int(np.prod(axis_sizes)) != n_devices:
+                raise ValueError(
+                    f"axis_sizes {tuple(axis_sizes)} != {n_devices} devices")
+            shape = tuple(int(s) for s in axis_sizes)
+        else:
+            shape = []
+            rem = n_devices
+            for _ in range(len(axis_names) - 1):
+                # largest divisor of rem that is <= sqrt(rem) becomes the
+                # NEXT axis; the current axis takes the cofactor
+                f = max(d for d in range(1, int(rem ** 0.5) + 1)
+                        if rem % d == 0)
+                shape.append(rem // f)
+                rem = f
+            shape.append(rem)
+            shape = tuple(shape)
+        devs = devs.reshape(shape)
     return Mesh(devs, axis_names)
 
 

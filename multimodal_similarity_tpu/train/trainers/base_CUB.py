@@ -69,9 +69,11 @@ def _random_crop(key, images, crop: int):
     [-1, 1] scaling (networks.py:933-937)."""
     b, h, w, _ = images.shape
     kx, ky = jax.random.split(key)
-    max_off = max(h - crop, 1)
-    offs_x = jax.random.randint(kx, (b,), 0, max_off)
-    offs_y = jax.random.randint(ky, (b,), 0, max_off)
+    # tf.random_crop samples offsets from [0, h - crop] INCLUSIVE;
+    # randint's maxval is exclusive, so + 1 keeps the bottom/right-most
+    # crop position reachable
+    offs_x = jax.random.randint(kx, (b,), 0, max(h - crop, 0) + 1)
+    offs_y = jax.random.randint(ky, (b,), 0, max(w - crop, 0) + 1)
 
     def crop_one(img, ox, oy):
         return jax.lax.dynamic_slice(img, (ox, oy, 0),

@@ -54,10 +54,14 @@ SEGMENT_EMB_DIM = 32
 
 def select_triplets_mul(triplet_input_idx, lab, sim_prob, dist_dict,
                         triplet_per_batch, triplet_per_event=2,
-                        threshold_up=0.65, threshold_down=0.35, rng=None):
+                        threshold_up=0.65, threshold_down=0.35, rng=None,
+                        mine_struct=True):
     """Hard + structure mining from pseudo-similarities
     (reference :72-142, semantics-exact).  ``rng`` (RandomState) makes the
-    anchor sweep / pair shuffle / far-negative draw repeatable."""
+    anchor sweep / pair shuffle / far-negative draw repeatable.
+    ``mine_struct=False`` is the hard-mining-only ablation
+    (multimodal_model_hardonly.py:71-126): no structure triplets, and the
+    selection is capped at exactly ``triplet_per_batch`` mined pairs."""
     rng = rng or np.random
     lab = np.asarray(lab).reshape(-1, 1)
 
@@ -100,6 +104,8 @@ def select_triplets_mul(triplet_input_idx, lab, sim_prob, dist_dict,
                 triplet = (i, hp, hn)
                 if triplet not in triplet_selected:
                     triplet_selected.append(triplet)
+                    if not mine_struct:
+                        continue
                     far_neg = np.where(np.logical_and(
                         np.squeeze(lab) == lab[hn],
                         sim_prob[i] < threshold_down))[0]
@@ -114,6 +120,9 @@ def select_triplets_mul(triplet_input_idx, lab, sim_prob, dist_dict,
                 >= triplet_per_batch):
             break
 
+    if not mine_struct:
+        triplet_selected = triplet_selected[: triplet_count
+                                            + triplet_per_batch]
     hard_count = len(triplet_selected) - triplet_count
     struct_selected = struct_selected[: triplet_per_batch - hard_count]
     struct_count = len(struct_selected)
@@ -156,7 +165,8 @@ def build_models(cfg: TrainConfig, sensors_dim: int = 8,
 
 
 def make_mm_fused_step(core, sensors_enc, sensors_pddm, segment_enc,
-                       segment_pddm, cfg: TrainConfig, mesh=None):
+                       segment_pddm, cfg: TrainConfig, mesh=None,
+                       hard_only: bool = False):
     """Fully-fused flagship step: ONE jitted program per batch.
 
     Inside the program: eval-mode core embed -> device semi-hard mining of
@@ -243,7 +253,10 @@ def make_mm_fused_step(core, sensors_enc, sensors_pddm, segment_enc,
             mask_lab = jnp.concatenate(
                 [lab_mined.mask, jnp.zeros(hard_cap + struct_cap)])
             mm = mul.hard_mask * use_multimodal
-            sm = mul.struct_mask * use_multimodal
+            # hard-only ablation: the structure term is dropped entirely
+            # (multimodal_model_hardonly semantics; reference :369-393)
+            sm = (jnp.zeros_like(mul.struct_mask) if hard_only
+                  else mul.struct_mask * use_multimodal)
             mask_hard = jnp.concatenate(
                 [jnp.zeros(lab_t), mm, jnp.zeros(struct_cap)])
             mask_struct = jnp.concatenate(
@@ -453,7 +466,7 @@ def train(cfg: TrainConfig, hard_only: bool = False,
     if device_mining:
         fused_step = make_mm_fused_step(core, sensors_enc, sensors_pddm,
                                         segment_enc, segment_pddm, cfg,
-                                        mesh=mesh)
+                                        mesh=mesh, hard_only=hard_only)
 
     def core_embed(params, feats):
         from multimodal_similarity_tpu.train.steps import embed_in_chunks
@@ -476,8 +489,18 @@ def train(cfg: TrainConfig, hard_only: bool = False,
         step_at_epoch_start = int(state.step)
         for batch in exp.loader.epoch():
             if device_mining:
-                # fully fused: one jitted program per batch, zero host hops
-                n_classes = max(dist_dict.keys()) + 1
+                # fully fused: one jitted program per batch, zero host hops.
+                # Size the margin table by the full label dictionary, not
+                # just the classes seen in validation: under jit an
+                # out-of-range label would clamp to the last index and
+                # silently borrow another class's margin (the host path
+                # raises KeyError for the same input).
+                from multimodal_similarity_tpu.data import LABEL_TRANSFER
+                # training batches always carry transferred labels
+                # (SessionBatchLoader default), whose space is the
+                # LABEL_TRANSFER range
+                label_space = max(LABEL_TRANSFER.values())
+                n_classes = max(max(dist_dict.keys()), label_space) + 1
                 cm = jnp.asarray([dist_dict.get(c, [0.0])[-1]
                                   for c in range(n_classes)], jnp.float32)
                 use_mm = jnp.float32(
@@ -585,50 +608,13 @@ def select_triplets_mul_hard(triplet_input_idx, lab, sim_prob,
                              triplet_per_batch, triplet_per_event=2,
                              threshold_up=0.65, threshold_down=0.35,
                              rng=None):
-    """Hard-mining-only ablation (multimodal_model_hardonly.py:71-126)."""
-    rng = rng or np.random
-    lab = np.asarray(lab).reshape(-1, 1)
-    triplet_selected = []
-    for i in range(0, len(triplet_input_idx), 3):
-        triplet = (triplet_input_idx[i], triplet_input_idx[i + 1],
-                   triplet_input_idx[i + 2])
-        if triplet not in triplet_selected:
-            triplet_selected.append(triplet)
-    triplet_count = len(triplet_selected)
-    adjacency = np.equal(lab, lab.T)
-
-    for i in rng.permutation(lab.shape[0]):
-        if lab[i] > 0:
-            hard_pos = np.where(np.logical_and(
-                adjacency[i], sim_prob[i] < threshold_down))[0]
-            hard_neg = np.where(np.logical_and(
-                ~adjacency[i], sim_prob[i] > threshold_up))[0]
-            if len(hard_pos) == 0:
-                all_pos = np.where(adjacency[i])[0]
-                if len(all_pos) == 1:
-                    continue
-                hard_pos = np.array(
-                    [all_pos[np.nanargmin(sim_prob[i, all_pos])]], "int32")
-            if len(hard_neg) == 0:
-                all_neg = np.where(~adjacency[i])[0]
-                if len(all_neg) == 1:
-                    continue
-                hard_neg = np.array(
-                    [all_neg[np.nanargmax(sim_prob[i, all_neg])]], "int32")
-            hard_comb = [(hp, hn) for hn in hard_neg for hp in hard_pos]
-            rng.shuffle(hard_comb)
-            for count in range(min(triplet_per_event, len(hard_comb))):
-                hp, hn = hard_comb[count]
-                triplet = (i, hp, hn)
-                if triplet not in triplet_selected:
-                    triplet_selected.append(triplet)
-        if len(triplet_selected) - triplet_count >= triplet_per_batch:
-            break
-
-    triplet_selected = triplet_selected[: triplet_count + triplet_per_batch]
-    mul_count = len(triplet_selected) - triplet_count
-    flat = [idx for tri in triplet_selected for idx in tri]
-    return flat, triplet_count, mul_count
+    """Hard-mining-only ablation (multimodal_model_hardonly.py:71-126):
+    select_triplets_mul without the structure term."""
+    flat, _, triplet_count, hard_count, _ = select_triplets_mul(
+        triplet_input_idx, lab, sim_prob, {}, triplet_per_batch,
+        triplet_per_event, threshold_up, threshold_down, rng=rng,
+        mine_struct=False)
+    return flat, triplet_count, hard_count
 
 
 def _graft(template, branch):

@@ -17,6 +17,20 @@ def test_create_mesh():
     assert mesh.axis_names == ("data",)
 
 
+def test_create_mesh_multi_axis():
+    # 8 devices over 2 axes must factor (4x2), never a k-th-root reshape
+    # that only works for perfect powers
+    m = create_mesh(8, ("data", "model"))
+    assert dict(m.shape) == {"data": 4, "model": 2}
+    m = create_mesh(8, ("data", "model"), axis_sizes=(2, 4))
+    assert dict(m.shape) == {"data": 2, "model": 4}
+    m = create_mesh(6, ("data", "model"))
+    assert dict(m.shape) == {"data": 3, "model": 2}
+    import pytest
+    with pytest.raises(ValueError):
+        create_mesh(8, ("data", "model"), axis_sizes=(3, 3))
+
+
 def test_sharded_retrieval_matches_dense(rng):
     mesh = create_mesh(8)
     q = jnp.array(rng.randn(16, 12).astype(np.float32))

@@ -246,3 +246,30 @@ def test_multimodal_fused_staging(synth_root, tmp_path):
         assert l["hard_count"] == 0.0
         assert l["struct_count"] == 0.0
         assert l["metric_loss2"] == 0.0
+
+
+def test_multimodal_fused_hard_only(synth_root, tmp_path):
+    """--device_mining with the hard-only ablation must DROP the structure
+    term entirely (struct_count/loss3 == 0 even past multimodal_epochs) —
+    the ablation otherwise silently trains the full flagship objective."""
+    import json
+
+    from multimodal_similarity_tpu.train.trainers import multimodal_model
+    cfg = _cfg(synth_root, network="convrtsn",
+               feat=["resnet", "sensors", "segment"], n_h=2, n_w=2, n_C=4,
+               lambda_multimodal=0.5, multimodal_epochs=0, label_num=3,
+               triplet_per_batch=16)
+    cfg.feat_dim["segment"] = (16,)
+    multimodal_model.train(cfg, hard_only=True, device_mining=True,
+                           event_budget=48,
+                           result_dir=str(tmp_path / "ho"))
+    lines = [json.loads(l) for l in
+             open(f"{tmp_path}/ho/metrics.jsonl").read().strip()
+             .split("\n")]
+    step_lines = [l for l in lines if "struct_count" in l]
+    assert step_lines, "no training steps logged"
+    assert any(l["hard_count"] > 0 for l in step_lines), \
+        "hard mining never engaged; test data too easy"
+    for l in step_lines:
+        assert l["struct_count"] == 0.0
+        assert l["metric_loss3"] == 0.0
