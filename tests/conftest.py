@@ -6,7 +6,13 @@ Multi-chip sharding tests run on virtual CPU devices
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# MSIM_TEST_TPU=1 keeps the real TPU backend so the hardware-only
+# Mosaic-lowering tests (tests/test_hw_kernels.py) can run; everything
+# else in the suite still works, just slowly
+_keep_tpu = os.environ.get("MSIM_TEST_TPU") == "1"
+
+if not _keep_tpu:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,7 +23,8 @@ if "xla_force_host_platform_device_count" not in flags:
 # so tests are fast, deterministic, and fp32-exact.
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _keep_tpu:
+    jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: repeat suite runs skip most XLA compiles
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
