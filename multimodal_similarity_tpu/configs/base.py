@@ -20,7 +20,10 @@ from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 def load_session_list(path: str) -> List[str]:
     with open(path, "r") as fin:
-        return fin.read().strip().split("\n")
+        text = fin.read().strip()
+    # an empty file means no sessions — ''.split('\n') would yield ['']
+    # and send a bogus empty session id into the data loaders
+    return text.split("\n") if text else []
 
 
 def _resolve_sessions(value: Union[str, List[str]], data_root: str,
@@ -31,7 +34,7 @@ def _resolve_sessions(value: Union[str, List[str]], data_root: str,
     if value == "all":
         path = os.path.join(data_root, default_file)
         return load_session_list(path) if os.path.exists(path) else []
-    if value.endswith("txt"):
+    if value.endswith(".txt"):
         return load_session_list(os.path.join(data_root, value))
     return value.split(",")
 

@@ -11,14 +11,14 @@ new first-class component.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from multimodal_similarity_tpu.ops.distances import pairwise_distance
-from multimodal_similarity_tpu.train.steps import l2_normalize
+from multimodal_similarity_tpu.train.steps import make_embed_fn
 
 
 class EmbeddingService:
@@ -29,13 +29,9 @@ class EmbeddingService:
         self.model = model
         self.params = params
         self.batch_size = batch_size
-
-        @jax.jit
-        def _embed(params, x):
-            e = model.apply({"params": params}, x)
-            return l2_normalize(e) if normalized else e
-
-        self._embed = _embed
+        # the same jitted eval-mode embed the trainers use — serving must
+        # never diverge from training-side embedding semantics
+        self._embed = make_embed_fn(model, normalized=normalized)
 
     def embed(self, events: np.ndarray) -> np.ndarray:
         n = events.shape[0]
@@ -49,6 +45,11 @@ class EmbeddingService:
                                      block.dtype)])
             emb = np.asarray(self._embed(self.params, jnp.asarray(block)))
             out.append(emb[: self.batch_size - pad or None])
+        if not out:  # zero-row request
+            probe = np.asarray(self._embed(
+                self.params,
+                jnp.zeros((1,) + events.shape[1:], jnp.float32)))
+            return np.zeros((0, probe.shape[-1]), np.float32)
         return np.concatenate(out, axis=0)[:n]
 
 
@@ -68,6 +69,10 @@ class RetrievalIndex:
         # galleries beyond this stream through the chunked scan so the
         # [Q, N] matrix never materializes (ops/chunked_topk.py)
         self.gallery_chunk = gallery_chunk
+        # adds accumulate blocks; the gallery concatenates lazily at the
+        # first query after adds (incremental building stays O(N))
+        self._blocks: List[np.ndarray] = []
+        self._n = 0
         self._gallery: Optional[np.ndarray] = None
         # device-resident copy, uploaded once per add() generation — a
         # query must never re-ship the gallery over PCIe/ICI
@@ -76,20 +81,31 @@ class RetrievalIndex:
 
     def add(self, embeddings: np.ndarray, metadata: Optional[Sequence] = None):
         embeddings = np.asarray(embeddings, np.float32)
-        if self._gallery is None:
-            self._gallery = embeddings
-        else:
-            self._gallery = np.concatenate([self._gallery, embeddings])
+        if metadata is not None and len(metadata) != embeddings.shape[0]:
+            raise ValueError(
+                f"metadata length {len(metadata)} != "
+                f"{embeddings.shape[0]} embeddings — metadata would "
+                f"silently misalign for every later row")
+        self._blocks.append(embeddings)
+        self._n += embeddings.shape[0]
+        self._gallery = None
         self._device_gallery = None  # invalidate; next query re-uploads once
         self._meta.extend(metadata if metadata is not None
                           else [None] * embeddings.shape[0])
 
     def __len__(self) -> int:
-        return 0 if self._gallery is None else self._gallery.shape[0]
+        return self._n
+
+    def _gallery_host(self) -> np.ndarray:
+        if self._gallery is None:
+            self._gallery = (self._blocks[0] if len(self._blocks) == 1
+                             else np.concatenate(self._blocks))
+            self._blocks = [self._gallery]
+        return self._gallery
 
     def _gallery_on_device(self):
         if self._device_gallery is None:
-            gallery = self._gallery
+            gallery = self._gallery_host()
             if self.mesh is not None:
                 n_dev = self.mesh.devices.size
                 pad = (-len(self)) % n_dev
@@ -106,10 +122,15 @@ class RetrievalIndex:
 
     def query(self, queries: np.ndarray, k: int = 10
               ) -> Tuple[np.ndarray, np.ndarray, list]:
-        """-> (dists [Q, k], indices [Q, k], metadata nested list)."""
-        if self._gallery is None or not len(self):
+        """-> (dists [Q, k], indices [Q, k], metadata nested list).
+
+        A single 1-D query vector is accepted and treated as Q=1."""
+        if not len(self):
             raise ValueError("empty gallery")
-        q = jnp.asarray(queries, jnp.float32)
+        queries = np.asarray(queries, np.float32)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+        q = jnp.asarray(queries)
         k = min(k, len(self))
         gallery = self._gallery_on_device()
         if self.mesh is not None:

@@ -33,6 +33,10 @@ class MetricsLogger:
         rec = {"step": int(step), "time": time.time()}
         for k, v in scalars.items():
             key = f"{prefix}{k}"
+            if key in ("step", "time"):
+                # never let a scalar clobber the record's own step/wall-
+                # clock fields (downstream JSONL analysis parses both)
+                key = f"scalar_{key}"
             rec[key] = float(v)
             if self._tb is not None:
                 self._tb.add_scalar(key, float(v), int(step))

@@ -33,6 +33,10 @@ class StepWatchdog:
         self.on_timeout = on_timeout or self._default_handler
         self.repeat = repeat
         self._timer: Optional[threading.Timer] = None
+        # generation guard: a repeat re-arm racing the step's __exit__
+        # must not leave an orphan timer barking at a stale deadline
+        self._lock = threading.Lock()
+        self._generation = 0
         self.fired = 0
 
     def _default_handler(self) -> None:
@@ -40,16 +44,31 @@ class StepWatchdog:
             f"[watchdog] step exceeded {self.timeout}s — thread dump:\n")
         faulthandler.dump_traceback(file=sys.stderr)
 
-    def _fire(self) -> None:
+    def _fire(self, generation: int) -> None:
         self.fired += 1
         self.on_timeout()
         if self.repeat:
-            self._arm()
+            with self._lock:
+                if generation == self._generation:
+                    self._arm_locked()
 
     def _arm(self) -> None:
-        self._timer = threading.Timer(self.timeout, self._fire)
+        with self._lock:
+            self._generation += 1
+            self._arm_locked()
+
+    def _arm_locked(self) -> None:
+        self._timer = threading.Timer(self.timeout, self._fire,
+                                      args=(self._generation,))
         self._timer.daemon = True
         self._timer.start()
+
+    def _disarm(self) -> None:
+        with self._lock:
+            self._generation += 1
+            if self._timer is not None:
+                self._timer.cancel()
+                self._timer = None
 
     def step(self):
         return _StepScope(self)
@@ -64,7 +83,5 @@ class _StepScope:
         return self.wd
 
     def __exit__(self, *exc):
-        if self.wd._timer is not None:
-            self.wd._timer.cancel()
-            self.wd._timer = None
+        self.wd._disarm()
         return False

@@ -110,3 +110,35 @@ def test_retrieval_index_gallery_cached_and_invalidated(rng):
     assert idx._device_gallery is None    # invalidated
     d, i, _ = idx.query(q[0:1], k=1)
     assert int(i[0, 0]) == 32             # the new row wins
+
+
+def test_retrieval_index_guards_and_1d_query(rng):
+    from multimodal_similarity_tpu.serving import RetrievalIndex
+
+    idx = RetrievalIndex(emb_dim=8)
+    with pytest.raises(ValueError):
+        idx.add(rng.randn(10, 8).astype(np.float32), metadata=["a"] * 5)
+    idx.add(rng.randn(10, 8).astype(np.float32),
+            metadata=[f"m{i}" for i in range(10)])
+    idx.add(rng.randn(6, 8).astype(np.float32),
+            metadata=[f"n{i}" for i in range(6)])
+    assert len(idx) == 16
+    # single 1-D query vector -> Q=1 results
+    d, ids, meta = idx.query(rng.randn(8).astype(np.float32), k=3)
+    assert d.shape == (1, 3) and ids.shape == (1, 3)
+    assert len(meta) == 1 and len(meta[0]) == 3
+    # metadata stays aligned across multiple adds
+    all_meta = [f"m{i}" for i in range(10)] + [f"n{i}" for i in range(6)]
+    for j, m in zip(ids[0], meta[0]):
+        assert m == all_meta[j]
+
+
+def test_embedding_service_zero_rows(rng):
+    from multimodal_similarity_tpu.serving import EmbeddingService
+
+    model = build_encoder("rtsn", num_seg=3, emb_dim=16, n_input=8)
+    x = rng.randn(2, 3, 8).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    svc = EmbeddingService(model, params, batch_size=4)
+    out = svc.embed(np.zeros((0, 3, 8), np.float32))
+    assert out.shape == (0, 16)
