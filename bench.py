@@ -113,6 +113,64 @@ def main():
 
     fused16_eps = best_throughput(one_fused16, 50)
 
+    # --- host-resident-data variants: the REAL contract (the reference
+    #     loads features from disk into host RAM per batch, data_io.py:
+    #     166-211), so the 1.2 GB/step f32 feature upload is on the clock.
+    #     Three measurements:
+    #       host_to_device_gbps      -- raw link bandwidth (300 MB put)
+    #       ..._host_data_...        -- synchronous upload + step (naive)
+    #       ..._host_pipelined_...   -- bf16-cast host-side + device_put on
+    #                                   a prefetch thread one batch ahead
+    #                                   (data/device_feed.py), upload
+    #                                   overlapping the previous step
+    #     NOTE this chip hangs off a development tunnel: the measured GB/s
+    #     is the tunnel's, roughly 10-30x below a co-located PCIe host.
+    #     The link-bound ceiling events/s is reported so the number is
+    #     self-describing (see RESULTS.md "host-data feed").
+    x_host = np.asarray(x)                       # features in host RAM
+    probe = x_host[:256]                         # ~300 MB probe
+    jax.device_put(probe[:2]).block_until_ready()  # warm path
+    bw_best = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        jax.device_put(probe).block_until_ready()
+        bw_best = max(bw_best, probe.nbytes / (time.time() - t0))
+    host_to_device_gbps = bw_best / 1e9
+    bytes_per_event_f32 = x_host.nbytes / n_events
+    link_ceiling_eps = bw_best / bytes_per_event_f32
+
+    def one_host_sync():
+        nonlocal state
+        state, aux = step(state, jnp.asarray(x_host), labels, mask, key, lr)
+        return aux["loss"]
+
+    float(one_host_sync())  # any residual compile + sync
+    t0 = time.time()
+    reps_host = 3
+    out = None
+    for _ in range(reps_host):
+        out = one_host_sync()
+    float(out)
+    host_sync_eps = n_events * reps_host / (time.time() - t0)
+
+    from multimodal_similarity_tpu.data.device_feed import device_prefetch
+
+    def host_batches(k):
+        for _ in range(k):
+            yield {"events": x_host}
+
+    reps_pipe = 4
+    float(one_fused16())  # ensure the bf16-features step is compiled
+    t0 = time.time()
+    out = None
+    for batch in device_prefetch(host_batches(reps_pipe),
+                                 device_keys=("events",),
+                                 bf16_keys=("events",)):
+        state, aux = step(state, batch["events"], labels, mask, key, lr)
+        out = aux["loss"]
+    float(out)
+    host_pipe_eps = n_events * reps_pipe / (time.time() - t0)
+
     # --- reference-style step: device embed -> host mine -> device gather
     #     + re-forward.  The device<->host copies here ride a development
     #     tunnel whose latency is not representative of co-located PCIe, so
@@ -246,6 +304,12 @@ def main():
         "detail": {
             "embed_events_per_sec": round(embed_eps, 2),
             "fused_step_bf16_features_events_per_sec": round(fused16_eps, 2),
+            "fused_step_host_data_events_per_sec": round(host_sync_eps, 2),
+            "fused_step_host_pipelined_events_per_sec": round(
+                host_pipe_eps, 2),
+            "host_to_device_gbps": round(host_to_device_gbps, 3),
+            "host_data_link_bound_ceiling_events_per_sec": round(
+                link_ceiling_eps, 2),
             "reference_style_step_events_per_sec": round(ref_eps, 2),
             "pallas_dist_mining_gflops": round(kernel_gflops, 1),
             "pallas_mfu_sweep": kernel_sweep,

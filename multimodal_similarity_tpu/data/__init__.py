@@ -23,6 +23,11 @@ from multimodal_similarity_tpu.data.cub import (
     sample_cub_batch,
 )
 from multimodal_similarity_tpu.data.loader import SessionBatchLoader
+from multimodal_similarity_tpu.data.device_feed import (
+    device_prefetch,
+    feed_shardings,
+    make_batch_placer,
+)
 from multimodal_similarity_tpu.data.tfrecord_loader import (
     EventTFRecordLoader,
     list_event_tfrecords,
@@ -49,4 +54,5 @@ __all__ = [
     "MODALITY_SUFFIX", "HONDA_NUM2LABELS", "STIMULI_NUM2LABELS",
     "load_cub", "generate_synthetic_cub", "sample_cub_batch",
     "prepare_attribute", "EventTFRecordLoader", "list_event_tfrecords",
+    "device_prefetch", "feed_shardings", "make_batch_placer",
 ]

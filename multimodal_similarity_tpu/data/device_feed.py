@@ -1,0 +1,98 @@
+"""Async host->device batch feeding.
+
+The reference uploads features synchronously inside its train loop (every
+``sess.run`` feed_dict copies the gathered triplet tensor to the GPU,
+multimodal_model.py:499-520).  Round 2 of this rebuild did the JAX
+equivalent — ``jnp.asarray(batch[...])`` in the batch loop — which serializes
+the ~1.2 GB/step Honda feature upload with the 6 ms compute step.
+
+``device_prefetch`` removes that serialization: it wraps a host batch
+iterator and performs the (optionally bf16-cast) ``jax.device_put`` on a
+background thread, double-buffered, so batch k+1's host->device transfer
+overlaps batch k's jitted step.  ``jax.device_put`` is itself asynchronous;
+issuing it one batch ahead means the step dispatch never waits on PCIe/link
+DMA, only on data that is already resident.
+
+The measured ceiling on this environment is recorded by bench.py's
+``host_to_device_gbps`` field (the tunneled dev TPU's link is NOT
+representative of co-located production hosts — see RESULTS.md).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, Mapping, Optional, Sequence
+
+import numpy as np
+
+from multimodal_similarity_tpu.data.loader import _prefetched
+
+DEFAULT_DEVICE_KEYS = ("events", "events2", "events3", "labels", "mask")
+
+
+def make_batch_placer(
+    device_keys: Sequence[str] = DEFAULT_DEVICE_KEYS,
+    bf16_keys: Sequence[str] = (),
+    shardings: Optional[Mapping[str, object]] = None,
+):
+    """Return placer(host_batch) -> batch with device-resident arrays.
+
+    device_keys -- batch entries to ``jax.device_put`` (missing keys are
+        skipped; non-array keys like "sessions"/"num_events" stay host-side).
+    bf16_keys -- subset cast to bfloat16 ON THE HOST first (--bf16_features):
+        the cast happens before the wire, halving transferred bytes, not
+        merely the device-side read.
+    shardings -- optional per-key jax.sharding.Sharding for multi-device
+        feeding (e.g. events -> P("data"), labels -> replicated).
+    """
+    import jax
+
+    shardings = dict(shardings or {})
+    bf16 = frozenset(bf16_keys)
+
+    def place(batch: Dict[str, np.ndarray]) -> Dict[str, object]:
+        out = dict(batch)
+        for k in device_keys:
+            if k not in batch:
+                continue
+            a = np.asarray(batch[k])
+            if k in bf16:
+                import ml_dtypes
+
+                a = a.astype(ml_dtypes.bfloat16)
+            sh = shardings.get(k)
+            out[k] = jax.device_put(a, sh) if sh is not None \
+                else jax.device_put(a)
+        return out
+
+    return place
+
+
+def device_prefetch(
+    batches: Iterable[Dict[str, np.ndarray]],
+    device_keys: Sequence[str] = DEFAULT_DEVICE_KEYS,
+    bf16_keys: Sequence[str] = (),
+    shardings: Optional[Mapping[str, object]] = None,
+    depth: int = 2,
+):
+    """Yield batches with ``device_keys`` already device-resident.
+
+    The device_put runs on a background thread ``depth`` batches ahead
+    (double-buffered by default), overlapping upload with the consumer's
+    step.  Composes with SessionBatchLoader.epoch() (itself prefetched on
+    its own thread): disk load / pad -> thread 1, host->device DMA ->
+    thread 2, compute -> main thread.
+    """
+    place = make_batch_placer(device_keys, bf16_keys, shardings)
+    yield from _prefetched(batches, place, depth)
+
+
+def feed_shardings(mesh, data_keys: Sequence[str] = ("events", "events2",
+                                                     "events3"),
+                   replicated_keys: Sequence[str] = ("labels", "mask")):
+    """Standard flagship sharding plan: event tensors split on the batch
+    axis over the 1-D "data" mesh, small per-event vectors replicated."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    plan = {k: NamedSharding(mesh, P("data")) for k in data_keys}
+    plan.update({k: NamedSharding(mesh, P()) for k in replicated_keys})
+    return plan

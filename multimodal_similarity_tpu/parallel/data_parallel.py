@@ -21,6 +21,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from multimodal_similarity_tpu.ops.losses import triplet_loss_masked
 from multimodal_similarity_tpu.ops.mining import mine_semihard_triplets
 from multimodal_similarity_tpu.train.steps import (
+    jit_step,
     l2_normalize,
     masked_self_distance,
 )
@@ -80,4 +81,4 @@ def make_dp_triplet_step(
     in_shardings = (None,                      # state: leave placement as-is
                     data_sharding,             # events
                     repl, repl, repl, repl)    # labels, mask, key, lr
-    return jax.jit(step, in_shardings=in_shardings)
+    return jit_step(step, in_shardings=in_shardings)

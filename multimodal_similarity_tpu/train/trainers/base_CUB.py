@@ -40,7 +40,7 @@ from multimodal_similarity_tpu.ops.pallas import batch_hard_pallas
 from multimodal_similarity_tpu.train.checkpoints import CheckpointManager
 from multimodal_similarity_tpu.train.state import (
     TrainState, build_optimizer, l2_regularization, learning_rate_schedule)
-from multimodal_similarity_tpu.train.steps import l2_normalize
+from multimodal_similarity_tpu.train.steps import jit_step, l2_normalize
 from multimodal_similarity_tpu.train.trainer import setup_experiment
 from multimodal_similarity_tpu.utils.logging import MetricsLogger
 
@@ -183,7 +183,7 @@ def train(cfg: TrainConfig, data: Optional[dict] = None,
                                           learning_rate=learning_rate),
                     new_bn, aux)
 
-        return jax.jit(step)
+        return jit_step(step)
 
     step_fn = make_step()
 

@@ -139,6 +139,26 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
     from multimodal_similarity_tpu.train.trainer import feature_caster
     _cast = feature_caster(cfg)
 
+    # fused-step path: events/labels/mask are device_put (with the bf16
+    # cast host-side) on a background thread one batch ahead, so the
+    # ~GB-scale feature upload overlaps the previous step instead of
+    # serializing with it (the reference pays this serialization on every
+    # feed_dict, base_model.py:284-287)
+    def epoch_batches():
+        batches = loader.epoch()
+        if cfg.triplet_select != "facenet":
+            return batches  # host miners need host-resident arrays
+        from multimodal_similarity_tpu.data import (
+            device_prefetch, feed_shardings)
+        shardings = None
+        if mesh is not None:
+            shardings = feed_shardings(mesh, data_keys=("events",),
+                                       replicated_keys=("labels", "mask"))
+        return device_prefetch(
+            batches, device_keys=("events", "labels", "mask"),
+            bf16_keys=("events",) if cfg.bf16_features else (),
+            shardings=shardings)
+
     metrics = {}
     # host-side miners draw from a config-seeded stream, independent of
     # process-global RNG state (keeps host-vs-device A/B runs repeatable)
@@ -148,26 +168,24 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
         lr = learning_rate_schedule(epoch, cfg.learning_rate,
                                     cfg.static_epochs, cfg.max_epochs)
         step_at_epoch_start = int(state.step)
-        for batch in loader.epoch():
+        for batch in epoch_batches():
             t0 = time.time()
             rng, key = jax.random.split(rng)
-            events = jnp.asarray(_cast(batch["events"]))
             if cfg.triplet_select == "facenet":
+                # events/labels/mask arrive device-resident (and bf16-cast
+                # when requested) from the prefetch thread
                 if mesh is not None:
-                    from multimodal_similarity_tpu.parallel import (
-                        replicate, shard_batch)
-                    events = shard_batch({"e": events}, mesh)["e"]
-                    labels_b, mask_b, key_b, lr_b = replicate(
-                        (jnp.asarray(batch["labels"]),
-                         jnp.asarray(batch["mask"]), key,
-                         jnp.float32(lr)), mesh)
-                    state, aux = step_fn(state, events, labels_b, mask_b,
+                    from multimodal_similarity_tpu.parallel import replicate
+                    key_b, lr_b = replicate((key, jnp.float32(lr)), mesh)
+                    state, aux = step_fn(state, batch["events"],
+                                         batch["labels"], batch["mask"],
                                          key_b, lr_b)
                 else:
                     state, aux = step_fn(
-                        state, events, jnp.asarray(batch["labels"]),
-                        jnp.asarray(batch["mask"]), key, jnp.float32(lr))
+                        state, batch["events"], batch["labels"],
+                        batch["mask"], key, jnp.float32(lr))
             else:
+                events = jnp.asarray(_cast(batch["events"]))
                 n = int(batch["num_events"])
                 if cfg.triplet_select == "facenet_host":
                     from multimodal_similarity_tpu.ops.distances import (

@@ -25,7 +25,8 @@ from multimodal_similarity_tpu.ops.pallas import (
     batch_hard_pallas, lifted_loss_pallas)
 from multimodal_similarity_tpu.train.state import (
     TrainState, build_optimizer, l2_regularization, learning_rate_schedule)
-from multimodal_similarity_tpu.train.steps import l2_normalize, make_embed_fn
+from multimodal_similarity_tpu.train.steps import (
+    jit_step, l2_normalize, make_embed_fn)
 from multimodal_similarity_tpu.train.trainer import epoch_of_step, validate
 from multimodal_similarity_tpu.train.trainers._honda import HondaExperiment
 
@@ -83,8 +84,8 @@ def make_balanced_batch_step(model, cfg: TrainConfig, loss_kind: str,
         return state, aux
 
     if mesh is None:
-        return jax.jit(step)
-    return jax.jit(step, in_shardings=(None, data_s, repl_s, repl_s, repl_s))
+        return jit_step(step)
+    return jit_step(step, in_shardings=(None, data_s, repl_s, repl_s, repl_s))
 
 
 def train(cfg: TrainConfig, loss_kind: str = "batchhard",

@@ -21,6 +21,7 @@ from multimodal_similarity_tpu.train.state import (
 from multimodal_similarity_tpu.train.trainer import (
     cached_device, epoch_of_step)
 from multimodal_similarity_tpu.train.trainers._honda import HondaExperiment
+from multimodal_similarity_tpu.train.steps import jit_step
 
 
 def make_classifier_step(model, cfg: TrainConfig):
@@ -46,7 +47,7 @@ def make_classifier_step(model, cfg: TrainConfig):
         state = state.apply_gradients(grads, learning_rate=learning_rate)
         return state, aux
 
-    return jax.jit(step)
+    return jit_step(step)
 
 
 def train(cfg: TrainConfig, event_budget: Optional[int] = None,

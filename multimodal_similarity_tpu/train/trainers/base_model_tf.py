@@ -28,6 +28,7 @@ from multimodal_similarity_tpu.train.checkpoints import CheckpointManager
 from multimodal_similarity_tpu.train.state import (
     TrainState, build_optimizer, l2_regularization, learning_rate_schedule)
 from multimodal_similarity_tpu.train.steps import (
+    jit_step,
     l2_normalize, masked_self_distance)
 from multimodal_similarity_tpu.train.trainer import (
     epoch_of_step, setup_experiment)
@@ -108,7 +109,7 @@ def train(cfg: TrainConfig, event_per_batch: int = 64,
             return (state.apply_gradients(grads,
                                           learning_rate=learning_rate), aux)
 
-        return jax.jit(step)
+        return jit_step(step)
 
     step_fn = make_step()
 

@@ -19,7 +19,7 @@ from multimodal_similarity_tpu.data import mean_pool_input
 from multimodal_similarity_tpu.models import OutputLayer, build_encoder
 from multimodal_similarity_tpu.train.state import (
     TrainState, build_optimizer, l2_regularization, learning_rate_schedule)
-from multimodal_similarity_tpu.train.steps import make_embed_fn
+from multimodal_similarity_tpu.train.steps import jit_step, make_embed_fn
 from multimodal_similarity_tpu.train.trainer import epoch_of_step
 from multimodal_similarity_tpu.train.trainers._honda import HondaExperiment
 
@@ -74,7 +74,7 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
             return (state.apply_gradients(grads,
                                           learning_rate=learning_rate), aux)
 
-        return jax.jit(step)
+        return jit_step(step)
 
     step_fn = step_fn_builder()
     embed_fn = make_embed_fn(core, True)

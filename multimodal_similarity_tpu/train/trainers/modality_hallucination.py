@@ -28,7 +28,8 @@ from multimodal_similarity_tpu.ops.mining import select_triplets_facenet
 from multimodal_similarity_tpu.train.checkpoints import load_pytree
 from multimodal_similarity_tpu.train.state import (
     TrainState, build_optimizer, l2_regularization, learning_rate_schedule)
-from multimodal_similarity_tpu.train.steps import l2_normalize, make_embed_fn
+from multimodal_similarity_tpu.train.steps import (
+    jit_step, l2_normalize, make_embed_fn)
 from multimodal_similarity_tpu.train.trainer import (
     cached_device, epoch_of_step)
 from multimodal_similarity_tpu.train.trainers._honda import HondaExperiment
@@ -180,7 +181,7 @@ def train(cfg: TrainConfig, sensors_only: bool = False,
             return (state.apply_gradients(grads, learning_rate=learning_rate),
                     aux)
 
-        return jax.jit(step)
+        return jit_step(step)
 
     step_fn = step_builder()
 

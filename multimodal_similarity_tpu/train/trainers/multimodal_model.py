@@ -43,7 +43,8 @@ from multimodal_similarity_tpu.ops.mining import select_triplets_facenet
 from multimodal_similarity_tpu.train.checkpoints import load_pytree
 from multimodal_similarity_tpu.train.state import (
     TrainState, build_optimizer, l2_regularization, learning_rate_schedule)
-from multimodal_similarity_tpu.train.steps import l2_normalize, make_embed_fn
+from multimodal_similarity_tpu.train.steps import (
+    jit_step, l2_normalize, make_embed_fn)
 from multimodal_similarity_tpu.train.trainer import (
     cached_device, epoch_of_step)
 from multimodal_similarity_tpu.train.trainers._honda import HondaExperiment
@@ -299,12 +300,12 @@ def make_mm_fused_step(core, sensors_enc, sensors_pddm, segment_enc,
         return state, aux
 
     if mesh is None:
-        return jax.jit(step)
+        return jit_step(step)
     in_shardings = (None,                      # state: placed by the caller
                     data_s, data_s, data_s,    # events, sensors, segment
                     repl_s, repl_s, repl_s,    # labels, mask, class_margins
                     repl_s, repl_s, repl_s)    # use_multimodal, key, lr
-    return jax.jit(step, in_shardings=in_shardings)
+    return jit_step(step, in_shardings=in_shardings)
 
 
 def make_mm_train_step(core, cfg: TrainConfig, tri_cap: int):
@@ -338,7 +339,7 @@ def make_mm_train_step(core, cfg: TrainConfig, tri_cap: int):
         state = state.apply_gradients(grads, learning_rate=learning_rate)
         return state, aux
 
-    return jax.jit(step)
+    return jit_step(step)
 
 
 def make_fused_sim_fn(sensors_enc, sensors_pddm, segment_enc, segment_pddm,
@@ -476,6 +477,21 @@ def train(cfg: TrainConfig, hard_only: bool = False,
     val_emb = core_embed(state.params, cached_device(exp.val_feats))
     dist_dict = init_dist_dict(val_emb, exp.val_labels, cfg.metric)
 
+    # fused path: ship events/aux-modalities/labels/mask to the device on a
+    # background thread one batch ahead (bf16-cast host-side when asked),
+    # overlapping the dominant feature upload with the previous fused step
+    def epoch_batches():
+        if not device_mining:
+            return exp.loader.epoch()  # host miners slice numpy arrays
+        from multimodal_similarity_tpu.data import (
+            device_prefetch, feed_shardings)
+        shardings = feed_shardings(mesh) if mesh is not None else None
+        return device_prefetch(
+            exp.loader.epoch(),
+            device_keys=("events", "events2", "events3", "labels", "mask"),
+            bf16_keys=("events",) if cfg.bf16_features else (),
+            shardings=shardings)
+
     metrics = {}
     # config-seeded host-miner streams: facenet uses a random.Random, the
     # mul selectors a RandomState — independent of process-global RNG state
@@ -487,7 +503,7 @@ def train(cfg: TrainConfig, hard_only: bool = False,
                                     cfg.static_epochs, cfg.max_epochs,
                                     decay_base=0.01)
         step_at_epoch_start = int(state.step)
-        for batch in exp.loader.epoch():
+        for batch in epoch_batches():
             if device_mining:
                 # fully fused: one jitted program per batch, zero host hops.
                 # Size the margin table by the full label dictionary, not
@@ -505,13 +521,12 @@ def train(cfg: TrainConfig, hard_only: bool = False,
                                   for c in range(n_classes)], jnp.float32)
                 use_mm = jnp.float32(
                     1.0 if epoch >= cfg.multimodal_epochs else 0.0)
+                # batch tensors arrive device-resident from the prefetch
+                # thread (bf16-cast host-side when --bf16_features)
                 state, aux = fused_step(
-                    state, jnp.asarray(_cast(batch["events"])),
-                    jnp.asarray(batch["events2"]),
-                    jnp.asarray(batch["events3"]),
-                    jnp.asarray(batch["labels"]),
-                    jnp.asarray(batch["mask"]), cm, use_mm,
-                    exp.next_key(), jnp.float32(lr))
+                    state, batch["events"], batch["events2"],
+                    batch["events3"], batch["labels"], batch["mask"],
+                    cm, use_mm, exp.next_key(), jnp.float32(lr))
                 exp.log(int(state.step),
                         {**{k: float(v) for k, v in aux.items()},
                          "learning_rate": lr},

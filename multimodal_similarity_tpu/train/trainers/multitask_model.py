@@ -23,6 +23,7 @@ from multimodal_similarity_tpu.ops.mining import mine_semihard_triplets
 from multimodal_similarity_tpu.train.state import (
     TrainState, build_optimizer, l2_regularization, learning_rate_schedule)
 from multimodal_similarity_tpu.train.steps import (
+    jit_step,
     l2_normalize, make_embed_fn, masked_self_distance)
 from multimodal_similarity_tpu.train.trainer import epoch_of_step, validate
 from multimodal_similarity_tpu.train.trainers._honda import HondaExperiment
@@ -82,7 +83,7 @@ def make_multitask_step(encoder, ver_head, cfg: TrainConfig):
         state = state.apply_gradients(grads, learning_rate=learning_rate)
         return state, aux
 
-    return jax.jit(step)
+    return jit_step(step)
 
 
 def train(cfg: TrainConfig, event_budget: Optional[int] = None,

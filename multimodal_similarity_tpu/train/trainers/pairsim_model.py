@@ -27,6 +27,7 @@ from multimodal_similarity_tpu.train.state import (
 from multimodal_similarity_tpu.train.trainer import (
     cached_device, epoch_of_step)
 from multimodal_similarity_tpu.train.trainers._honda import HondaExperiment
+from multimodal_similarity_tpu.train.steps import jit_step
 
 
 def random_pairs(lab, batch_size: int, num_negative: int = 1,
@@ -125,7 +126,7 @@ def make_pairsim_step(encoder, head, cfg: TrainConfig):
         state = state.replace(step=state.step - 1 + advance_step)
         return state, aux
 
-    return jax.jit(step)
+    return jit_step(step)
 
 
 def train(cfg: TrainConfig, event_budget: Optional[int] = None,

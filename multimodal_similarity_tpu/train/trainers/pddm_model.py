@@ -28,7 +28,8 @@ from multimodal_similarity_tpu.ops.losses import triplet_loss_masked
 from multimodal_similarity_tpu.ops.mining import mine_semihard_triplets
 from multimodal_similarity_tpu.train.state import (
     TrainState, build_optimizer, l2_regularization, learning_rate_schedule)
-from multimodal_similarity_tpu.train.steps import l2_normalize, make_embed_fn
+from multimodal_similarity_tpu.train.steps import (
+    jit_step, l2_normalize, make_embed_fn)
 from multimodal_similarity_tpu.train.trainer import (
     cached_device, epoch_of_step, validate)
 from multimodal_similarity_tpu.train.trainers._honda import HondaExperiment
@@ -96,7 +97,7 @@ def make_pddm_step(encoder, head, cfg: TrainConfig):
         state = state.apply_gradients(grads, learning_rate=learning_rate)
         return state, aux
 
-    return jax.jit(step)
+    return jit_step(step)
 
 
 def pddm_similarity_matrix(encoder, head, params, feats, normalized=True,

@@ -22,6 +22,7 @@ from multimodal_similarity_tpu.train.state import (
 from multimodal_similarity_tpu.train.trainer import (
     cached_device, epoch_of_step)
 from multimodal_similarity_tpu.train.trainers._honda import HondaExperiment
+from multimodal_similarity_tpu.train.steps import jit_step
 
 
 def train(cfg: TrainConfig, mode: str = "seq2seq",
@@ -66,7 +67,7 @@ def train(cfg: TrainConfig, mode: str = "seq2seq",
             return (state.apply_gradients(grads,
                                           learning_rate=learning_rate), aux)
 
-        return jax.jit(step)
+        return jit_step(step)
 
     step_fn = step_fn_builder()
 

@@ -351,3 +351,74 @@ def test_loader_releases_worker_on_abandoned_epoch(synth_root):
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= before
+
+
+def test_device_prefetch_places_and_casts(synth_root):
+    """device_prefetch yields batches whose device_keys are committed jax
+    arrays (upload issued on the feeder thread), with the bf16 cast applied
+    host-side, and leaves host-only keys untouched."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_similarity_tpu.data import device_prefetch
+
+    root, splits = synth_root
+    ds = prepare_dataset(os.path.join(root, "features"), splits["all"],
+                         "sensors", os.path.join(root, "labels"))
+    loader = SessionBatchLoader(
+        ds, sess_per_batch=1, event_budget=16,
+        prepare_funcs=[functools.partial(tsn_prepare_input, 3)], seed=0)
+
+    host = list(loader.epoch())
+    loader2 = SessionBatchLoader(
+        ds, sess_per_batch=1, event_budget=16,
+        prepare_funcs=[functools.partial(tsn_prepare_input, 3)], seed=0)
+    fed = list(device_prefetch(loader2.epoch(),
+                               device_keys=("events", "labels", "mask"),
+                               bf16_keys=("events",)))
+    assert len(fed) == len(host)
+    for hb, fb in zip(host, fed):
+        assert isinstance(fb["events"], jax.Array)
+        assert fb["events"].dtype == jnp.bfloat16
+        assert isinstance(fb["labels"], jax.Array)
+        assert fb["labels"].dtype == jnp.int32
+        # host-only keys pass through unchanged
+        assert isinstance(fb["num_events"], (int, np.integer))
+        np.testing.assert_array_equal(np.asarray(fb["labels"]), hb["labels"])
+        np.testing.assert_allclose(
+            np.asarray(fb["events"].astype(jnp.float32)), hb["events"],
+            rtol=1e-2, atol=1e-2)
+
+
+def test_device_prefetch_sharded(synth_root):
+    """With a sharding plan, event tensors land split over the mesh's data
+    axis and labels replicated."""
+    import functools
+
+    import jax
+
+    from multimodal_similarity_tpu.data import device_prefetch, feed_shardings
+    from multimodal_similarity_tpu.parallel import create_mesh
+
+    if len(jax.devices()) < 2:
+        import pytest
+        pytest.skip("needs multi-device platform")
+    mesh = create_mesh(len(jax.devices()))
+
+    root, splits = synth_root
+    ds = prepare_dataset(os.path.join(root, "features"), splits["all"],
+                         "sensors", os.path.join(root, "labels"))
+    loader = SessionBatchLoader(
+        ds, sess_per_batch=1, event_budget=16,
+        prepare_funcs=[functools.partial(tsn_prepare_input, 3)], seed=0)
+    plan = feed_shardings(mesh, data_keys=("events",),
+                          replicated_keys=("labels", "mask"))
+    batch = next(iter(device_prefetch(loader.epoch(),
+                                      device_keys=("events", "labels",
+                                                   "mask"),
+                                      shardings=plan)))
+    ev_shard = batch["events"].sharding
+    assert ev_shard.spec == jax.sharding.PartitionSpec("data")
+    assert batch["labels"].sharding.spec == jax.sharding.PartitionSpec()

@@ -71,13 +71,14 @@ def test_dp_triplet_step_runs_and_matches_semantics(rng):
         (jnp.array(labels), jnp.ones(n, jnp.float32)), mesh)
     key, lr = replicate((jax.random.PRNGKey(1), jnp.float32(0.01)), mesh)
 
+    # snapshot BEFORE stepping: the step donates its input state
+    leaf0 = np.asarray(jax.tree.leaves(state.params)[0])
     state2, aux = step(state, batch["events"], labels_r, mask_r, key, lr)
     assert int(state2.step) == 1
     assert np.isfinite(float(aux["loss"]))
     # params actually changed
-    leaf0 = jax.tree.leaves(state.params)[0]
     leaf1 = jax.tree.leaves(state2.params)[0]
-    assert not np.allclose(np.asarray(leaf0), np.asarray(leaf1))
+    assert not np.allclose(leaf0, np.asarray(leaf1))
 
 
 def test_ring_batch_hard_matches_dense(rng):

@@ -203,9 +203,12 @@ def test_triplet_step_bf16_features_close(rng):
     step = make_triplet_train_step(model, triplet_per_batch=12, alpha=0.2)
     key = jax.random.PRNGKey(1)
 
-    s32 = TrainState.create(params, build_optimizer("ADAM", 0.01))
+    # independent param copies: the step donates (and deletes) its input
+    s32 = TrainState.create(jax.tree.map(jnp.copy, params),
+                            build_optimizer("ADAM", 0.01))
     _, aux32 = step(s32, x, labels, mask, key, jnp.float32(0.01))
-    s16 = TrainState.create(params, build_optimizer("ADAM", 0.01))
+    s16 = TrainState.create(jax.tree.map(jnp.copy, params),
+                            build_optimizer("ADAM", 0.01))
     _, aux16 = step(s16, x.astype(jnp.bfloat16), labels, mask, key,
                     jnp.float32(0.01))
     assert abs(float(aux32["loss"]) - float(aux16["loss"])) < 3e-2
@@ -243,3 +246,57 @@ def test_validate_caches_val_feats_on_device(rng):
     trainer_mod.validate(embed_fn, params, val2,
                          np.array([1, 2] * 12, np.int32))
     assert id(val) not in trainer_mod._VAL_DEVICE_CACHE  # one-slot cache
+
+
+def test_donated_step_matches_undonated(rng):
+    """Buffer donation (jit_step, donate_argnums=0) must be a pure memory
+    optimization: a donated step and an undonated jit of the SAME step body
+    produce bitwise-identical new params from identical starting states."""
+    from multimodal_similarity_tpu.models import build_encoder
+    from multimodal_similarity_tpu.train.steps import make_triplet_train_step
+
+    n, n_seg, d_in = 32, 3, 8
+    x = jnp.asarray(rng.randn(n, n_seg, d_in).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 4, size=n).astype(np.int32))
+    mask = jnp.ones(n, jnp.float32)
+    model = build_encoder("rtsn", num_seg=n_seg, emb_dim=16, n_input=d_in)
+    variables = model.init(jax.random.PRNGKey(0), x[:2])
+
+    def fresh_state():
+        return TrainState.create(
+            jax.tree.map(jnp.copy, variables["params"]),
+            build_optimizer("ADAM", 0.01))
+
+    donated_step = make_triplet_train_step(model, triplet_per_batch=12)
+    # the same traced computation, without donation
+    undonated_step = jax.jit(donated_step.__wrapped__)
+
+    key, lr = jax.random.PRNGKey(7), jnp.float32(0.01)
+    s_don, aux_don = donated_step(fresh_state(), x, labels, mask, key, lr)
+    s_ref, aux_ref = undonated_step(fresh_state(), x, labels, mask, key, lr)
+    for a, b in zip(jax.tree.leaves(s_don.params),
+                    jax.tree.leaves(s_ref.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(float(aux_don["loss"]),
+                                  float(aux_ref["loss"]))
+
+
+def test_donated_step_consumes_input_state(rng):
+    """The donated input state must actually be consumed (donation active),
+    otherwise the HBM saving silently evaporates."""
+    from multimodal_similarity_tpu.models import build_encoder
+    from multimodal_similarity_tpu.train.steps import make_triplet_train_step
+
+    n, n_seg, d_in = 16, 3, 8
+    x = jnp.asarray(rng.randn(n, n_seg, d_in).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 3, size=n).astype(np.int32))
+    model = build_encoder("rtsn", num_seg=n_seg, emb_dim=8, n_input=d_in)
+    state = TrainState.create(
+        model.init(jax.random.PRNGKey(0), x[:2])["params"],
+        build_optimizer("ADAM", 0.01))
+    step = make_triplet_train_step(model, triplet_per_batch=6)
+    old_leaf = jax.tree.leaves(state.params)[0]
+    state, _ = step(state, x, labels, jnp.ones(n, jnp.float32),
+                    jax.random.PRNGKey(1), jnp.float32(0.01))
+    with pytest.raises(RuntimeError):
+        _ = np.asarray(old_leaf) + 1  # donated buffer is deleted
