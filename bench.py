@@ -21,6 +21,12 @@ import time
 import numpy as np
 
 
+def _mark(msg):
+    """Progress marker on stderr (stdout carries only the JSON line)."""
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
+
+
 def main():
     import jax
 
@@ -82,10 +88,12 @@ def main():
     def embed_sum(params, x):
         return jnp.sum(l2_normalize(model.apply({"params": params}, x)))
 
+    _mark("embed compile")
     float(embed_sum(state.params, x))  # compile + sync
     embed_eps = best_throughput(lambda: embed_sum(state.params, x), 20)
 
     # --- fused train step (embed + on-device mine + re-forward + grad) ---
+    _mark("fused step build")
     step = make_triplet_train_step(model, triplet_per_batch=100, alpha=0.2)
     labels = jnp.asarray(labels_np)
     mask = jnp.ones(n_events, jnp.float32)
@@ -102,6 +110,7 @@ def main():
     fused_eps = best_throughput(one_fused, 50)
 
     # bf16 feature shipping (--bf16_features): halves the dominant HBM read
+    _mark("bf16 variant")
     x16 = x.astype(jnp.bfloat16)
     state, aux = step(state, x16, labels, mask, key, lr)  # compile
     float(aux["loss"])
@@ -127,6 +136,7 @@ def main():
     #     is the tunnel's, roughly 10-30x below a co-located PCIe host.
     #     The link-bound ceiling events/s is reported so the number is
     #     self-describing (see RESULTS.md "host-data feed").
+    _mark("host-data section")
     x_host = np.asarray(x)                       # features in host RAM
     probe = x_host[:256]                         # ~300 MB probe
     jax.device_put(probe[:2]).block_until_ready()  # warm path
@@ -139,6 +149,7 @@ def main():
     bytes_per_event_f32 = x_host.nbytes / n_events
     link_ceiling_eps = bw_best / bytes_per_event_f32
 
+    _mark(f"link bandwidth {host_to_device_gbps:.3f} GB/s")
     def one_host_sync():
         nonlocal state
         state, aux = step(state, jnp.asarray(x_host), labels, mask, key, lr)
@@ -153,6 +164,7 @@ def main():
     float(out)
     host_sync_eps = n_events * reps_host / (time.time() - t0)
 
+    _mark(f"host sync {host_sync_eps:.0f} ev/s")
     from multimodal_similarity_tpu.data.device_feed import device_prefetch
 
     def host_batches(k):
@@ -171,6 +183,7 @@ def main():
     float(out)
     host_pipe_eps = n_events * reps_pipe / (time.time() - t0)
 
+    _mark(f"host pipelined {host_pipe_eps:.0f} ev/s")
     # --- reference-style step: device embed -> host mine -> device gather
     #     + re-forward.  The device<->host copies here ride a development
     #     tunnel whose latency is not representative of co-located PCIe, so
@@ -219,6 +232,7 @@ def main():
     # HBM).  That measured number — not the 197-TFLOP/s nameplate — is the
     # speed-of-light for this op on this chip: at d=128 the MXU runs a
     # K=128 contraction at ~8% of nameplate no matter who asks.
+    _mark("pallas sweep")
     from multimodal_similarity_tpu.ops.pallas import fused_batch_hard_stats
 
     PEAK_GFLOPS = 197e3  # v5e bf16 nameplate
@@ -283,6 +297,7 @@ def main():
     kernel_gflops = kernel_sweep[0]["gflops"]
     mxu_point = kernel_sweep[-1]
 
+    _mark("lifted kernel")
     # --- fused lifted-structured kernel (online logsumexp) ---------------
     from multimodal_similarity_tpu.ops.pallas import lifted_loss_pallas
 

@@ -26,6 +26,7 @@ from multimodal_similarity_tpu.models.heads import (
     PairSim2,
     score_all_pairs,
     score_all_pairs_sym,
+    score_rows,
 )
 from multimodal_similarity_tpu.models.inception_resnet_v2 import (
     InceptionResNetV2,
@@ -69,7 +70,7 @@ __all__ = [
     "TSN", "RTSN", "ConvTSN", "ConvRTSN", "ConvBiRTSN", "ConvLSTM",
     "ConvTSNClassifier", "Seq2seqTSN", "SAE", "OutputLayer", "CUBLayer",
     "PairSim", "PairSim2", "PDDM", "score_all_pairs",
-    "score_all_pairs_sym",
+    "score_all_pairs_sym", "score_rows",
     "InceptionV2", "InceptionV1", "InceptionResNetV2",
     "graft_slim_variables", "graft_slim_npz",
     "LSTM", "BiLSTM", "TFLSTMCell", "build_encoder",

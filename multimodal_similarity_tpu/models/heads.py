@@ -122,6 +122,37 @@ def score_all_pairs(score_fn, embeddings: Array, block: int = 128) -> Array:
     return sims[:n]
 
 
+def score_rows(score_fn, embeddings: Array, rows: Array,
+               block: int = 2048) -> Array:
+    """Similarity probabilities for SELECTED rows only: [H] indices ->
+    [H, N], tiled over columns in ``block``-wide strips.
+
+    The mega-batch path of the flagship's pseudo-similarity pass: device
+    hard/structure mining only ever reads the sampled anchors' rows
+    (ops/mining.py mine_hard_structure_triplets_rowwise), so scoring H rows
+    costs O(H * N) head evaluations and memory instead of the O(N^2)
+    full-matrix pass (reference scores ALL pairs host-side,
+    multimodal_model.py:459-480).  ``score_fn`` as in
+    :func:`score_all_pairs`.
+    """
+    n, d = embeddings.shape
+    block = min(block, n)
+    a = embeddings[rows]                                    # [H, d]
+    h = a.shape[0]
+    pad = (-n) % block
+    emb_pad = jnp.pad(embeddings, ((0, pad), (0, 0)))
+    tiles = emb_pad.reshape(-1, block, d)                   # [T, B, d]
+
+    def one_tile(tile):
+        aa = jnp.repeat(a, block, axis=0)                   # [H*B, d]
+        bb = jnp.tile(tile, (h, 1))                         # [H*B, d]
+        _, prob = score_fn(aa, bb)
+        return prob[:, 1].reshape(h, block)
+
+    sims = jax.lax.map(one_tile, tiles)                     # [T, H, B]
+    return jnp.moveaxis(sims, 0, 1).reshape(h, -1)[:, :n]
+
+
 def score_all_pairs_sym(score_fn, embeddings: Array,
                         block: int = 128) -> Array:
     """``score_all_pairs`` for SYMMETRIC heads: half the head evaluations.

@@ -131,7 +131,11 @@ class InceptionResNetV2(nn.Module):
                            (3, 3), train=train)
         r2 = self._conv_bn("Mixed_5b_Branch_2_Conv2d_0c_3x3", r2, 96,
                            (3, 3), train=train)
-        p = nn.avg_pool(h, (3, 3), strides=(1, 1), padding="SAME")
+        # TF/slim average pooling EXCLUDES padded cells from the
+        # denominator; flax defaults to including them (border divergence
+        # caught by the keras cross-implementation parity test)
+        p = nn.avg_pool(h, (3, 3), strides=(1, 1), padding="SAME",
+                        count_include_pad=False)
         r3 = self._conv_bn("Mixed_5b_Branch_3_Conv2d_0b_1x1", p, 64, (1, 1),
                            train=train)
         h = jnp.concatenate([r0, r1, r2, r3], -1)

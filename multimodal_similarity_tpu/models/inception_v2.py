@@ -97,7 +97,9 @@ class InceptionV2(nn.Module):
         r2 = self._conv_bn(f"{name}_Branch_2_Conv2d_0c_3x3", r2, b2[1],
                            (3, 3), train=train)
         if pool == "avg":
-            p = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME")
+            # slim avg_pool excludes padded cells from the denominator
+            p = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME",
+                            count_include_pad=False)
             pname = f"{name}_Branch_3_Conv2d_0b_1x1"
         else:  # Mixed_5c uses a max pool in its pool branch
             p = nn.max_pool(x, (3, 3), strides=(1, 1), padding="SAME")

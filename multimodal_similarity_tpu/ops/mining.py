@@ -322,6 +322,92 @@ def mine_hard_structure_triplets(
                            struct_mask=struct_mask, margins=margins)
 
 
+def mine_hard_structure_triplets_rowwise(
+    score_rows_fn,
+    labels: Array,
+    class_margins: Array,
+    key: jax.Array,
+    hard_budget: int,
+    struct_budget: int,
+    threshold_up: float = 0.8,
+    threshold_down: float = 0.2,
+    valid: Optional[Array] = None,
+) -> MinedMultimodal:
+    """:func:`mine_hard_structure_triplets` without the [N, N] similarity
+    matrix: O(H * N) memory, mega-batch capable.
+
+    The matrix miner only ever READS the sampled anchors' rows
+    (``sim_prob[anchors]``), so this variant samples the H anchors first
+    (labels only) and asks ``score_rows_fn(anchors) -> [H, N]`` to evaluate
+    the fused PDDM pseudo-similarities for exactly those rows — the same
+    O(P*N) scaling trick as
+    :func:`mine_semihard_triplets_from_embeddings`.  The [N, N]
+    label-equality / identity masks are likewise built for the anchor rows
+    only.  Sampling semantics are identical to the matrix miner given the
+    same key: anchors from the same categorical draw, then per-row
+    hard-pos / hard-neg / far-neg draws (reference semantics:
+    multimodal_model.py select_triplets_mul / src/multimodal_model.py:72-142).
+
+    Measured on v5e (see bench.py flagship_megabatch detail): the fused
+    flagship step with this miner runs at N=32768 events where the matrix
+    path would need a 4 GB similarity matrix plus three N^2 masks.
+    """
+    labels = labels.reshape(-1)
+    n = labels.shape[0]
+    if valid is None:
+        valid_b = jnp.ones((n,), dtype=bool)
+    else:
+        valid_b = valid.reshape(-1).astype(bool)
+
+    foreground = (labels > 0) & valid_b
+    k_a, k_p, k_n, k_f = jax.random.split(key, 4)
+    anchor_logw = jnp.where(foreground, 0.0, _NEG_INF)
+    anchors = jax.random.categorical(
+        k_a, jnp.broadcast_to(anchor_logw, (hard_budget, n)), axis=1)
+
+    sim_a = score_rows_fn(anchors)                            # [H, N]
+    same_rows = labels[anchors][:, None] == labels[None, :]   # [H, N]
+    notself = anchors[:, None] != jnp.arange(n)[None, :]
+    same_a = same_rows & notself & valid_b[None, :]
+    diff_a = ~same_rows & valid_b[None, :]
+
+    hp_mask = same_a & (sim_a < threshold_down)
+    has_hp = jnp.any(hp_mask, axis=1)
+    hp_sampled = jax.random.categorical(
+        k_p, jnp.where(hp_mask, 0.0, _NEG_INF), axis=1)
+    hp_fallback = jnp.argmin(jnp.where(same_a, sim_a, _POS_INF), axis=1)
+    any_pos = jnp.any(same_a, axis=1)
+    hard_pos = jnp.where(has_hp, hp_sampled, hp_fallback)
+
+    hn_mask = diff_a & (sim_a > threshold_up)
+    has_hn = jnp.any(hn_mask, axis=1)
+    hn_sampled = jax.random.categorical(
+        k_n, jnp.where(hn_mask, 0.0, _NEG_INF), axis=1)
+    hn_fallback = jnp.argmax(jnp.where(diff_a, sim_a, -_POS_INF), axis=1)
+    any_neg = jnp.any(diff_a, axis=1)
+    hard_neg = jnp.where(has_hn, hn_sampled, hn_fallback)
+
+    hard_mask = (foreground[anchors] & any_pos & any_neg).astype(jnp.float32)
+    hard = jnp.stack([anchors, hard_pos, hard_neg], axis=1).astype(jnp.int32)
+
+    # structure triplets reuse the first struct_budget anchors' sim rows
+    s = struct_budget
+    s_anchor = anchors[:s]
+    s_hn = hard_neg[:s]
+    fn_mask = ((labels[None, :] == labels[s_hn][:, None])
+               & (sim_a[:s] < threshold_down)
+               & valid_b[None, :])                            # [S, N]
+    has_fn = jnp.any(fn_mask, axis=1)
+    far_neg = jax.random.categorical(
+        k_f, jnp.where(fn_mask, 0.0, _NEG_INF), axis=1)
+    struct = jnp.stack([s_anchor, s_hn, far_neg], axis=1).astype(jnp.int32)
+    struct_mask = (hard_mask[:s] * has_fn.astype(jnp.float32))
+    margins = class_margins[labels[far_neg]] * struct_mask
+
+    return MinedMultimodal(hard=hard, hard_mask=hard_mask, struct=struct,
+                           struct_mask=struct_mask, margins=margins)
+
+
 # ---------------------------------------------------------------------------
 # Host-side reference miners (NumPy, semantics-exact)
 # ---------------------------------------------------------------------------

@@ -186,8 +186,9 @@ def make_mm_fused_step(core, sensors_enc, sensors_pddm, segment_enc,
     sensors/segment towers + PDDM scoring are replicated — they are ~1%%
     of step FLOPs at reference dims.
     """
+    from multimodal_similarity_tpu.models import score_rows
     from multimodal_similarity_tpu.ops.mining import (
-        mine_hard_structure_triplets,
+        mine_hard_structure_triplets_rowwise,
         mine_semihard_triplets_from_embeddings,
     )
 
@@ -226,20 +227,26 @@ def make_mm_fused_step(core, sensors_enc, sensors_pddm, segment_enc,
             if mesh is not None:
                 es = jax.lax.with_sharding_constraint(es, repl_s)
                 eg = jax.lax.with_sharding_constraint(eg, repl_s)
-            block = min(128, es.shape[0])
-            sim_s = score_all_pairs_sym(functools.partial(
-                sensors_pddm.apply,
-                {"params": params["modality_sensors"]["pddm"]},
-                method="score"), es, block=block)
-            sim_g = score_all_pairs_sym(functools.partial(
-                segment_pddm.apply,
-                {"params": params["modality_segment"]["pddm"]},
-                method="score"), eg, block=block)
-            sim = jax.lax.stop_gradient(0.5 * (sim_s + sim_g))
-            mul = mine_hard_structure_triplets(
-                sim, labels, class_margins, k_mul, hard_budget=hard_cap,
-                struct_budget=struct_cap, threshold_up=0.8,
-                threshold_down=0.2, valid=mask)
+
+            # mega-batch pseudo-similarity: score ONLY the sampled anchors'
+            # rows (O(H*N) head evals / memory) instead of the [N, N]
+            # matrix — the same scaling trick as the labeled semi-hard
+            # miner, so PDDM-mined training accepts the same N
+            def score_rows_fn(rows):
+                sim_s = score_rows(functools.partial(
+                    sensors_pddm.apply,
+                    {"params": params["modality_sensors"]["pddm"]},
+                    method="score"), es, rows)
+                sim_g = score_rows(functools.partial(
+                    segment_pddm.apply,
+                    {"params": params["modality_segment"]["pddm"]},
+                    method="score"), eg, rows)
+                return jax.lax.stop_gradient(0.5 * (sim_s + sim_g))
+
+            mul = mine_hard_structure_triplets_rowwise(
+                score_rows_fn, labels, class_margins, k_mul,
+                hard_budget=hard_cap, struct_budget=struct_cap,
+                threshold_up=0.8, threshold_down=0.2, valid=mask)
 
             # the miner rounds its budget up to a num_negative multiple;
             # derive group sizes from the actual (static) array lengths

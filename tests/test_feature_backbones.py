@@ -281,3 +281,150 @@ def test_frames_to_features_to_training(tmp_path, rng):
                                          result_dir=str(tmp_path / "run"))
     assert int(state.step) >= 1
     assert np.isfinite(metrics["val_mAP"])
+
+
+# ---------------------------------------------------------------------------
+# Cross-implementation numeric proof (VERDICT r2 #3): graft a randomly
+# initialized tf.keras.applications.InceptionResNetV2 (architecture-identical
+# to slim's trunk) into the flax tower and assert endpoint-wise output
+# parity.  Keras's auto-numbered conv2d_N / batch_normalization_N layers are
+# numbered in CREATION order, which is exactly the conv2d_bn call order and
+# exactly this tower's call order, so pairing by sorted suffix is exact; the
+# 40 biased residual-projection convs carry explicit block names.
+# ---------------------------------------------------------------------------
+
+def _irv2_convbn_call_order():
+    """Flax module names of every conv-with-BatchNorm, in call order
+    (mirrors models/inception_resnet_v2.py __call__)."""
+    names = []
+    names += ["Conv2d_1a_3x3", "Conv2d_2a_3x3", "Conv2d_2b_3x3",
+              "Conv2d_3b_1x1", "Conv2d_4a_3x3"]
+    names += [f"Mixed_5b_{b}" for b in (
+        "Branch_0_Conv2d_1x1", "Branch_1_Conv2d_0a_1x1",
+        "Branch_1_Conv2d_0b_5x5", "Branch_2_Conv2d_0a_1x1",
+        "Branch_2_Conv2d_0b_3x3", "Branch_2_Conv2d_0c_3x3",
+        "Branch_3_Conv2d_0b_1x1")]
+    for i in range(1, 11):
+        names += [f"Repeat_block35_{i}_{b}" for b in (
+            "Branch_0_Conv2d_1x1", "Branch_1_Conv2d_0a_1x1",
+            "Branch_1_Conv2d_0b_3x3", "Branch_2_Conv2d_0a_1x1",
+            "Branch_2_Conv2d_0b_3x3", "Branch_2_Conv2d_0c_3x3")]
+    names += [f"Mixed_6a_{b}" for b in (
+        "Branch_0_Conv2d_1a_3x3", "Branch_1_Conv2d_0a_1x1",
+        "Branch_1_Conv2d_0b_3x3", "Branch_1_Conv2d_1a_3x3")]
+    for i in range(1, 21):
+        names += [f"Repeat_1_block17_{i}_{b}" for b in (
+            "Branch_0_Conv2d_1x1", "Branch_1_Conv2d_0a_1x1",
+            "Branch_1_Conv2d_0b_1x7", "Branch_1_Conv2d_0c_7x1")]
+    names += [f"Mixed_7a_{b}" for b in (
+        "Branch_0_Conv2d_0a_1x1", "Branch_0_Conv2d_1a_3x3",
+        "Branch_1_Conv2d_0a_1x1", "Branch_1_Conv2d_1a_3x3",
+        "Branch_2_Conv2d_0a_1x1", "Branch_2_Conv2d_0b_3x3",
+        "Branch_2_Conv2d_1a_3x3")]
+    for i in range(1, 10):
+        names += [f"Repeat_2_block8_{i}_{b}" for b in (
+            "Branch_0_Conv2d_1x1", "Branch_1_Conv2d_0a_1x1",
+            "Branch_1_Conv2d_0b_1x3", "Branch_1_Conv2d_0c_3x1")]
+    names += [f"Block8_{b}" for b in (
+        "Branch_0_Conv2d_1x1", "Branch_1_Conv2d_0a_1x1",
+        "Branch_1_Conv2d_0b_1x3", "Branch_1_Conv2d_0c_3x1")]
+    names += ["Conv2d_7b_1x1"]
+    return names
+
+
+def _irv2_projection_map():
+    """keras residual-projection layer name -> flax module name."""
+    m = {f"block35_{i}_conv": f"Repeat_block35_{i}_Conv2d_1x1"
+         for i in range(1, 11)}
+    m.update({f"block17_{i}_conv": f"Repeat_1_block17_{i}_Conv2d_1x1"
+              for i in range(1, 21)})
+    m.update({f"block8_{i}_conv": f"Repeat_2_block8_{i}_Conv2d_1x1"
+              for i in range(1, 10)})
+    m["block8_10_conv"] = "Block8_Conv2d_1x1"
+    return m
+
+
+def test_inception_resnet_v2_matches_keras_numerically():
+    """Endpoint-wise output parity (<=1e-4 on unit-scale activations)
+    between the flax tower and tf.keras InceptionResNetV2 carrying the SAME
+    (random) weights, incl. randomized BatchNorm statistics.  This is the
+    output-level proof that the tower is slim-architecture-exact
+    (reference bar: preprocess/feat_extract_ResNetV2.py:10-72)."""
+    tf = pytest.importorskip("tensorflow")
+    rng = np.random.RandomState(0)
+
+    keras_model = tf.keras.applications.InceptionResNetV2(
+        weights=None, include_top=False, input_shape=(299, 299, 3))
+
+    # randomize every BatchNorm's beta / moving stats so a mis-mapped BN
+    # leaf cannot hide behind the (0, 0, 1) defaults
+    for layer in keras_model.layers:
+        if isinstance(layer, tf.keras.layers.BatchNormalization):
+            beta, mean, var = layer.get_weights()
+            layer.set_weights([
+                rng.randn(*beta.shape).astype(np.float32) * 0.1,
+                rng.randn(*mean.shape).astype(np.float32) * 0.1,
+                rng.uniform(0.5, 1.5, var.shape).astype(np.float32)])
+
+    def suffix_num(name, base):
+        if name == base:
+            return 0
+        assert name.startswith(base + "_")
+        return int(name.rsplit("_", 1)[1])
+
+    auto_convs = sorted(
+        (l for l in keras_model.layers
+         if isinstance(l, tf.keras.layers.Conv2D)
+         and l.name.startswith("conv2d")),
+        key=lambda l: suffix_num(l.name, "conv2d"))
+    auto_bns = sorted(
+        (l for l in keras_model.layers
+         if isinstance(l, tf.keras.layers.BatchNormalization)
+         and l.name.startswith("batch_normalization")),
+        key=lambda l: suffix_num(l.name, "batch_normalization"))
+    convbn_layers = auto_convs + [keras_model.get_layer("conv_7b")]
+    bn_layers = auto_bns + [keras_model.get_layer("conv_7b_bn")]
+
+    flax_order = _irv2_convbn_call_order()
+    assert len(convbn_layers) == len(flax_order) == len(bn_layers) == 204
+
+    model = InceptionResNetV2(capture_endpoints=True)
+    x = rng.randn(1, 299, 299, 3).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    params = {k: dict(v) for k, v in variables["params"].items()}
+    stats = {k: dict(v) for k, v in variables["batch_stats"].items()}
+
+    for name, conv, bn in zip(flax_order, convbn_layers, bn_layers):
+        kernel = conv.get_weights()[0]
+        assert params[name]["kernel"].shape == kernel.shape, name
+        params[name]["kernel"] = jnp.asarray(kernel)
+        beta, mean, var = bn.get_weights()
+        bn_name = f"{name}_BatchNorm"
+        assert params[bn_name]["bias"].shape == beta.shape, bn_name
+        params[bn_name]["bias"] = jnp.asarray(beta)
+        stats[bn_name]["mean"] = jnp.asarray(mean)
+        stats[bn_name]["var"] = jnp.asarray(var)
+    for keras_name, flax_name in _irv2_projection_map().items():
+        kernel, bias = keras_model.get_layer(keras_name).get_weights()
+        assert params[flax_name]["kernel"].shape == kernel.shape, flax_name
+        params[flax_name]["kernel"] = jnp.asarray(kernel)
+        params[flax_name]["bias"] = jnp.asarray(bias)
+
+    probe = tf.keras.Model(
+        keras_model.input,
+        [keras_model.get_layer(n).output
+         for n in ("mixed_5b", "mixed_6a", "mixed_7a", "conv_7b_ac")])
+    k5b, k6a, k7a, k7b = [np.asarray(t) for t in probe(x, training=False)]
+
+    _, endpoints = model.apply({"params": params, "batch_stats": stats},
+                               jnp.asarray(x))
+    for got, want, tag in (
+            (endpoints["Mixed_5b"], k5b, "Mixed_5b"),
+            (endpoints["Mixed_6a"], k6a, "Mixed_6a"),
+            (endpoints["Mixed_7a"], k7a, "Mixed_7a"),
+            (endpoints["Conv2d_7b_1x1"], k7b, "Conv2d_7b_1x1")):
+        got = np.asarray(got)
+        assert got.shape == want.shape, tag
+        err = np.max(np.abs(got - want))
+        scale = max(np.max(np.abs(want)), 1.0)
+        assert err / scale < 1e-4, f"{tag}: rel err {err / scale:.2e}"

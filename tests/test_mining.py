@@ -189,3 +189,57 @@ def test_embedding_miner_respects_padding(rng):
     for i in range(24):
         if mm[i]:
             assert a[i] < 36 and p[i] < 36 and nn[i] < 36
+
+
+def test_rowwise_mul_miner_matches_matrix_miner(rng):
+    """mine_hard_structure_triplets_rowwise must reproduce the matrix
+    miner's exact triplets given the same key and the same underlying
+    similarity function (it consumes identical categorical draws over
+    identical logits)."""
+    import jax
+
+    from multimodal_similarity_tpu.ops.mining import (
+        mine_hard_structure_triplets, mine_hard_structure_triplets_rowwise)
+
+    n = 48
+    labels = jnp.asarray(rng.randint(0, 5, size=n).astype(np.int32))
+    sim = jnp.asarray(rng.rand(n, n).astype(np.float32))
+    sim = 0.5 * (sim + sim.T)
+    margins = jnp.asarray(rng.rand(6).astype(np.float32))
+    valid = jnp.asarray((rng.rand(n) > 0.1).astype(np.float32))
+    key = jax.random.PRNGKey(3)
+
+    a = mine_hard_structure_triplets(sim, labels, margins, key,
+                                     hard_budget=16, struct_budget=8,
+                                     valid=valid)
+    b = mine_hard_structure_triplets_rowwise(
+        lambda rows: sim[rows], labels, margins, key,
+        hard_budget=16, struct_budget=8, valid=valid)
+    np.testing.assert_array_equal(np.asarray(a.hard), np.asarray(b.hard))
+    np.testing.assert_array_equal(np.asarray(a.hard_mask),
+                                  np.asarray(b.hard_mask))
+    np.testing.assert_array_equal(np.asarray(a.struct), np.asarray(b.struct))
+    np.testing.assert_array_equal(np.asarray(a.struct_mask),
+                                  np.asarray(b.struct_mask))
+    np.testing.assert_allclose(np.asarray(a.margins), np.asarray(b.margins))
+
+
+def test_score_rows_matches_all_pairs_rows(rng):
+    """models.score_rows == the corresponding rows of score_all_pairs for
+    a real PDDM head (tiled column walk is exact)."""
+    import jax
+
+    from multimodal_similarity_tpu.models import (
+        PDDM, score_all_pairs, score_rows)
+
+    n, d = 37, 16
+    emb = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    head = PDDM(n_input=d)
+    params = head.init(jax.random.PRNGKey(0), emb[:2], emb[:2],
+                       method="score")["params"]
+    import functools
+    fn = functools.partial(head.apply, {"params": params}, method="score")
+    full = np.asarray(score_all_pairs(fn, emb, block=8))
+    rows = jnp.asarray([0, 5, 19, 36, 5])
+    got = np.asarray(score_rows(fn, emb, rows, block=8))
+    np.testing.assert_allclose(got, full[np.asarray(rows)], atol=1e-5)
