@@ -428,3 +428,61 @@ def test_inception_resnet_v2_matches_keras_numerically():
         err = np.max(np.abs(got - want))
         scale = max(np.max(np.abs(want)), 1.0)
         assert err / scale < 1e-4, f"{tag}: rel err {err / scale:.2e}"
+
+
+# Per-endpoint output statistics under a fixed init/input seed, pinned as
+# golden values (VERDICT r2 #3: InceptionV2/V1 have no keras twin for an
+# output-level cross-check, so regressions in branch widths, padding, or
+# pooling semantics are caught as statistic drift instead).  Values
+# computed on forced-CPU f32; tolerances cover backend reassociation.
+_IV2_GOLDEN = {
+    "Conv2d_1a_7x7": (0.223544, 0.330543, 2.957557),
+    "Conv2d_2b_1x1": (0.342680, 0.541874, 3.456485),
+    "Conv2d_2c_3x3": (0.250797, 0.349983, 2.161876),
+    "Mixed_3b": (0.168018, 0.258627, 1.633719),
+    "Mixed_3c": (0.089437, 0.148354, 1.009771),
+    "Mixed_4a": (0.085732, 0.134189, 1.009771),
+    "Mixed_4b": (0.049460, 0.080065, 0.522586),
+    "Mixed_4c": (0.031254, 0.049530, 0.321806),
+    "Mixed_4d": (0.018073, 0.025941, 0.176522),
+    "Mixed_4e": (0.008895, 0.014626, 0.107366),
+    "Mixed_5a": (0.007968, 0.013043, 0.107366),
+    "Mixed_5b": (0.004602, 0.007411, 0.054738),
+    "Mixed_5c": (0.002698, 0.004173, 0.034420),
+}
+_IV1_GOLDEN = {
+    "Conv2d_1a_7x7": (0.227505, 0.333045, 2.886844),
+    "Conv2d_2b_1x1": (0.348952, 0.561674, 3.441986),
+    "Conv2d_2c_3x3": (0.251002, 0.353363, 2.289232),
+    "Mixed_3b": (0.160755, 0.263753, 1.559009),
+    "Mixed_3c": (0.098094, 0.157501, 1.059937),
+    "Mixed_4b": (0.070605, 0.104477, 0.569375),
+    "Mixed_4c": (0.043613, 0.064823, 0.408328),
+    "Mixed_4d": (0.027208, 0.042160, 0.288298),
+    "Mixed_4e": (0.017468, 0.026353, 0.193990),
+    "Mixed_4f": (0.011912, 0.017965, 0.103802),
+    "Mixed_5b": (0.007599, 0.011886, 0.083680),
+    "Mixed_5c": (0.004827, 0.007334, 0.053858),
+}
+
+
+@pytest.mark.parametrize("which", ["v2", "v1"])
+def test_inception_endpoint_golden_stats(which):
+    from multimodal_similarity_tpu.models.inception_v2 import InceptionV2
+
+    cls, golden = ((InceptionV2, _IV2_GOLDEN) if which == "v2"
+                   else (InceptionV1, _IV1_GOLDEN))
+    m = cls(capture_endpoints=True)
+    x = jnp.asarray(np.random.RandomState(7).uniform(
+        -1, 1, (1, 224, 224, 3)).astype(np.float32))
+    variables = m.init(jax.random.PRNGKey(11), x)
+    _, endpoints = m.apply(variables, x)
+    assert set(golden) <= set(endpoints)
+    for name, (want_mean, want_std, want_amax) in golden.items():
+        v = np.asarray(endpoints[name])
+        np.testing.assert_allclose(v.mean(), want_mean, rtol=2e-3,
+                                   err_msg=f"{which} {name} mean")
+        np.testing.assert_allclose(v.std(), want_std, rtol=2e-3,
+                                   err_msg=f"{which} {name} std")
+        np.testing.assert_allclose(np.abs(v).max(), want_amax, rtol=2e-3,
+                                   err_msg=f"{which} {name} amax")

@@ -95,8 +95,9 @@ def test_evaluate_without_background_labels(rng):
     assert 0 not in uniq
     cm = confusion["confusion_matrix"]
     for r, l in enumerate(uniq):
-        want_count = int((labels == l).sum())
-        assert int(count[r]) == want_count, (l, count[r], want_count)
+        want_count = int((labels == int(l)).sum())
+        got_count = int(np.ravel(count[r])[0])
+        assert got_count == want_count, (l, got_count, want_count)
         if want_count:
             # soft-assignment rows are per-query distributions -> a
             # normalized row sums to ~1
