@@ -159,6 +159,17 @@ class TrainConfig(BaseConfig):
     # fused step; params and loss math stay f32 — measured ~18% faster
     # per step with loss identical to 4 decimals)
     bf16_features: bool = False
+    # framework extension: multi-process (pod) training.  --multihost
+    # bootstraps jax.distributed (explicit coordinator flags or the
+    # platform environment), shards the training sessions across hosts
+    # (parallel/multihost.host_local_sessions), and feeds globally-sharded
+    # batches assembled from per-host loaders (make_global_batch) into the
+    # data-parallel fused step over a mesh spanning every process's
+    # devices.  SURVEY.md §5 "per-host sharded array feeding".
+    multihost: bool = False
+    coordinator_address: str = ""
+    num_processes: int = 0
+    process_id: int = -1
 
     @classmethod
     def _add_args(cls, p: argparse.ArgumentParser) -> None:
@@ -195,6 +206,10 @@ class TrainConfig(BaseConfig):
         p.add_argument("--multimodal_select", type=str, default="random")
         p.add_argument("--device_mining", action="store_true")
         p.add_argument("--bf16_features", action="store_true")
+        p.add_argument("--multihost", action="store_true")
+        p.add_argument("--coordinator_address", type=str, default="")
+        p.add_argument("--num_processes", type=int, default=0)
+        p.add_argument("--process_id", type=int, default=-1)
         p.add_argument("--alpha", type=float, default=0.2)
         p.add_argument("--lambda_l2", type=float, default=0.0)
         p.add_argument("--lambda_ver", type=float, default=0.0)

@@ -60,8 +60,15 @@ def make_batch_placer(
 
                 a = a.astype(ml_dtypes.bfloat16)
             sh = shardings.get(k)
-            out[k] = jax.device_put(a, sh) if sh is not None \
-                else jax.device_put(a)
+            if sh is not None and jax.process_count() > 1:
+                # multihost: this host holds only its local rows of the
+                # global batch (parallel/multihost.make_global_batch
+                # semantics)
+                out[k] = jax.make_array_from_process_local_data(sh, a)
+            elif sh is not None:
+                out[k] = jax.device_put(a, sh)
+            else:
+                out[k] = jax.device_put(a)
         return out
 
     return place

@@ -36,14 +36,24 @@ def make_dp_triplet_step(
     num_negative: int = 3,
     metric: str = "squaredeuclidean",
     normalized: bool = True,
+    gather_smalls: bool = False,
 ) -> Callable:
     """step(state, events, labels, mask, key, lr) with events sharded on the
-    batch axis over mesh axis 'data' and state replicated."""
+    batch axis over mesh axis 'data' and state replicated.
+
+    ``gather_smalls=True`` is the MULTIHOST feeding mode: labels and mask
+    arrive sharded on the batch axis too (each host only holds its local
+    rows — parallel/multihost.make_global_batch), and the step gathers
+    them to replicated before the global mining pass (XLA inserts the
+    all-gather; labels/mask are a few KB, so the collective is noise)."""
     data_sharding = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
 
     def step(state, events, labels, mask, key, learning_rate):
         k_mine, k_drop = jax.random.split(key)
+        if gather_smalls:
+            labels = jax.lax.with_sharding_constraint(labels, repl)
+            mask = jax.lax.with_sharding_constraint(mask, repl)
 
         def loss_fn(params):
             emb = model.apply({"params": params}, events)
@@ -78,7 +88,8 @@ def make_dp_triplet_step(
         state = state.apply_gradients(grads, learning_rate=learning_rate)
         return state, aux
 
+    small = data_sharding if gather_smalls else repl
     in_shardings = (None,                      # state: leave placement as-is
                     data_sharding,             # events
-                    repl, repl, repl, repl)    # labels, mask, key, lr
+                    small, small, repl, repl)  # labels, mask, key, lr
     return jit_step(step, in_shardings=in_shardings)

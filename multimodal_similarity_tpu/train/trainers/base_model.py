@@ -57,7 +57,34 @@ from multimodal_similarity_tpu.utils.logging import (
 
 def train(cfg: TrainConfig, event_budget: Optional[int] = None,
           result_dir: Optional[str] = None):
-    """Returns (final TrainState, final val metrics dict, result_dir)."""
+    """Returns (final TrainState, final val metrics dict, result_dir).
+
+    With ``--multihost`` (+ explicit coordinator flags, or a pod
+    environment that provides them): jax.distributed bootstrap, training
+    sessions sharded across hosts, per-host loaders feeding globally
+    sharded batches over a mesh spanning every process's devices, and the
+    same fused data-parallel step (labels/mask fed host-local and gathered
+    on device).  Only process 0 writes checkpoints/projector files."""
+    pid, pcount = 0, 1
+    if cfg.multihost:
+        import dataclasses
+
+        from multimodal_similarity_tpu.parallel.multihost import (
+            initialize_distributed)
+        initialize_distributed(
+            cfg.coordinator_address or None,
+            cfg.num_processes or None,
+            cfg.process_id if cfg.process_id >= 0 else None)
+        pid, pcount = jax.process_index(), jax.process_count()
+        if cfg.triplet_select != "facenet":
+            raise NotImplementedError(
+                "--multihost requires --triplet_select facenet (the fused "
+                "device-mining step; host miners are single-process)")
+        if pid > 0:
+            # per-host result scratch: process 0 owns the real artifacts
+            cfg = dataclasses.replace(cfg, name=f"{cfg.name}_proc{pid}")
+            if result_dir is not None:
+                result_dir = f"{result_dir}_proc{pid}"
     result_dir = setup_experiment(cfg, result_dir=result_dir)
     logger = MetricsLogger(result_dir)
     event_budget = event_budget or cfg.event_per_batch
@@ -68,6 +95,8 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
         from multimodal_similarity_tpu.parallel import auto_mesh
         mesh, event_budget = auto_mesh(event_budget,
                                        verbose=not cfg.silent_mode)
+    if cfg.multihost and mesh is None:
+        raise RuntimeError("--multihost needs >= 2 devices across processes")
 
     feat = cfg.feat if isinstance(cfg.feat, str) else cfg.feat[0]
     train_set = prepare_dataset(cfg.feature_root, cfg.train_session, feat,
@@ -76,16 +105,28 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
     val_set = prepare_dataset(cfg.feature_root, cfg.val_session, feat,
                               cfg.label_root, cfg.label_type)
 
+    # multihost: each host loads only its session shard and its slice of
+    # the (device-rounded) event budget; every host runs the same number
+    # of steps per epoch so the collectives stay in lockstep
+    local_set, local_budget = train_set, event_budget
+    if pcount > 1:
+        local_set = train_set[pid::pcount]
+        local_budget = event_budget // pcount
+        batch_per_epoch = (len(train_set) // pcount) // cfg.sess_per_batch
+
     loader = SessionBatchLoader(
-        train_set, sess_per_batch=cfg.sess_per_batch,
-        event_budget=event_budget,
+        local_set, sess_per_batch=cfg.sess_per_batch,
+        event_budget=local_budget,
         prepare_funcs=[functools.partial(tsn_prepare_input, cfg.num_seg)],
-        seed=cfg.seed)
-    batch_per_epoch = loader.batches_per_epoch
+        seed=cfg.seed + pid)
+    if pcount == 1:
+        batch_per_epoch = loader.batches_per_epoch
     if batch_per_epoch < 1:
         raise ValueError(
             f"{len(train_set)} train sessions < sess_per_batch="
-            f"{cfg.sess_per_batch}; nothing to iterate")
+            f"{cfg.sess_per_batch}"
+            + (f" x {pcount} processes" if pcount > 1 else "")
+            + "; nothing to iterate")
 
     val_feats, val_labels, val_sess, val_bound = load_validation_set(
         val_set, functools.partial(tsn_prepare_input_test, cfg.num_seg))
@@ -112,15 +153,21 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
     # (the event budget was already rounded up to a device multiple above)
     if mesh is not None:
         from multimodal_similarity_tpu.parallel import make_dp_triplet_step
-        state = jax.device_put(state, jax.sharding.NamedSharding(
-            mesh, jax.sharding.PartitionSpec()))
+        if pcount == 1:
+            state = jax.device_put(state, jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec()))
+        # multihost: the state stays an uncommitted host-local value
+        # (identical on every process, same seed); jit replicates it —
+        # device_put cannot address other hosts' devices
         step_fn = make_dp_triplet_step(
             model, mesh, triplet_per_batch=cfg.triplet_per_batch,
             alpha=cfg.alpha, num_negative=cfg.num_negative,
-            metric=cfg.metric, normalized=cfg.normalized)
+            metric=cfg.metric, normalized=cfg.normalized,
+            gather_smalls=pcount > 1)
         if not cfg.silent_mode:
             print(f"[{cfg.name}] data-parallel over "
-                  f"{mesh.shape['data']} devices")
+                  f"{mesh.shape['data']} devices"
+                  + (f" on {pcount} hosts" if pcount > 1 else ""))
     elif cfg.triplet_select == "facenet":
         step_fn = make_triplet_train_step(
             model, triplet_per_batch=cfg.triplet_per_batch, alpha=cfg.alpha,
@@ -148,10 +195,21 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
         batches = loader.epoch()
         if cfg.triplet_select != "facenet":
             return batches  # host miners need host-resident arrays
+        if pcount > 1:
+            # lockstep truncation: every host must dispatch the same
+            # number of collective steps per epoch
+            import itertools
+            batches = itertools.islice(batches, batch_per_epoch)
         from multimodal_similarity_tpu.data import (
             device_prefetch, feed_shardings)
         shardings = None
-        if mesh is not None:
+        if mesh is not None and pcount > 1:
+            # each host feeds only its local rows; labels/mask ride the
+            # batch axis too and the step gathers them for global mining
+            shardings = feed_shardings(
+                mesh, data_keys=("events", "labels", "mask"),
+                replicated_keys=())
+        elif mesh is not None:
             shardings = feed_shardings(mesh, data_keys=("events",),
                                        replicated_keys=("labels", "mask"))
         return device_prefetch(
@@ -175,8 +233,16 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                 # events/labels/mask arrive device-resident (and bf16-cast
                 # when requested) from the prefetch thread
                 if mesh is not None:
-                    from multimodal_similarity_tpu.parallel import replicate
-                    key_b, lr_b = replicate((key, jnp.float32(lr)), mesh)
+                    if pcount > 1:
+                        # uncommitted identical-per-host scalars: jit
+                        # replicates them per in_shardings (device_put
+                        # cannot address other hosts' devices)
+                        key_b, lr_b = key, jnp.float32(lr)
+                    else:
+                        from multimodal_similarity_tpu.parallel import (
+                            replicate)
+                        key_b, lr_b = replicate((key, jnp.float32(lr)),
+                                                mesh)
                     state, aux = step_fn(state, batch["events"],
                                          batch["labels"], batch["mask"],
                                          key_b, lr_b)
@@ -232,17 +298,25 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
         if int(state.step) == step_at_epoch_start:
             print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")
             break
-        metrics, val_emb = validate(embed_fn, state.params, val_feats,
+        val_params = state.params
+        if pcount > 1:
+            # replicated global arrays -> host-local values for the
+            # (host-side, redundant-per-host) validation pass
+            val_params = jax.tree.map(
+                lambda a: np.asarray(jax.device_get(a)), state.params)
+        metrics, val_emb = validate(embed_fn, val_params, val_feats,
                                     val_labels)
         logger.log(int(state.step), metrics)
-        # per-epoch embedding-projector refresh (base_model.py:316-320)
-        write_projector_embedding(result_dir, np.asarray(val_emb))
-        write_projector_config(result_dir)
+        if pid == 0:
+            # per-epoch embedding-projector refresh (base_model.py:316-320)
+            write_projector_embedding(result_dir, np.asarray(val_emb))
+            write_projector_config(result_dir)
         if not cfg.silent_mode:
             print(f"[{cfg.name}] epoch {epoch + 1} "
                   f"val mAP {metrics['val_mAP']:.4f} "
                   f"R@1 {metrics['val_recall@1']:.4f}")
-        ckpt.save(state, int(state.step))
+        if pid == 0:
+            ckpt.save(state, int(state.step))
         epoch = epoch_of_step(int(state.step), batch_per_epoch)
 
     logger.close()
