@@ -128,6 +128,12 @@ def honda_root(tmp_path_factory):
                  + rng.randn(n_frames, 8)).astype(np.float32)
         np.save(os.path.join(feat_dir, sess + "_sensors_normalized.npy"),
                 feats)
+        # segment modality (spatial-pyramid histogram contract,
+        # extract_seg_feature.py; dims read from data, 16-d here)
+        seg_centers = rng.rand(8, 16) * 1.5
+        seg = np.abs(seg_centers[frame_labels]
+                     + 0.3 * rng.randn(n_frames, 16)).astype(np.float32)
+        np.save(os.path.join(feat_dir, sess + "_seg_sp.npy"), seg)
 
     for name, subset in (("all_session.txt", sessions),
                          ("train_session.txt", sessions[:3]),
@@ -184,3 +190,52 @@ def test_honda_cli_baseline_eval(honda_root):
         "--preprocess_func", "mean", "--silent_mode",
     ])
     assert np.isfinite(results["mAP"])
+
+
+def test_honda_cli_pddm_to_multimodal_restore_chain(honda_root):
+    """The one reference workflow crossing trainers: pretrain PDDM branch
+    checkpoints (train_pddm.sh -> pddm_model.py), then restore them into
+    the flagship via --sensors_path/--segment_path
+    (multimodal_model.py:376-379) — driven entirely through argv."""
+    from multimodal_similarity_tpu.train.trainers import (
+        multimodal_model, pddm_model)
+
+    common = ["--DATA_ROOT", honda_root, "--network", "rtsn",
+              "--num_seg", "3", "--sess_per_batch", "2",
+              "--event_per_batch", "48", "--triplet_per_batch", "12",
+              "--learning_rate", "0.01", "--silent_mode"]
+    # branch encoders must match the flagship's 32-d PDDM embedding width
+    pddm_model.main(common + ["--name", "conf_pddm_sens",
+                              "--feat", "sensors", "--n_input", "8",
+                              "--emb_dim", "32", "--max_epochs", "1"])
+    pddm_model.main(common + ["--name", "conf_pddm_seg",
+                              "--feat", "segment", "--n_input", "16",
+                              "--emb_dim", "32", "--max_epochs", "1"])
+
+    def latest_ckpt(name):
+        runs = glob.glob(os.path.join(honda_root, "results", name + "*"))
+        assert runs, name
+        ckpts = sorted(glob.glob(os.path.join(runs[-1], "*.ckpt-*")))
+        assert ckpts, name
+        return ckpts[-1]
+
+    sens_ckpt = latest_ckpt("conf_pddm_sens")
+    seg_ckpt = latest_ckpt("conf_pddm_seg")
+
+    multimodal_model.main(common + [
+        "--name", "conf_mm_chain", "--feat", "sensors,sensors,segment",
+        "--n_input", "8", "--emb_dim", "16",
+        "--sensors_path", sens_ckpt, "--segment_path", seg_ckpt,
+        "--multimodal_epochs", "1", "--max_epochs", "2",
+        "--lambda_multimodal", "1.0",
+    ])
+    runs = glob.glob(os.path.join(honda_root, "results", "conf_mm_chain*"))
+    assert runs
+    assert glob.glob(os.path.join(runs[-1], "*.ckpt-*"))
+    log = os.path.join(runs[-1], "metrics.jsonl")
+    rows = [json.loads(l) for l in open(log)]
+    maps = [r["val_mAP"] for r in rows if "val_mAP" in r]
+    assert maps and np.isfinite(maps[-1])
+    # the PDDM-mined epoch actually engaged (hard mining counts logged)
+    hards = [r.get("hard_count", 0) for r in rows]
+    assert any(h > 0 for h in hards), "PDDM hard mining never engaged"
