@@ -334,6 +334,63 @@ def main():
     # the same-shape bare-GEMM floor measured in the sweep (d=128 row)
     lifted_floor = kernel_sweep[0]["xla_dense_matmul_gflops"]
 
+    # --- flagship fused step at mega-batch N (VERDICT r2 #4) -------------
+    # The full multimodal program (core embed -> semi-hard mine -> PDDM
+    # row-scoring -> hard/structure mine -> re-forward -> update) at
+    # N=32768 events on one chip.  Compact core features ([N, 3, 64]):
+    # at Honda video dims the per-event feature footprint (1.18 MB f32)
+    # caps one-chip N near ~8k on HBM alone — the boundary is feature
+    # bytes, not the mining stack (see RESULTS.md "mega-batch boundary").
+    _mark("flagship megabatch")
+    from multimodal_similarity_tpu.configs import TrainConfig
+    from multimodal_similarity_tpu.train.trainers.multimodal_model import (
+        build_models, make_mm_fused_step)
+
+    n_mb = 32768
+    cfg_mb = TrainConfig(name="bench_mb", network="rtsn", n_input=64,
+                         emb_dim=128, num_seg=3, triplet_per_batch=300,
+                         keep_prob=1.0, lambda_multimodal=1.0,
+                         silent_mode=True).resolve()
+    core, s_enc, s_pddm, g_enc, g_pddm = build_models(
+        cfg_mb, sensors_dim=8, segment_dim=357)
+    kmb = jax.random.PRNGKey(9)
+    x_mb = jax.random.normal(kmb, (n_mb, 3, 64), jnp.float32)
+    xs_mb = jax.random.normal(kmb, (n_mb, 3, 8), jnp.float32)
+    xg_mb = jax.random.normal(kmb, (n_mb, 3, 357), jnp.float32)
+    lab_mb = jnp.asarray(
+        np.random.RandomState(2).randint(0, 8, size=n_mb).astype(np.int32))
+    e32 = jnp.zeros((2, 32), jnp.float32)
+    mb_params = {
+        "modality_core": core.init(kmb, x_mb[:2])["params"],
+        "modality_sensors": {
+            "encoder": s_enc.init(kmb, xs_mb[:2])["params"],
+            "pddm": s_pddm.init(kmb, e32, e32, method="score")["params"]},
+        "modality_segment": {
+            "encoder": g_enc.init(kmb, xg_mb[:2])["params"],
+            "pddm": g_pddm.init(kmb, e32, e32, method="score")["params"]},
+    }
+    mb_state = TrainState.create(mb_params, build_optimizer("ADAM", 0.01))
+    mb_step = make_mm_fused_step(core, s_enc, s_pddm, g_enc, g_pddm, cfg_mb)
+    mb_mask = jnp.ones(n_mb, jnp.float32)
+    mb_cm = jnp.zeros(8, jnp.float32)
+    mb_state, mb_aux = mb_step(mb_state, x_mb, xs_mb, xg_mb, lab_mb,
+                               mb_mask, mb_cm, jnp.float32(1.0), kmb, lr)
+    float(mb_aux["loss"])  # compile + sync
+
+    def one_mb():
+        nonlocal mb_state
+        mb_state, aux = mb_step(mb_state, x_mb, xs_mb, xg_mb, lab_mb,
+                                mb_mask, mb_cm, jnp.float32(1.0), kmb, lr)
+        return aux["loss"]
+
+    t0 = time.time()
+    out = None
+    for _ in range(5):
+        out = one_mb()
+    float(out)
+    megabatch_eps = n_mb * 5 / (time.time() - t0)
+    _mark(f"megabatch {megabatch_eps:.0f} ev/s")
+
     result = {
         "metric": "fused_train_step_events_per_sec",
         "value": round(fused_eps, 2),
@@ -362,6 +419,8 @@ def main():
                 lifted_tri_gflops / lifted_floor, 3),
             "lifted_exp_ablation_share": 0.03,
             "pallas_mining_n": n_mine,
+            "flagship_megabatch_n": n_mb,
+            "flagship_megabatch_events_per_sec": round(megabatch_eps, 2),
             "n_events": n_events,
             "backend": jax.default_backend(),
         },

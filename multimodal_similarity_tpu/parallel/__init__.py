@@ -19,6 +19,10 @@ from multimodal_similarity_tpu.parallel.multihost import (
     host_local_sessions,
     make_global_batch,
 )
+from multimodal_similarity_tpu.parallel.ring_lifted import (
+    make_ring_lifted_loss,
+    make_ring_lifted_stats_grad,
+)
 from multimodal_similarity_tpu.parallel.ring_mining import (
     make_ring_batch_hard_loss,
     make_ring_batch_hard_stats_grad,
@@ -42,6 +46,8 @@ __all__ = [
     "ring_batch_hard_stats",
     "make_ring_batch_hard_stats_grad",
     "make_ring_batch_hard_loss",
+    "make_ring_lifted_stats_grad",
+    "make_ring_lifted_loss",
     "make_global_batch",
     "host_local_sessions",
     "shard_params_tp",

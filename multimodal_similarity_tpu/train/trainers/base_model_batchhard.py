@@ -37,12 +37,12 @@ def make_balanced_batch_step(model, cfg: TrainConfig, loss_kind: str,
     losses over a class-balanced batch.
 
     With ``mesh`` (1-D "data" mesh) the step runs data-parallel: events
-    sharded on the batch axis, and for batch-hard the O(B^2) hardest-pair
-    reduction runs as the RING pass — each device reduces its anchor shard
-    against the visiting embedding shard and forwards it over ICI
-    (parallel/ring_mining.py), so the full distance matrix never exists on
-    any chip.  Lifted falls back to gathered embeddings + the fused Pallas
-    kernel (its online-logsumexp has no ring variant yet)."""
+    sharded on the batch axis, and the O(B^2) pass runs as a RING — each
+    device reduces its anchor shard against the visiting embedding shard
+    and forwards it over ICI, so the full value matrix never exists on
+    any chip: batch-hard via parallel/ring_mining.py (masked max/min),
+    lifted via parallel/ring_lifted.py (online logsumexp with a rotating
+    column-gradient buffer in the backward ring)."""
     margin = "soft" if (loss_kind == "batchhard" and not cfg.no_soft) \
         else cfg.alpha
     if mesh is not None:
@@ -54,6 +54,10 @@ def make_balanced_batch_step(model, cfg: TrainConfig, loss_kind: str,
                 make_ring_batch_hard_loss)
             ring_loss = make_ring_batch_hard_loss(mesh, margin,
                                                   weighted=True)
+        else:
+            from multimodal_similarity_tpu.parallel import (
+                make_ring_lifted_loss)
+            ring_loss = make_ring_lifted_loss(mesh, margin, weighted=True)
 
     def step(state, events, labels, key, learning_rate):
         def loss_fn(params):
@@ -61,15 +65,15 @@ def make_balanced_batch_step(model, cfg: TrainConfig, loss_kind: str,
                               rngs={"dropout": key})
             if cfg.normalized:
                 emb = l2_normalize(emb)
-            if mesh is not None and loss_kind == "batchhard":
+            if mesh is not None:
+                # both losses ride the ring on a mesh: shard-resident
+                # O(B^2/n_dev) per chip, ppermute over ICI
                 emb = jax.lax.with_sharding_constraint(emb, data_s)
                 loss, num_active, *_ = ring_loss(emb, labels)
             elif loss_kind == "batchhard":
                 loss, num_active, *_ = batch_hard_pallas(
                     emb, labels, margin, weighted=True)
             else:
-                if mesh is not None:
-                    emb = jax.lax.with_sharding_constraint(emb, repl_s)
                 # normalized embeddings bound the value matrices, which
                 # unlocks the faster triangular no-max-tracking forward
                 loss, num_active, *_ = lifted_loss_pallas(
