@@ -28,7 +28,8 @@ from multimodal_similarity_tpu.ops.mining import select_triplets_facenet
 from multimodal_similarity_tpu.train.checkpoints import load_pytree
 from multimodal_similarity_tpu.train.state import (
     TrainState, build_optimizer, l2_regularization, learning_rate_schedule)
-from multimodal_similarity_tpu.train.steps import l2_normalize, make_embed_fn
+from multimodal_similarity_tpu.train.steps import (
+    jit_step, l2_normalize, make_embed_fn)
 from multimodal_similarity_tpu.train.trainer import (
     cached_device, epoch_of_step)
 from multimodal_similarity_tpu.train.trainers._honda import HondaExperiment
@@ -179,7 +180,7 @@ def make_weak_steps(core, sensors_enc, sensors_pddm, cfg: TrainConfig,
             state.params)
         return state.apply_gradients(grads, learning_rate=learning_rate), aux
 
-    return jax.jit(uni_step), jax.jit(mm_step)
+    return jit_step(uni_step), jit_step(mm_step)
 
 
 def _pad_flat(idx: List[int], tri_cap: int) -> Tuple[np.ndarray, np.ndarray]:
