@@ -52,6 +52,7 @@ def main():
                           n_input=1536, n_h=8, n_w=8, n_C=20, keep_prob=0.9)
 
     # synthesize features on device (class centers + noise) — no host upload
+    _mark(f"init (backend {jax.default_backend()})")
     key = jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(key)
     centers = jax.random.normal(k1, (7, 1, 8, 8, 1536), jnp.float32)
@@ -145,11 +146,18 @@ def main():
         t0 = time.time()
         jax.device_put(probe).block_until_ready()
         bw_best = max(bw_best, probe.nbytes / (time.time() - t0))
+        if bw_best < 0.2e9:  # slow tunnel day: one probe is exact enough
+            break
     host_to_device_gbps = bw_best / 1e9
     bytes_per_event_f32 = x_host.nbytes / n_events
     link_ceiling_eps = bw_best / bytes_per_event_f32
 
     _mark(f"link bandwidth {host_to_device_gbps:.3f} GB/s")
+    # the measurement is pure bandwidth (one upload is 1.18 GB), so on a
+    # slow tunnel day a single rep is exact enough; more reps on a slow
+    # link would blow the bench wall-clock without changing the number
+    slow_link = host_to_device_gbps < 0.2
+
     def one_host_sync():
         nonlocal state
         state, aux = step(state, jnp.asarray(x_host), labels, mask, key, lr)
@@ -157,7 +165,7 @@ def main():
 
     float(one_host_sync())  # any residual compile + sync
     t0 = time.time()
-    reps_host = 3
+    reps_host = 1 if slow_link else 3
     out = None
     for _ in range(reps_host):
         out = one_host_sync()
@@ -171,7 +179,7 @@ def main():
         for _ in range(k):
             yield {"events": x_host}
 
-    reps_pipe = 4
+    reps_pipe = 2 if slow_link else 4
     float(one_fused16())  # ensure the bf16-features step is compiled
     t0 = time.time()
     out = None
