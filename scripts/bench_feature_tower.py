@@ -8,10 +8,14 @@ RESULTS.md "feature extraction on chip".
 
 Usage: python scripts/bench_feature_tower.py [batches...]
 """
+import os
 import sys
 import time
 
 import numpy as np
+
+# runnable as `python scripts/bench_feature_tower.py` from anywhere
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(batches=(8, 32, 64)):

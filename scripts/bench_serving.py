@@ -10,10 +10,14 @@ Measures the two serving primitives at production-like sizes:
 Recorded in RESULTS.md "serving".  Usage:
     python scripts/bench_serving.py [gallery_size [emb_dim]]
 """
+import os
 import sys
 import time
 
 import numpy as np
+
+# runnable as `python scripts/bench_serving.py` from anywhere
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(gallery_n=200_000, emb_dim=256):
