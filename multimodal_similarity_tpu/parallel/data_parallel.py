@@ -36,6 +36,7 @@ def make_dp_triplet_step(
     num_negative: int = 3,
     metric: str = "squaredeuclidean",
     normalized: bool = True,
+    lambda_l2: float = 0.0,
     gather_smalls: bool = False,
 ) -> Callable:
     """step(state, events, labels, mask, key, lr) with events sharded on the
@@ -80,6 +81,10 @@ def make_dp_triplet_step(
             t = mined.anchor.shape[0]
             a, p, n = tri_emb[:t], tri_emb[t:2 * t], tri_emb[2 * t:]
             loss = triplet_loss_masked(a, p, n, mined.mask, alpha)
+            if lambda_l2:
+                from multimodal_similarity_tpu.train.state import (
+                    l2_regularization)
+                loss = loss + lambda_l2 * l2_regularization(params)
             return loss, {"loss": loss, "triplet_num": jnp.sum(mined.mask),
                           "active_count": mined.active_count}
 

@@ -163,7 +163,7 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
             model, mesh, triplet_per_batch=cfg.triplet_per_batch,
             alpha=cfg.alpha, num_negative=cfg.num_negative,
             metric=cfg.metric, normalized=cfg.normalized,
-            gather_smalls=pcount > 1)
+            lambda_l2=cfg.lambda_l2, gather_smalls=pcount > 1)
         if not cfg.silent_mode:
             print(f"[{cfg.name}] data-parallel over "
                   f"{mesh.shape['data']} devices"

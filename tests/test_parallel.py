@@ -81,6 +81,43 @@ def test_dp_triplet_step_runs_and_matches_semantics(rng):
     assert not np.allclose(leaf0, np.asarray(leaf1))
 
 
+def test_dp_triplet_step_applies_lambda_l2(rng):
+    """--lambda_l2 must regularize the dp step exactly like the
+    single-chip fused step (it was silently dropped before round 3)."""
+    from multimodal_similarity_tpu.train.state import l2_regularization
+
+    mesh = create_mesh(8)
+    n, n_seg, d_in = 64, 3, 8
+    labels = rng.randint(0, 4, size=n).astype(np.int32)
+    x = rng.randn(n, n_seg, d_in).astype(np.float32)
+
+    model = build_encoder("rtsn", num_seg=n_seg, emb_dim=16, n_input=d_in,
+                          keep_prob=1.0)
+    variables = model.init(jax.random.PRNGKey(0), jnp.array(x[:2]))
+    tx = build_optimizer("ADAM", 0.01)
+    reg0 = float(l2_regularization(variables["params"]))
+    # host copy: the donated step consumes the state's buffers, so each
+    # mode needs params rebuilt from an undonated source
+    params_np = jax.tree.map(np.asarray, variables["params"])
+
+    batch = shard_batch({"events": jnp.array(x)}, mesh)
+    labels_r, mask_r = replicate(
+        (jnp.array(labels), jnp.ones(n, jnp.float32)), mesh)
+    key, lr = replicate((jax.random.PRNGKey(1), jnp.float32(0.01)), mesh)
+
+    losses = {}
+    for lam in (0.0, 0.5):
+        state = TrainState.create(
+            jax.tree.map(jnp.asarray, params_np), tx)
+        state = jax.device_put(state, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec()))
+        step = make_dp_triplet_step(model, mesh, triplet_per_batch=24,
+                                    lambda_l2=lam)
+        _, aux = step(state, batch["events"], labels_r, mask_r, key, lr)
+        losses[lam] = float(aux["loss"])
+    assert losses[0.5] == pytest.approx(losses[0.0] + 0.5 * reg0, rel=1e-5)
+
+
 def test_ring_batch_hard_matches_dense(rng):
     from multimodal_similarity_tpu.parallel import ring_batch_hard_stats
     mesh = create_mesh(8)
