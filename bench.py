@@ -242,6 +242,8 @@ def main():
     # K=128 contraction at ~8% of nameplate no matter who asks.
     _mark("pallas sweep")
     from multimodal_similarity_tpu.ops.pallas import fused_batch_hard_stats
+    from multimodal_similarity_tpu.ops.pallas.batch_hard import (
+        _auto_block, _use_triangular)
 
     PEAK_GFLOPS = 197e3  # v5e bf16 nameplate
     CHAIN = 10
@@ -290,10 +292,13 @@ def main():
         mm_rate = best_rate(mm, e16, 3)
         mm_gflops = 2 * n_mine * n_mine * d_mine / 1e9 * mm_rate
 
-        # d >= 512 auto-dispatches the triangular kernel, whose "mfu"
-        # counts the full 2N^2d logical FLOPs while the MXU executes
-        # half; "mfu_physical" is the MXU-work accounting (VERDICT r2)
-        is_tri = d_mine >= 512
+        # the triangular kernel's "mfu" counts the full 2N^2d logical
+        # FLOPs while the MXU executes half; "mfu_physical" is the
+        # MXU-work accounting (VERDICT r2).  Reuse the kernel's OWN
+        # dispatch predicate so the labeling cannot diverge from which
+        # kernel actually ran.
+        is_tri = _use_triangular(
+            n_mine, d_mine, _auto_block(d_mine, "bf16"), "auto")
         kernel_sweep.append({
             "n": n_mine, "d": d_mine,
             "gflops": round(gflops, 1),
@@ -417,7 +422,7 @@ def main():
             "pallas_dist_mining_gflops": round(kernel_gflops, 1),
             "pallas_mfu_sweep": kernel_sweep,
             "pallas_mxu_bound_mfu": mxu_point["mfu"],
-            "pallas_mxu_bound_mfu_physical": round(mxu_point["mfu"] / 2, 4),
+            "pallas_mxu_bound_mfu_physical": mxu_point["mfu_physical"],
             "pallas_lifted_gflops": round(lifted_gflops, 1),
             "pallas_lifted_mfu": round(lifted_gflops / PEAK_GFLOPS, 4),
             "pallas_lifted_tri_gflops": round(lifted_tri_gflops, 1),
@@ -425,7 +430,6 @@ def main():
                 lifted_tri_gflops / PEAK_GFLOPS, 4),
             "lifted_vs_same_shape_xla_matmul": round(
                 lifted_tri_gflops / lifted_floor, 3),
-            "lifted_exp_ablation_share": 0.03,
             "pallas_mining_n": n_mine,
             "flagship_megabatch_n": n_mb,
             "flagship_megabatch_events_per_sec": round(megabatch_eps, 2),

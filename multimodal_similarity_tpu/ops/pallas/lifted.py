@@ -293,9 +293,11 @@ def fused_lifted_stats(emb: Array, labels: Array,
     bounded=True promises the caller's embeddings are L2-NORMALIZED
     (squared-euclidean distances <= 4, so exp cannot overflow) and
     dispatches the triangular no-max-tracking forward
-    (ops/pallas/lifted_tri.py) — measured ~1.8x the row forward at
-    N=8192, d=128.  Semantics identical; an unnormalized caller passing
-    bounded=True risks inf in the plain exponential sums.
+    (ops/pallas/lifted_tri.py) — measured 1.68 ms vs 1.75 ms for the row
+    forward at N=8192, d=128 (~1.05x; see docs/KERNELS.md "lifted
+    roofline" for why the binding cost is reductions, not exp).
+    Semantics identical; an unnormalized caller passing bounded=True
+    risks inf in the plain exponential sums.
     """
     fp, cn, nc = _lifted_impl(emb, labels, valid, margin, block, precision,
                               bounded)

@@ -110,7 +110,9 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
     # of steps per epoch so the collectives stay in lockstep
     local_set, local_budget = train_set, event_budget
     if pcount > 1:
-        local_set = train_set[pid::pcount]
+        from multimodal_similarity_tpu.parallel.multihost import (
+            host_local_sessions)
+        local_set = host_local_sessions(train_set, pid, pcount)
         local_budget = event_budget // pcount
         batch_per_epoch = (len(train_set) // pcount) // cfg.sess_per_batch
 
