@@ -192,16 +192,33 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
     # cast host-side) on a background thread one batch ahead, so the
     # ~GB-scale feature upload overlaps the previous step instead of
     # serializing with it (the reference pays this serialization on every
-    # feed_dict, base_model.py:284-287)
-    def epoch_batches():
-        batches = loader.epoch()
+    # feed_dict, base_model.py:284-287).  The stream is CONTINUOUS across
+    # epochs: the next epoch's first batch loads/uploads during the
+    # epoch-boundary validation + checkpoint, so no step ever waits on
+    # the pipeline fill after the very first one (the loader's shuffle
+    # rng advances exactly as per-epoch calls would — same batch order).
+    # The epoch loop slices batch_per_epoch batches per epoch; the while
+    # condition owns termination, and the stream is closed on exit
+    # (cancels the worker thread).
+    def continuous_batches():
+        import itertools
+
+        def epochs():
+            while True:
+                produced = 0
+                batches = loader.epoch()
+                if pcount > 1:
+                    # lockstep truncation: every host must dispatch the
+                    # same number of collective steps per epoch
+                    batches = itertools.islice(batches, batch_per_epoch)
+                for b in batches:
+                    produced += 1
+                    yield b
+                if not produced:  # empty epoch: let the consumer stop
+                    return
+
         if cfg.triplet_select != "facenet":
-            return batches  # host miners need host-resident arrays
-        if pcount > 1:
-            # lockstep truncation: every host must dispatch the same
-            # number of collective steps per epoch
-            import itertools
-            batches = itertools.islice(batches, batch_per_epoch)
+            return epochs()  # host miners need host-resident arrays
         from multimodal_similarity_tpu.data import (
             device_prefetch, feed_shardings)
         shardings = None
@@ -215,7 +232,7 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
             shardings = feed_shardings(mesh, data_keys=("events",),
                                        replicated_keys=("labels", "mask"))
         return device_prefetch(
-            batches, device_keys=("events", "labels", "mask"),
+            epochs(), device_keys=("events", "labels", "mask"),
             bf16_keys=("events",) if cfg.bf16_features else (),
             shardings=shardings)
 
@@ -224,11 +241,13 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
     # process-global RNG state (keeps host-vs-device A/B runs repeatable)
     mine_rng = random.Random(cfg.seed)
     epoch = epoch_of_step(int(state.step), batch_per_epoch)
+    import itertools
+    stream = continuous_batches()
     while epoch < cfg.max_epochs:
         lr = learning_rate_schedule(epoch, cfg.learning_rate,
                                     cfg.static_epochs, cfg.max_epochs)
         step_at_epoch_start = int(state.step)
-        for batch in epoch_batches():
+        for batch in itertools.islice(stream, batch_per_epoch):
             t0 = time.time()
             rng, key = jax.random.split(rng)
             if cfg.triplet_select == "facenet":
@@ -321,6 +340,7 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
             ckpt.save(state, int(state.step))
         epoch = epoch_of_step(int(state.step), batch_per_epoch)
 
+    stream.close()  # cancel the prefetch worker (it runs one batch ahead)
     logger.close()
     return state, metrics, result_dir
 
