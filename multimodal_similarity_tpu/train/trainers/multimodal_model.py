@@ -486,15 +486,28 @@ def train(cfg: TrainConfig, hard_only: bool = False,
 
     # fused path: ship events/aux-modalities/labels/mask to the device on a
     # background thread one batch ahead (bf16-cast host-side when asked),
-    # overlapping the dominant feature upload with the previous fused step
-    def epoch_batches():
+    # overlapping the dominant feature upload with the previous fused step.
+    # The stream is continuous across epochs (same design as base_model):
+    # the boundary validation/dist_dict/checkpoint work overlaps the next
+    # epoch's pipeline fill; the epoch loop slices batch_per_epoch batches
+    # per epoch and the stream is closed on exit.
+    def continuous_batches():
+        def epochs():
+            while True:
+                produced = 0
+                for b in exp.loader.epoch():
+                    produced += 1
+                    yield b
+                if not produced:  # empty epoch: let the consumer stop
+                    return
+
         if not device_mining:
-            return exp.loader.epoch()  # host miners slice numpy arrays
+            return epochs()  # host miners slice numpy arrays
         from multimodal_similarity_tpu.data import (
             device_prefetch, feed_shardings)
         shardings = feed_shardings(mesh) if mesh is not None else None
         return device_prefetch(
-            exp.loader.epoch(),
+            epochs(),
             device_keys=("events", "events2", "events3", "labels", "mask"),
             bf16_keys=("events",) if cfg.bf16_features else (),
             shardings=shardings)
@@ -505,12 +518,14 @@ def train(cfg: TrainConfig, hard_only: bool = False,
     mine_rng = random.Random(cfg.seed)
     mul_rng = np.random.RandomState(cfg.seed)
     epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
+    import itertools
+    stream = continuous_batches()
     while epoch < cfg.max_epochs:
         lr = learning_rate_schedule(epoch, cfg.learning_rate,
                                     cfg.static_epochs, cfg.max_epochs,
                                     decay_base=0.01)
         step_at_epoch_start = int(state.step)
-        for batch in epoch_batches():
+        for batch in itertools.islice(stream, exp.batch_per_epoch):
             if device_mining:
                 # fully fused: one jitted program per batch, zero host hops.
                 # Size the margin table by the full label dictionary, not
@@ -622,6 +637,7 @@ def train(cfg: TrainConfig, hard_only: bool = False,
         exp.ckpt.save(state, int(state.step))
         epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
 
+    stream.close()  # cancel the prefetch worker (it runs one batch ahead)
     exp.close()
     return state, metrics, exp.result_dir
 
