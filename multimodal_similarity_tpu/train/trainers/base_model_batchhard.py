@@ -129,20 +129,57 @@ def train(cfg: TrainConfig, loss_kind: str = "batchhard",
                   + (" (ring mining)" if loss_kind == "batchhard" else ""))
     step_fn = make_balanced_batch_step(model, cfg, loss_kind, mesh=mesh)
 
+    # the balanced selection needs only host-resident labels, so it runs
+    # ON the prefetch thread: each loader batch is reduced to its selected
+    # [B] slice there, cast (bf16 when asked), and device_put one batch
+    # ahead — the upload overlaps the previous fused step, and the stream
+    # stays warm across epochs (same design as base_model).  An explicit
+    # config-seeded rng replaces the global `random` the selection used
+    # before: draws move off the main thread AND become reproducible.
+    import random as _random
+    sel_rng = _random.Random(cfg.seed)
+
+    def continuous_selected():
+        def epochs():
+            while True:
+                produced = 0
+                for b in exp.loader.epoch():
+                    produced += 1
+                    n = int(b["num_events"])
+                    idx = select_batch_balanced(b["labels"][:n], batch_size,
+                                                rng=sel_rng)
+                    if idx.size == 0:
+                        # keep 1 stream item per loader batch so epoch
+                        # slicing stays aligned; consumer skips these
+                        yield {"empty": True}
+                        continue
+                    yield {"events": _cast(b["events"][idx]),
+                           "labels": b["labels"][idx]}
+                if not produced:
+                    return
+
+        from multimodal_similarity_tpu.data import (
+            device_prefetch, feed_shardings)
+        shardings = None
+        if mesh is not None:
+            shardings = feed_shardings(mesh, data_keys=("events",),
+                                       replicated_keys=("labels",))
+        return device_prefetch(epochs(), device_keys=("events", "labels"),
+                               shardings=shardings)
+
     metrics = {}
+    import itertools
+    stream = continuous_selected()
     epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
     while epoch < cfg.max_epochs:
         lr = learning_rate_schedule(epoch, cfg.learning_rate,
                                     cfg.static_epochs, cfg.max_epochs)
         step_at_epoch_start = int(state.step)
-        for batch in exp.loader.epoch():
-            n = int(batch["num_events"])
-            idx = select_batch_balanced(batch["labels"][:n], batch_size)
-            if idx.size == 0:
-                continue
+        for batch in itertools.islice(stream, exp.batch_per_epoch):
+            if "events" not in batch:
+                continue  # no balanced batch in this loader draw
             state, aux = step_fn(
-                state, jnp.asarray(_cast(batch["events"][idx])),
-                jnp.asarray(batch["labels"][idx]), exp.next_key(),
+                state, batch["events"], batch["labels"], exp.next_key(),
                 jnp.float32(lr))
             exp.log(int(state.step),
                     {**{k: float(v) for k, v in aux.items()},
@@ -160,6 +197,7 @@ def train(cfg: TrainConfig, loss_kind: str = "batchhard",
         exp.ckpt.save(state, int(state.step))
         epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
 
+    stream.close()  # cancel the prefetch worker
     exp.close()
     return state, metrics, exp.result_dir
 
