@@ -37,7 +37,8 @@ class HondaExperiment:
                  event_budget: Optional[int] = None,
                  result_dir: Optional[str] = None,
                  limit_label_num: bool = True,
-                 val_sessions: Optional[Sequence[str]] = None):
+                 val_sessions: Optional[Sequence[str]] = None,
+                 session_shard: Optional[Sequence[int]] = None):
         self.cfg = cfg
         self.result_dir = setup_experiment(cfg, result_dir=result_dir)
         self.logger = MetricsLogger(self.result_dir)
@@ -65,15 +66,30 @@ class HondaExperiment:
         self.train_set = train_set
         self.labeled_sessions = set(cfg.train_session[: cfg.label_num])
 
+        # multihost: this process loads only its session shard, but the
+        # per-epoch step count stays GLOBAL-lockstep (every host must
+        # dispatch the same number of collective steps per epoch)
+        local_set = train_set
+        lockstep_bpe = None
+        if session_shard is not None:
+            pid, pcount = session_shard
+            from multimodal_similarity_tpu.parallel.multihost import (
+                host_local_sessions)
+            local_set = host_local_sessions(train_set, pid, pcount)
+            lockstep_bpe = (len(train_set) // pcount) // cfg.sess_per_batch
+
         self.loader = SessionBatchLoader(
-            train_set, sess_per_batch=cfg.sess_per_batch,
+            local_set, sess_per_batch=cfg.sess_per_batch,
             event_budget=event_budget,
             prepare_funcs=[prep_train] * len(modalities), seed=cfg.seed)
-        self.batch_per_epoch = self.loader.batches_per_epoch
+        self.batch_per_epoch = (lockstep_bpe if lockstep_bpe is not None
+                                else self.loader.batches_per_epoch)
         if self.batch_per_epoch < 1:
             raise ValueError(
                 f"{len(train_set)} train sessions < sess_per_batch="
-                f"{cfg.sess_per_batch}")
+                f"{cfg.sess_per_batch}"
+                + (f" x {session_shard[1]} processes"
+                   if session_shard is not None else ""))
 
         val_ids = list(val_sessions or cfg.val_session)
         if len(modalities) == 1:

@@ -167,7 +167,7 @@ def build_models(cfg: TrainConfig, sensors_dim: int = 8,
 
 def make_mm_fused_step(core, sensors_enc, sensors_pddm, segment_enc,
                        segment_pddm, cfg: TrainConfig, mesh=None,
-                       hard_only: bool = False):
+                       hard_only: bool = False, gather_smalls: bool = False):
     """Fully-fused flagship step: ONE jitted program per batch.
 
     Inside the program: eval-mode core embed -> device semi-hard mining of
@@ -203,6 +203,13 @@ def make_mm_fused_step(core, sensors_enc, sensors_pddm, segment_enc,
     def step(state, events, eve_sensors, eve_segment, labels, mask,
              class_margins, use_multimodal, key, learning_rate):
         k_mine, k_mul, k_drop = jax.random.split(key, 3)
+        if gather_smalls:
+            # multihost feeding: labels/mask arrive sharded on the batch
+            # axis (each host holds only its local rows); gather them to
+            # replicated before the global mining passes (KB-scale
+            # all-gather over ICI)
+            labels = jax.lax.with_sharding_constraint(labels, repl_s)
+            mask = jax.lax.with_sharding_constraint(mask, repl_s)
 
         def loss_fn(params):
             emb_mine = core.apply({"params": params["modality_core"]},
@@ -308,9 +315,10 @@ def make_mm_fused_step(core, sensors_enc, sensors_pddm, segment_enc,
 
     if mesh is None:
         return jit_step(step)
+    small = data_s if gather_smalls else repl_s
     in_shardings = (None,                      # state: placed by the caller
                     data_s, data_s, data_s,    # events, sensors, segment
-                    repl_s, repl_s, repl_s,    # labels, mask, class_margins
+                    small, small, repl_s,      # labels, mask, class_margins
                     repl_s, repl_s, repl_s)    # use_multimodal, key, lr
     return jit_step(step, in_shardings=in_shardings)
 
@@ -404,6 +412,30 @@ def train(cfg: TrainConfig, hard_only: bool = False,
     host-side sequential mining semantics."""
     modalities = cfg.feat if isinstance(cfg.feat, list) else \
         ["resnet", "sensors", "segment"]
+    # multihost (pod) flagship: jax.distributed bootstrap, sessions sharded
+    # across hosts, per-host loaders feeding globally-sharded batches into
+    # the fused dp step (labels/mask fed host-local and gathered on device).
+    # Only process 0 writes checkpoints / dist_dict / projector artifacts.
+    pid, pcount = 0, 1
+    if cfg.multihost:
+        if not device_mining:
+            raise NotImplementedError(
+                "--multihost requires --device_mining (the fused step; "
+                "host miners are single-process)")
+        import dataclasses
+
+        from multimodal_similarity_tpu.parallel.multihost import (
+            initialize_distributed)
+        initialize_distributed(
+            cfg.coordinator_address or None,
+            cfg.num_processes or None,
+            cfg.process_id if cfg.process_id >= 0 else None)
+        pid, pcount = jax.process_index(), jax.process_count()
+        if pid > 0:
+            # per-host result scratch: process 0 owns the real artifacts
+            cfg = dataclasses.replace(cfg, name=f"{cfg.name}_proc{pid}")
+            if result_dir is not None:
+                result_dir = f"{result_dir}_proc{pid}"
     # flagship data parallelism: with >1 visible device and device mining,
     # run the fused step over a 1-D "data" mesh (event budget rounded up to
     # a device multiple — batches are fixed-shape + mask-padded anyway)
@@ -414,9 +446,15 @@ def train(cfg: TrainConfig, hard_only: bool = False,
                                   verbose=not cfg.silent_mode)
         if mesh is not None:
             event_budget = rounded
+    if cfg.multihost and mesh is None:
+        raise RuntimeError("--multihost needs >= 2 devices across processes")
     exp = HondaExperiment(cfg, modalities=modalities,
-                          event_budget=event_budget, result_dir=result_dir,
-                          limit_label_num=(cfg.task == "supervised"))
+                          event_budget=(event_budget or cfg.event_per_batch)
+                          // pcount if pcount > 1 else event_budget,
+                          result_dir=result_dir,
+                          limit_label_num=(cfg.task == "supervised"),
+                          session_shard=(pid, pcount) if pcount > 1
+                          else None)
     from multimodal_similarity_tpu.train.trainer import feature_caster
     _cast = feature_caster(cfg)
     core, sensors_enc, sensors_pddm, segment_enc, segment_pddm = \
@@ -460,11 +498,16 @@ def train(cfg: TrainConfig, hard_only: bool = False,
     if cfg.model_path:
         state = load_pytree(cfg.model_path, state)
     if mesh is not None:
-        state = jax.device_put(state, jax.sharding.NamedSharding(
-            mesh, jax.sharding.PartitionSpec()))
+        if pcount == 1:
+            state = jax.device_put(state, jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec()))
+        # multihost: the state stays an uncommitted host-local value
+        # (identical on every process, same seed); jit replicates it —
+        # device_put cannot address other hosts' devices
         if not cfg.silent_mode:
             print(f"[{cfg.name}] data-parallel fused step over "
-                  f"{mesh.shape['data']} devices")
+                  f"{mesh.shape['data']} devices"
+                  + (f" on {pcount} hosts" if pcount > 1 else ""))
 
     embed_fn = make_embed_fn(core, cfg.normalized)
     tri_cap = cfg.triplet_per_batch * 2
@@ -474,7 +517,8 @@ def train(cfg: TrainConfig, hard_only: bool = False,
     if device_mining:
         fused_step = make_mm_fused_step(core, sensors_enc, sensors_pddm,
                                         segment_enc, segment_pddm, cfg,
-                                        mesh=mesh, hard_only=hard_only)
+                                        mesh=mesh, hard_only=hard_only,
+                                        gather_smalls=pcount > 1)
 
     def core_embed(params, feats):
         from multimodal_similarity_tpu.train.steps import embed_in_chunks
@@ -505,7 +549,16 @@ def train(cfg: TrainConfig, hard_only: bool = False,
             return epochs()  # host miners slice numpy arrays
         from multimodal_similarity_tpu.data import (
             device_prefetch, feed_shardings)
-        shardings = feed_shardings(mesh) if mesh is not None else None
+        shardings = None
+        if mesh is not None and pcount > 1:
+            # each host feeds only its local rows of every tensor; the
+            # fused step gathers labels/mask for the global mining passes
+            shardings = feed_shardings(
+                mesh, data_keys=("events", "events2", "events3",
+                                 "labels", "mask"),
+                replicated_keys=())
+        elif mesh is not None:
+            shardings = feed_shardings(mesh)
         return device_prefetch(
             epochs(),
             device_keys=("events", "events2", "events3", "labels", "mask"),
@@ -613,7 +666,13 @@ def train(cfg: TrainConfig, hard_only: bool = False,
         if int(state.step) == step_at_epoch_start:
             print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")
             break
-        val_emb = core_embed(state.params, cached_device(exp.val_feats))
+        val_params = state.params
+        if pcount > 1:
+            # replicated global arrays -> host-local values for the
+            # (host-side, redundant-per-host) validation pass
+            val_params = jax.tree.map(
+                lambda a: np.asarray(jax.device_get(a)), state.params)
+        val_emb = core_embed(val_params, cached_device(exp.val_feats))
         from multimodal_similarity_tpu.eval.metrics import (
             retrieval_metrics_device)
         mAP, mPrec, recalls = retrieval_metrics_device(
@@ -630,11 +689,13 @@ def train(cfg: TrainConfig, hard_only: bool = False,
                 dist_dict[i].append(float(np.mean(cdist(all_diffs(
                     jnp.asarray(temp), jnp.asarray(temp)), cfg.metric)))
                     if temp.shape[0] else 0.0)
-            with open(os.path.join(exp.result_dir, "dist_dict.pkl"),
-                      "wb") as f:
-                pickle.dump(dist_dict, f)
+            if pid == 0:
+                with open(os.path.join(exp.result_dir, "dist_dict.pkl"),
+                          "wb") as f:
+                    pickle.dump(dist_dict, f)
 
-        exp.ckpt.save(state, int(state.step))
+        if pid == 0:
+            exp.ckpt.save(state, int(state.step))
         epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
 
     stream.close()  # cancel the prefetch worker (it runs one batch ahead)

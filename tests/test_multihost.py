@@ -142,6 +142,91 @@ _TRAIN_WORKER = textwrap.dedent("""
 """)
 
 
+_MM_WORKER = textwrap.dedent("""
+    import sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+
+    coord, pid, root, outdir = (sys.argv[1], int(sys.argv[2]), sys.argv[3],
+                                sys.argv[4])
+    from multimodal_similarity_tpu.configs import TrainConfig
+    from multimodal_similarity_tpu.train.trainers import multimodal_model
+
+    cfg = TrainConfig(
+        DATA_ROOT=root, name="mhmm", network="rtsn", n_input=8, emb_dim=16,
+        num_seg=3, sess_per_batch=1, max_epochs=2, triplet_per_batch=12,
+        learning_rate=0.01, keep_prob=1.0, lambda_multimodal=1.0,
+        multimodal_epochs=0, task="semi-supervised", silent_mode=True,
+        multihost=True, coordinator_address=coord, num_processes=2,
+        process_id=pid).resolve()
+    state, metrics, _ = multimodal_model.train(
+        cfg, device_mining=True, event_budget=32, result_dir=outdir)
+    assert jax.process_count() == 2, jax.process_count()
+    print(f"WORKER_{pid}_TRAINED step={int(state.step)} "
+          f"mAP={metrics['val_mAP']:.4f}")
+""")
+
+
+@pytest.mark.skipif(os.environ.get("MSIM_SKIP_SUBPROCESS") == "1",
+                    reason="subprocess tests disabled")
+def test_two_process_flagship_training(tmp_path):
+    """--multihost on the FLAGSHIP fused trainer: 2 jax.distributed CPU
+    processes, 3-modality globally-sharded feeding (events/sensors/segment
+    sharded, labels/mask gathered in the step), 2 epochs of the fused
+    semi-supervised step, lockstep finish, process 0 owns checkpoints."""
+    from multimodal_similarity_tpu.data import generate_synthetic_honda
+
+    root = str(tmp_path / "honda")
+    # 400-frame sessions: this draw's val session carries >= 5 valid
+    # foreground leave-one-out queries (200-frame draws can leave the val
+    # set all-background/singleton -> NaN mAP by design)
+    generate_synthetic_honda(
+        root, n_sessions=5, frames_per_session=400,
+        modal_dims={"resnet": (8,), "sensors": (8,), "segment": (16,)},
+        class_scale=1.0, noise_scale=1.0, seed=0)
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+
+    worker = tmp_path / "mm_worker.py"
+    worker.write_text(_MM_WORKER)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.getcwd()] + env.get("PYTHONPATH", "").split(os.pathsep))
+
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), coord, str(pid), root,
+         str(tmp_path / f"mmout{pid}")],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env) for pid in (0, 1)]
+    outs = []
+    for pid, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+
+    import re
+    steps = []
+    for pid, out in enumerate(outs):
+        m = re.search(rf"WORKER_{pid}_TRAINED step=(\d+) mAP=([\d.na]+)",
+                      out)
+        assert m, out
+        steps.append(int(m.group(1)))
+        assert m.group(2) != "nan"
+    assert steps[0] == steps[1] > 0
+    assert any((tmp_path / "mmout0").glob("*.ckpt-*"))
+
+
 @pytest.mark.skipif(os.environ.get("MSIM_SKIP_SUBPROCESS") == "1",
                     reason="subprocess tests disabled")
 def test_two_process_end_to_end_training(tmp_path):
