@@ -170,6 +170,13 @@ class TrainConfig(BaseConfig):
     coordinator_address: str = ""
     num_processes: int = 0
     process_id: int = -1
+    # framework extension: capture a jax.profiler device-timeline trace
+    # (TensorBoard/Perfetto-viewable) of a short window of steady-state
+    # steps — the compile step is skipped so the trace shows the real
+    # per-step timeline (utils/profiling.py, SURVEY §5 "TPU equivalent:
+    # jax.profiler trace")
+    profile_dir: str = ""
+    profile_steps: int = 5
 
     @classmethod
     def _add_args(cls, p: argparse.ArgumentParser) -> None:
@@ -210,6 +217,8 @@ class TrainConfig(BaseConfig):
         p.add_argument("--coordinator_address", type=str, default="")
         p.add_argument("--num_processes", type=int, default=0)
         p.add_argument("--process_id", type=int, default=-1)
+        p.add_argument("--profile_dir", type=str, default="")
+        p.add_argument("--profile_steps", type=int, default=5)
         p.add_argument("--alpha", type=float, default=0.2)
         p.add_argument("--lambda_l2", type=float, default=0.0)
         p.add_argument("--lambda_ver", type=float, default=0.0)

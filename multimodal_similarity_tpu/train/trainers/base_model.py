@@ -241,6 +241,9 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
     # process-global RNG state (keeps host-vs-device A/B runs repeatable)
     mine_rng = random.Random(cfg.seed)
     epoch = epoch_of_step(int(state.step), batch_per_epoch)
+    from multimodal_similarity_tpu.utils.profiling import StepWindowProfiler
+    profiler = StepWindowProfiler(cfg.profile_dir if pid == 0 else "",
+                                  num_steps=cfg.profile_steps)
     import itertools
     stream = continuous_batches()
     while epoch < cfg.max_epochs:
@@ -307,6 +310,7 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                 state, aux = step_fn(state, events, jnp.asarray(tri),
                                      jnp.asarray(tri_mask), key,
                                      jnp.float32(lr))
+            profiler.update(int(state.step))
             aux = {k: float(v) for k, v in aux.items()}
             aux["train_time"] = time.time() - t0
             aux["learning_rate"] = lr
@@ -341,6 +345,7 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
         epoch = epoch_of_step(int(state.step), batch_per_epoch)
 
     stream.close()  # cancel the prefetch worker (it runs one batch ahead)
+    profiler.close()
     logger.close()
     return state, metrics, result_dir
 

@@ -571,6 +571,9 @@ def train(cfg: TrainConfig, hard_only: bool = False,
     mine_rng = random.Random(cfg.seed)
     mul_rng = np.random.RandomState(cfg.seed)
     epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
+    from multimodal_similarity_tpu.utils.profiling import StepWindowProfiler
+    profiler = StepWindowProfiler(cfg.profile_dir if pid == 0 else "",
+                                  num_steps=cfg.profile_steps)
     import itertools
     stream = continuous_batches()
     while epoch < cfg.max_epochs:
@@ -602,6 +605,7 @@ def train(cfg: TrainConfig, hard_only: bool = False,
                     state, batch["events"], batch["events2"],
                     batch["events3"], batch["labels"], batch["mask"],
                     cm, use_mm, exp.next_key(), jnp.float32(lr))
+                profiler.update(int(state.step))
                 exp.log(int(state.step),
                         {**{k: float(v) for k, v in aux.items()},
                          "learning_rate": lr},
@@ -652,6 +656,7 @@ def train(cfg: TrainConfig, hard_only: bool = False,
                                  jnp.asarray(m_hard), jnp.asarray(m_struct),
                                  jnp.asarray(marg), exp.next_key(),
                                  jnp.float32(lr))
+            profiler.update(int(state.step))
             exp.log(int(state.step),
                     {**{k: float(v) for k, v in aux.items()},
                      "active_count": active_count,
@@ -699,6 +704,7 @@ def train(cfg: TrainConfig, hard_only: bool = False,
         epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
 
     stream.close()  # cancel the prefetch worker (it runs one batch ahead)
+    profiler.close()
     exp.close()
     return state, metrics, exp.result_dir
 

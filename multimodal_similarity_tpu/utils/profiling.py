@@ -56,6 +56,44 @@ def time_fn(fn, *args, reps: int = 10, warmup: int = 1, **kwargs) -> float:
     return (time.time() - t0) / reps
 
 
+class StepWindowProfiler:
+    """Trace a window of steady-state train steps (``--profile_dir``).
+
+    ``update(step)`` starts the jax.profiler trace when ``step`` reaches
+    ``start_step`` (default 1: AFTER the compile step, so the trace shows
+    the real per-step timeline, not one giant XlaCompile block) and stops
+    it ``num_steps`` steps later.  Call ``close()`` on trainer exit so an
+    interrupted window still flushes a viewable trace.  No-op when
+    ``log_dir`` is empty.
+    """
+
+    def __init__(self, log_dir: str, num_steps: int = 5,
+                 start_step: int = 1):
+        self.log_dir = log_dir
+        self.start_step = start_step
+        self.stop_step = start_step + num_steps
+        self._active = False
+        self._done = not log_dir
+
+    def update(self, step: int) -> None:
+        if self._done:
+            return
+        if not self._active and step >= self.start_step:
+            os.makedirs(self.log_dir, exist_ok=True)
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+        elif self._active and step >= self.stop_step:
+            jax.profiler.stop_trace()
+            self._active = False
+            self._done = True
+
+    def close(self) -> None:
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+        self._done = True
+
+
 def device_memory_stats() -> Optional[dict]:
     """Per-device memory stats when the backend exposes them."""
     try:

@@ -129,6 +129,19 @@ def test_base_trainer_end_to_end(synth_cfg, tmp_path):
     assert mgr.latest_step() == int(state.step)
 
 
+def test_base_trainer_profile_dir(synth_cfg, tmp_path):
+    """--profile_dir captures a jax.profiler trace of steady-state steps
+    (the profiling library previously had no trainer consumer)."""
+    prof = str(tmp_path / "prof")
+    cfg = _tiny_cfg(synth_cfg, profile_dir=prof, profile_steps=1)
+    base_model.train(cfg, event_budget=64, result_dir=str(tmp_path / "p"))
+    import glob
+    traces = glob.glob(os.path.join(prof, "**", "*.trace.json*"),
+                       recursive=True) + glob.glob(
+        os.path.join(prof, "**", "*.xplane.pb"), recursive=True)
+    assert traces, f"no trace artifacts under {prof}"
+
+
 def test_base_trainer_random_mining(synth_cfg, tmp_path):
     cfg = _tiny_cfg(synth_cfg, triplet_select="random", max_epochs=1)
     state, metrics, _ = base_model.train(cfg, event_budget=64,
