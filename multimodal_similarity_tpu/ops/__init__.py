@@ -12,6 +12,7 @@ from multimodal_similarity_tpu.ops.losses import (
     cluster_loss,
     dcca_loss,
     lifted_loss,
+    normalized_mutual_information,
     npairs_loss,
     triplet_loss,
     triplet_loss_masked,
@@ -37,6 +38,7 @@ __all__ = [
     "npairs_loss",
     "triplet_semihard_loss",
     "cluster_loss",
+    "normalized_mutual_information",
     "dcca_loss",
     "classification_loss",
     "mine_semihard_triplets",

@@ -273,22 +273,98 @@ def triplet_semihard_loss(labels: Array, embeddings: Array,
     return loss / num_positives
 
 
-def cluster_loss(labels: Array, embeddings: Array,
-                 margin_multiplier: float = 1.0) -> Array:
-    """Facility-location clustering loss (tf.contrib metric_learning
-    cluster_loss, reachable through the reference's utils.metric_loss
-    'cluster' branch, utils.py:505-506).
+def normalized_mutual_information(assign_a: Array, assign_b: Array,
+                                  n: int) -> Array:
+    """NMI between two integer labelings with values in ``[0, n)``.
 
-    Structured-prediction form: greedily select K = #classes facilities
-    maximizing the (margin-augmented) facility-location score, then hinge
-    the augmented predicted score against the oracle per-class-medoid
-    score.  The facility selection is a stop-gradient argmax loop
-    (shape-static lax.fori_loop); gradients flow through the pairwise
-    distances for the fixed selections, matching the subgradient the
-    tf.contrib implementation propagates.  The structured margin uses the
-    clustering-quality complement (1 - NMI surrogate: fraction of points
-    whose nearest facility disagrees with their class majority), a
-    simplification of tf.contrib's NMI margin — noted divergence.
+    Matches sklearn's ``normalized_mutual_info_score`` with the GEOMETRIC
+    average (``MI / sqrt(H(a) * H(b))``) — the sklearn default of the
+    tf.contrib era, which contrib's ``cluster_loss`` invoked through a
+    ``py_func``; pinned against sklearn in tests/test_losses.py.  When both
+    labelings are a single cluster the score is 1.0 (sklearn's special
+    case); when exactly one is, MI is 0 and the score is 0.
+    """
+    eye = jnp.arange(n)
+    a_oh = (assign_a.reshape(-1)[:, None] == eye[None, :]).astype(jnp.float32)
+    b_oh = (assign_b.reshape(-1)[:, None] == eye[None, :]).astype(jnp.float32)
+    npts = a_oh.shape[0]
+    joint = jnp.dot(a_oh.T, b_oh,
+                    preferred_element_type=jnp.float32) / npts      # [n, n]
+    pa = jnp.sum(joint, axis=1)
+    pb = jnp.sum(joint, axis=0)
+
+    def _xlogx(p):
+        return p * jnp.log(jnp.where(p > 0, p, 1.0))
+
+    mi = jnp.sum(jnp.where(
+        joint > 0,
+        joint * (jnp.log(jnp.where(joint > 0, joint, 1.0))
+                 - jnp.log(jnp.where(pa > 0, pa, 1.0))[:, None]
+                 - jnp.log(jnp.where(pb > 0, pb, 1.0))[None, :]), 0.0))
+    ha = -jnp.sum(_xlogx(pa))
+    hb = -jnp.sum(_xlogx(pb))
+    both_single = (ha < 1e-12) & (hb < 1e-12)
+    return jnp.where(both_single, 1.0,
+                     mi / jnp.maximum(jnp.sqrt(ha * hb), 1e-10))
+
+
+def _batched_candidate_nmi(d: Array, min_d: Array, nearest: Array,
+                           class_id: Array) -> Array:
+    """For every candidate facility j, the NMI between the true classes and
+    the cluster assignment obtained by adding j to the current facility set
+    (a point moves to j iff strictly closer than its current facility —
+    contrib's argmin over [chosen..., candidate] keeps ties with chosen).
+    Returns [n] NMI scores.  One [n, n, n] einsum; the loss is a latent
+    reference path (utils.metric_loss has no caller) so n is a batch size.
+    """
+    n = d.shape[0]
+    eye = jnp.arange(n)
+    moved = d < min_d[:, None]                                  # [i, j]
+    assign = jnp.where(moved, eye[None, :], nearest[:, None])   # [i, j]
+    a_oh = (assign[:, :, None] == eye[None, None, :]).astype(jnp.float32)
+    b_oh = (class_id[:, None] == eye[None, :]).astype(jnp.float32)
+    joint = jnp.einsum("ija,ib->jab", a_oh, b_oh,
+                       preferred_element_type=jnp.float32) / n  # [j, a, b]
+    pa = jnp.sum(joint, axis=2)                                 # [j, a]
+    pb = jnp.sum(joint, axis=1)                                 # [j, b]
+    log_pa = jnp.log(jnp.where(pa > 0, pa, 1.0))
+    log_pb = jnp.log(jnp.where(pb > 0, pb, 1.0))
+    mi = jnp.sum(jnp.where(
+        joint > 0,
+        joint * (jnp.log(jnp.where(joint > 0, joint, 1.0))
+                 - log_pa[:, :, None] - log_pb[:, None, :]), 0.0),
+        axis=(1, 2))                                            # [j]
+    ha = -jnp.sum(pa * log_pa, axis=1)
+    hb = -jnp.sum(pb * log_pb, axis=1)
+    both_single = (ha < 1e-12) & (hb < 1e-12)
+    return jnp.where(both_single, 1.0,
+                     mi / jnp.maximum(jnp.sqrt(ha * hb), 1e-10))
+
+
+def cluster_loss(labels: Array, embeddings: Array,
+                 margin_multiplier: float = 1.0,
+                 enable_pam_finetuning: bool = True) -> Array:
+    """Facility-location clustering loss (tf.contrib metric_learning
+    cluster_loss with margin_type='nmi', reachable through the reference's
+    utils.metric_loss 'cluster' branch, utils.py:505-506 — a latent
+    utility: no reference entrypoint calls it).
+
+    Structured-prediction form, matching contrib's construction step by
+    step: (1) LOSS-AUGMENTED facility selection — greedily add the
+    candidate maximizing ``facility_energy + margin_multiplier * (1 -
+    NMI(labels, assignment))``, K = #distinct labels facilities
+    (contrib's compute_augmented_facility_locations); (2) one PAM
+    refinement sweep — each cluster's medoid is re-chosen among its
+    members by the same augmented score (contrib's update_all_medoids);
+    (3) hinge the augmented predicted score against the oracle
+    per-class-best-medoid score.  The NMI is the real normalized mutual
+    information (geometric average, sklearn-pinned) computed on device —
+    contrib shipped it out to sklearn via py_func.  Selection/refinement
+    are stop-gradient index decisions inside lax.while_loops; gradients
+    flow through the pairwise distances for the fixed selections, the same
+    subgradient contrib propagates.  Known divergence: distance ties
+    between facilities resolve by lowest index rather than contrib's
+    chosen-order argmin (measure-zero for real embeddings).
     """
     labels = labels.reshape(-1)
     n = labels.shape[0]
@@ -298,7 +374,8 @@ def cluster_loss(labels: Array, embeddings: Array,
                     - 2.0 * jnp.dot(x, x.T,
                                     preferred_element_type=jnp.float32), 0.0)
 
-    # number of clusters = number of distinct labels (static bound: n)
+    # number of clusters = number of distinct labels (static bound: n);
+    # class_first is a dense [0, n) class id for the NMI contingency
     one_hot_classes = labels[:, None] == labels[None, :]
     class_first = jnp.min(
         jnp.where(one_hot_classes,
@@ -306,37 +383,70 @@ def cluster_loss(labels: Array, embeddings: Array,
     is_first = class_first == jnp.arange(n)
     num_classes = jnp.sum(is_first.astype(jnp.int32))
 
-    # greedy facility selection on the margin-augmented objective
-    def greedy_step(k, carry):
-        min_d, selected = carry
-        # score gain of adding candidate j: sum_i max(min_d_i - d_ij, 0)
-        gain = jnp.sum(jnp.maximum(min_d[:, None] - d, 0.0), axis=0)
-        gain = jnp.where(selected, -_POS_INF, gain)
-        j = jnp.argmax(gain)
-        use = k < num_classes
-        new_min = jnp.where(use, jnp.minimum(min_d, d[:, j]), min_d)
-        new_sel = selected.at[j].set(selected[j] | use)
-        return new_min, new_sel
+    d_sg = jax.lax.stop_gradient(d)
+    mm = jnp.float32(margin_multiplier)
 
-    init = (jnp.full((n,), _POS_INF, jnp.float32),
-            jnp.zeros((n,), bool))
-    min_d_pred, selected = jax.lax.fori_loop(0, n, greedy_step, init)
-    selected = jax.lax.stop_gradient(selected)
+    def augmented_score(min_d, nearest):
+        """Per-candidate loss-augmented score [n]: energy + mm*(1-NMI)."""
+        energy = -jnp.sum(jnp.minimum(min_d[:, None], d_sg), axis=0)
+        nmi = _batched_candidate_nmi(d_sg, min_d, nearest, class_first)
+        return energy + mm * (1.0 - nmi)
 
-    # differentiable predicted score for the fixed facility set
-    d_to_sel = jnp.where(selected[None, :], d, _POS_INF)
-    nearest = jnp.argmin(d_to_sel, axis=1)
+    # (1) loss-augmented greedy facility selection
+    def sel_cond(carry):
+        return carry[0] < num_classes
+
+    def sel_body(carry):
+        k, min_d, nearest, chosen = carry
+        score = jnp.where(jnp.isin(jnp.arange(n), chosen), -_POS_INF,
+                          augmented_score(min_d, nearest))
+        j = jnp.argmax(score)
+        nearest = jnp.where(d_sg[:, j] < min_d, j, nearest)
+        min_d = jnp.minimum(min_d, d_sg[:, j])
+        return k + 1, min_d, nearest, chosen.at[k].set(j)
+
+    init = (jnp.int32(0), jnp.full((n,), _POS_INF, jnp.float32),
+            jnp.zeros((n,), jnp.int32), jnp.full((n,), -1, jnp.int32))
+    _, min_d_pred, nearest, chosen = jax.lax.while_loop(
+        sel_cond, sel_body, init)
+
+    # (2) one PAM sweep: re-pick each slot's medoid among its cluster
+    # members (incl. itself) by the same augmented score
+    if enable_pam_finetuning:
+        def pam_body(carry):
+            m, _, _, chosen = carry
+            slot_valid = (jnp.arange(n) < num_classes) & (jnp.arange(n) != m)
+            d_ch = jnp.where(slot_valid[None, :],
+                             d_sg[:, jnp.maximum(chosen, 0)], _POS_INF)
+            other_min = jnp.min(d_ch, axis=1)                     # [i]
+            other_near = jnp.take(jnp.maximum(chosen, 0),
+                                  jnp.argmin(d_ch, axis=1))       # [i]
+            score = augmented_score(other_min, other_near)
+            # candidates: current members of slot m's cluster (closer to
+            # its medoid than to every other facility)
+            member = jnp.take(d_sg, chosen[m], axis=1) <= other_min
+            score = jnp.where(member, score, -_POS_INF)
+            j = jnp.argmax(score)
+            new_min = jnp.minimum(other_min, d_sg[:, j])
+            new_near = jnp.where(d_sg[:, j] < other_min, j, other_near)
+            return m + 1, new_min, new_near, chosen.at[m].set(j)
+
+        _, min_d_pred, nearest, chosen = jax.lax.while_loop(
+            sel_cond, pam_body,
+            (jnp.int32(0), min_d_pred, nearest, chosen))
+
     nearest = jax.lax.stop_gradient(nearest)
+
+    # (3) differentiable predicted score for the fixed facility set
     score_pred = -jnp.sum(d[jnp.arange(n), nearest])
 
-    # structured margin: fraction of points whose facility-mates disagree
-    pred_same = nearest[:, None] == nearest[None, :]
-    true_same = one_hot_classes
-    agree = jnp.mean((pred_same == true_same).astype(jnp.float32))
-    margin = margin_multiplier * (1.0 - agree)
+    # structured margin: 1 - NMI(true classes, predicted clustering)
+    nmi_pred = normalized_mutual_information(nearest, class_first, n)
+    margin = mm * (1.0 - nmi_pred)
 
     # oracle score: per-class optimal medoid.  medoid_cost[j] = total
     # distance from j's class members to j; per class take the best medoid
+    true_same = one_hot_classes
     medoid_cost = jnp.sum(jnp.where(true_same, d, 0.0), axis=0)       # [n]
     best_per_class = jnp.min(
         jnp.where(true_same, medoid_cost[None, :], _POS_INF), axis=1)  # [n]

@@ -243,6 +243,39 @@ def test_classification_loss(rng):
     np.testing.assert_allclose(float(acc), want_acc)
 
 
+def test_normalized_mutual_information_vs_sklearn(rng):
+    """The cluster loss's structured margin is real NMI (geometric
+    average — sklearn's default in the tf.contrib era that cluster_loss
+    py_func'd out to, metric_loss_ops margin_type='nmi')."""
+    from sklearn.metrics import normalized_mutual_info_score
+
+    from multimodal_similarity_tpu.ops.losses import (
+        normalized_mutual_information)
+
+    n = 40
+    for trial in range(5):
+        a = rng.randint(0, rng.randint(2, 9), size=n)
+        b = rng.randint(0, rng.randint(2, 7), size=n)
+        want = normalized_mutual_info_score(a, b,
+                                            average_method="geometric")
+        got = float(normalized_mutual_information(
+            jnp.array(a), jnp.array(b), n))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+    # special cases: identical single-cluster labelings -> 1.0; one side
+    # single-cluster -> 0.0 (both per sklearn)
+    ones = jnp.zeros(n, jnp.int32)
+    mixed = jnp.array(rng.randint(0, 4, size=n))
+    assert float(normalized_mutual_information(ones, ones, n)) == 1.0
+    np.testing.assert_allclose(
+        float(normalized_mutual_information(ones, mixed, n)), 0.0,
+        atol=1e-6)
+    # perfect agreement up to relabeling -> 1.0
+    perm = jnp.array((np.asarray(mixed) + 7) * 3)
+    np.testing.assert_allclose(
+        float(normalized_mutual_information(mixed, perm % n, n)), 1.0,
+        atol=1e-5)
+
+
 def test_cluster_loss_properties(rng):
     import jax
     from multimodal_similarity_tpu.ops import cluster_loss
