@@ -26,6 +26,7 @@ from multimodal_similarity_tpu.models import PairSim
 from multimodal_similarity_tpu.train.checkpoints import CheckpointManager
 from multimodal_similarity_tpu.train.state import (
     TrainState, build_optimizer, learning_rate_schedule)
+from multimodal_similarity_tpu.train.steps import jit_step
 from multimodal_similarity_tpu.train.trainer import setup_experiment
 from multimodal_similarity_tpu.utils.logging import MetricsLogger
 
@@ -134,7 +135,7 @@ def train(cfg: TrainConfig, train_data_path: Optional[str] = None,
                               build_optimizer(cfg.optimizer,
                                               cfg.learning_rate))
 
-    @jax.jit
+    @jit_step
     def step(state, a, b, lab, key, learning_rate):
         def loss_fn(params):
             logits, _ = head.apply({"params": params}, a, b, True,
