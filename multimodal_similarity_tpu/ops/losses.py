@@ -309,36 +309,52 @@ def normalized_mutual_information(assign_a: Array, assign_b: Array,
 
 
 def _batched_candidate_nmi(d: Array, min_d: Array, nearest: Array,
-                           class_id: Array) -> Array:
+                           class_id: Array, chunk: int = 16) -> Array:
     """For every candidate facility j, the NMI between the true classes and
     the cluster assignment obtained by adding j to the current facility set
     (a point moves to j iff strictly closer than its current facility —
     contrib's argmin over [chosen..., candidate] keeps ties with chosen).
-    Returns [n] NMI scores.  One [n, n, n] einsum; the loss is a latent
-    reference path (utils.metric_loss has no caller) so n is a batch size.
+    Returns [n] NMI scores.
+
+    The candidate axis is walked in ``chunk``-wide strips under
+    ``lax.map`` so peak memory is O(chunk * n^2), not the O(n^3) a one-shot
+    per-candidate one-hot would need (4 GB at n=1024).  Compute stays
+    O(n^3) per strip (one [n*chunk, n] x [n, n] contraction); the loss is a
+    latent reference path (utils.metric_loss 'cluster' has no Honda
+    caller, only the CUB scripts at batch <= a few hundred), so that bound
+    is comfortable at every real operating point.
     """
     n = d.shape[0]
+    chunk = min(chunk, n)
     eye = jnp.arange(n)
-    moved = d < min_d[:, None]                                  # [i, j]
-    assign = jnp.where(moved, eye[None, :], nearest[:, None])   # [i, j]
-    a_oh = (assign[:, :, None] == eye[None, None, :]).astype(jnp.float32)
-    b_oh = (class_id[:, None] == eye[None, :]).astype(jnp.float32)
-    joint = jnp.einsum("ija,ib->jab", a_oh, b_oh,
-                       preferred_element_type=jnp.float32) / n  # [j, a, b]
-    pa = jnp.sum(joint, axis=2)                                 # [j, a]
-    pb = jnp.sum(joint, axis=1)                                 # [j, b]
-    log_pa = jnp.log(jnp.where(pa > 0, pa, 1.0))
-    log_pb = jnp.log(jnp.where(pb > 0, pb, 1.0))
-    mi = jnp.sum(jnp.where(
-        joint > 0,
-        joint * (jnp.log(jnp.where(joint > 0, joint, 1.0))
-                 - log_pa[:, :, None] - log_pb[:, None, :]), 0.0),
-        axis=(1, 2))                                            # [j]
-    ha = -jnp.sum(pa * log_pa, axis=1)
-    hb = -jnp.sum(pb * log_pb, axis=1)
-    both_single = (ha < 1e-12) & (hb < 1e-12)
-    return jnp.where(both_single, 1.0,
-                     mi / jnp.maximum(jnp.sqrt(ha * hb), 1e-10))
+    b_oh = (class_id[:, None] == eye[None, :]).astype(jnp.float32)  # [i, b]
+    pad = (-n) % chunk
+    cand = jnp.concatenate([eye, jnp.zeros((pad,), eye.dtype)]) if pad else eye
+
+    def one_strip(js):                                          # [c]
+        moved = d[:, js] < min_d[:, None]                       # [i, c]
+        assign = jnp.where(moved, js[None, :], nearest[:, None])
+        a_oh = (assign[:, :, None]
+                == eye[None, None, :]).astype(jnp.float32)      # [i, c, a]
+        joint = jnp.einsum("ija,ib->jab", a_oh, b_oh,
+                           preferred_element_type=jnp.float32) / n
+        pa = jnp.sum(joint, axis=2)                             # [c, a]
+        pb = jnp.sum(joint, axis=1)                             # [c, b]
+        log_pa = jnp.log(jnp.where(pa > 0, pa, 1.0))
+        log_pb = jnp.log(jnp.where(pb > 0, pb, 1.0))
+        mi = jnp.sum(jnp.where(
+            joint > 0,
+            joint * (jnp.log(jnp.where(joint > 0, joint, 1.0))
+                     - log_pa[:, :, None] - log_pb[:, None, :]), 0.0),
+            axis=(1, 2))                                        # [c]
+        ha = -jnp.sum(pa * log_pa, axis=1)
+        hb = -jnp.sum(pb * log_pb, axis=1)
+        both_single = (ha < 1e-12) & (hb < 1e-12)
+        return jnp.where(both_single, 1.0,
+                         mi / jnp.maximum(jnp.sqrt(ha * hb), 1e-10))
+
+    out = jax.lax.map(one_strip, cand.reshape(-1, chunk))
+    return out.reshape(-1)[:n]
 
 
 def cluster_loss(labels: Array, embeddings: Array,

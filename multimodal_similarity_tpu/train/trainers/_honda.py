@@ -116,14 +116,25 @@ class HondaExperiment:
                                  val_bound)
         self.rng = jax.random.PRNGKey(cfg.seed)
 
+        # --profile_dir: every HondaExperiment trainer gets the jax.profiler
+        # step-window trace through exp.log (process 0 only on a pod)
+        from multimodal_similarity_tpu.utils.profiling import (
+            StepWindowProfiler)
+        pid = session_shard[0] if session_shard is not None else 0
+        self.profiler = StepWindowProfiler(
+            cfg.profile_dir if pid == 0 else "",
+            num_steps=cfg.profile_steps)
+
     def next_key(self):
         self.rng, key = jax.random.split(self.rng)
         return key
 
     def log(self, step: int, scalars, echo: str = ""):
+        self.profiler.update(step)
         self.logger.log(step, {k: float(v) for k, v in scalars.items()})
         if echo and not self.cfg.silent_mode:
             print(echo)
 
     def close(self):
+        self.profiler.close()
         self.logger.close()

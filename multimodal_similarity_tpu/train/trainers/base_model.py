@@ -246,107 +246,111 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                                   num_steps=cfg.profile_steps)
     import itertools
     stream = continuous_batches()
-    while epoch < cfg.max_epochs:
-        lr = learning_rate_schedule(epoch, cfg.learning_rate,
-                                    cfg.static_epochs, cfg.max_epochs)
-        step_at_epoch_start = int(state.step)
-        for batch in itertools.islice(stream, batch_per_epoch):
-            t0 = time.time()
-            rng, key = jax.random.split(rng)
-            if cfg.triplet_select == "facenet":
-                # events/labels/mask arrive device-resident (and bf16-cast
-                # when requested) from the prefetch thread
-                if mesh is not None:
-                    if pcount > 1:
-                        # uncommitted identical-per-host scalars: jit
-                        # replicates them per in_shardings (device_put
-                        # cannot address other hosts' devices)
-                        key_b, lr_b = key, jnp.float32(lr)
+    try:
+        while epoch < cfg.max_epochs:
+            lr = learning_rate_schedule(epoch, cfg.learning_rate,
+                                        cfg.static_epochs, cfg.max_epochs)
+            step_at_epoch_start = int(state.step)
+            for batch in itertools.islice(stream, batch_per_epoch):
+                t0 = time.time()
+                rng, key = jax.random.split(rng)
+                if cfg.triplet_select == "facenet":
+                    # events/labels/mask arrive device-resident (and bf16-cast
+                    # when requested) from the prefetch thread
+                    if mesh is not None:
+                        if pcount > 1:
+                            # uncommitted identical-per-host scalars: jit
+                            # replicates them per in_shardings (device_put
+                            # cannot address other hosts' devices)
+                            key_b, lr_b = key, jnp.float32(lr)
+                        else:
+                            from multimodal_similarity_tpu.parallel import (
+                                replicate)
+                            key_b, lr_b = replicate((key, jnp.float32(lr)),
+                                                    mesh)
+                        state, aux = step_fn(state, batch["events"],
+                                             batch["labels"], batch["mask"],
+                                             key_b, lr_b)
                     else:
-                        from multimodal_similarity_tpu.parallel import (
-                            replicate)
-                        key_b, lr_b = replicate((key, jnp.float32(lr)),
-                                                mesh)
-                    state, aux = step_fn(state, batch["events"],
-                                         batch["labels"], batch["mask"],
-                                         key_b, lr_b)
+                        state, aux = step_fn(
+                            state, batch["events"], batch["labels"],
+                            batch["mask"], key, jnp.float32(lr))
                 else:
-                    state, aux = step_fn(
-                        state, batch["events"], batch["labels"],
-                        batch["mask"], key, jnp.float32(lr))
-            else:
-                events = jnp.asarray(_cast(batch["events"]))
-                n = int(batch["num_events"])
-                if cfg.triplet_select == "facenet_host":
-                    from multimodal_similarity_tpu.ops.distances import (
-                        all_diffs, cdist)
-                    from multimodal_similarity_tpu.ops.mining import (
-                        select_triplets_facenet)
-                    from multimodal_similarity_tpu.train.steps import (
-                        embed_in_chunks)
-                    emb = embed_in_chunks(embed_fn, state.params,
-                                          batch["events"][:n])
-                    dists = np.asarray(cdist(all_diffs(
-                        jnp.asarray(emb), jnp.asarray(emb)), cfg.metric))
-                    idx, _ = select_triplets_facenet(
-                        batch["labels"][:n], dists, cfg.triplet_per_batch,
-                        cfg.alpha, cfg.num_negative, rng=mine_rng)
-                else:
-                    idx = select_triplets_random(batch["labels"][:n],
-                                                 cfg.triplet_per_batch,
-                                                 cfg.num_negative,
-                                                 rng=mine_rng)
-                if not idx:
-                    continue
-                t_cap = cfg.triplet_per_batch
-                tri = np.zeros(3 * t_cap, np.int32)
-                tri_mask = np.zeros(t_cap, np.float32)
-                m = min(len(idx) // 3, t_cap)
-                arr = np.asarray(idx[: 3 * m], np.int32).reshape(-1, 3)
-                tri[:m] = arr[:, 0]
-                tri[t_cap:t_cap + m] = arr[:, 1]
-                tri[2 * t_cap:2 * t_cap + m] = arr[:, 2]
-                tri_mask[:m] = 1.0
-                state, aux = step_fn(state, events, jnp.asarray(tri),
-                                     jnp.asarray(tri_mask), key,
-                                     jnp.float32(lr))
-            profiler.update(int(state.step))
-            aux = {k: float(v) for k, v in aux.items()}
-            aux["train_time"] = time.time() - t0
-            aux["learning_rate"] = lr
+                    events = jnp.asarray(_cast(batch["events"]))
+                    n = int(batch["num_events"])
+                    if cfg.triplet_select == "facenet_host":
+                        from multimodal_similarity_tpu.ops.distances import (
+                            all_diffs, cdist)
+                        from multimodal_similarity_tpu.ops.mining import (
+                            select_triplets_facenet)
+                        from multimodal_similarity_tpu.train.steps import (
+                            embed_in_chunks)
+                        emb = embed_in_chunks(embed_fn, state.params,
+                                              batch["events"][:n])
+                        dists = np.asarray(cdist(all_diffs(
+                            jnp.asarray(emb), jnp.asarray(emb)), cfg.metric))
+                        idx, _ = select_triplets_facenet(
+                            batch["labels"][:n], dists, cfg.triplet_per_batch,
+                            cfg.alpha, cfg.num_negative, rng=mine_rng)
+                    else:
+                        idx = select_triplets_random(batch["labels"][:n],
+                                                     cfg.triplet_per_batch,
+                                                     cfg.num_negative,
+                                                     rng=mine_rng)
+                    if not idx:
+                        continue
+                    t_cap = cfg.triplet_per_batch
+                    tri = np.zeros(3 * t_cap, np.int32)
+                    tri_mask = np.zeros(t_cap, np.float32)
+                    m = min(len(idx) // 3, t_cap)
+                    arr = np.asarray(idx[: 3 * m], np.int32).reshape(-1, 3)
+                    tri[:m] = arr[:, 0]
+                    tri[t_cap:t_cap + m] = arr[:, 1]
+                    tri[2 * t_cap:2 * t_cap + m] = arr[:, 2]
+                    tri_mask[:m] = 1.0
+                    state, aux = step_fn(state, events, jnp.asarray(tri),
+                                         jnp.asarray(tri_mask), key,
+                                         jnp.float32(lr))
+                profiler.update(int(state.step))
+                aux = {k: float(v) for k, v in aux.items()}
+                aux["train_time"] = time.time() - t0
+                aux["learning_rate"] = lr
+                if not cfg.silent_mode:
+                    print(f"[{cfg.name}] epoch {epoch + 1} step {int(state.step)} "
+                          f"loss {aux['loss']:.4f} triplets {aux['triplet_num']:.0f} "
+                          f"({aux['train_time']:.2f}s)")
+                logger.log(int(state.step), aux)
+
+            if int(state.step) == step_at_epoch_start:
+                print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")
+                break
+            val_params = state.params
+            if pcount > 1:
+                # replicated global arrays -> host-local values for the
+                # (host-side, redundant-per-host) validation pass
+                val_params = jax.tree.map(
+                    lambda a: np.asarray(jax.device_get(a)), state.params)
+            metrics, val_emb = validate(embed_fn, val_params, val_feats,
+                                        val_labels)
+            logger.log(int(state.step), metrics)
+            if pid == 0:
+                # per-epoch embedding-projector refresh (base_model.py:316-320)
+                write_projector_embedding(result_dir, np.asarray(val_emb))
+                write_projector_config(result_dir)
             if not cfg.silent_mode:
-                print(f"[{cfg.name}] epoch {epoch + 1} step {int(state.step)} "
-                      f"loss {aux['loss']:.4f} triplets {aux['triplet_num']:.0f} "
-                      f"({aux['train_time']:.2f}s)")
-            logger.log(int(state.step), aux)
+                print(f"[{cfg.name}] epoch {epoch + 1} "
+                      f"val mAP {metrics['val_mAP']:.4f} "
+                      f"R@1 {metrics['val_recall@1']:.4f}")
+            if pid == 0:
+                ckpt.save(state, int(state.step))
+            epoch = epoch_of_step(int(state.step), batch_per_epoch)
 
-        if int(state.step) == step_at_epoch_start:
-            print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")
-            break
-        val_params = state.params
-        if pcount > 1:
-            # replicated global arrays -> host-local values for the
-            # (host-side, redundant-per-host) validation pass
-            val_params = jax.tree.map(
-                lambda a: np.asarray(jax.device_get(a)), state.params)
-        metrics, val_emb = validate(embed_fn, val_params, val_feats,
-                                    val_labels)
-        logger.log(int(state.step), metrics)
-        if pid == 0:
-            # per-epoch embedding-projector refresh (base_model.py:316-320)
-            write_projector_embedding(result_dir, np.asarray(val_emb))
-            write_projector_config(result_dir)
-        if not cfg.silent_mode:
-            print(f"[{cfg.name}] epoch {epoch + 1} "
-                  f"val mAP {metrics['val_mAP']:.4f} "
-                  f"R@1 {metrics['val_recall@1']:.4f}")
-        if pid == 0:
-            ckpt.save(state, int(state.step))
-        epoch = epoch_of_step(int(state.step), batch_per_epoch)
-
-    stream.close()  # cancel the prefetch worker (it runs one batch ahead)
-    profiler.close()
-    logger.close()
+    finally:
+        # cancel the prefetch worker (it runs one batch ahead)
+        # and flush any open trace/logs even when a step raises
+        stream.close()
+        profiler.close()
+        logger.close()
     return state, metrics, result_dir
 
 

@@ -170,35 +170,39 @@ def train(cfg: TrainConfig, loss_kind: str = "batchhard",
     metrics = {}
     import itertools
     stream = continuous_selected()
-    epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
-    while epoch < cfg.max_epochs:
-        lr = learning_rate_schedule(epoch, cfg.learning_rate,
-                                    cfg.static_epochs, cfg.max_epochs)
-        step_at_epoch_start = int(state.step)
-        for batch in itertools.islice(stream, exp.batch_per_epoch):
-            if "events" not in batch:
-                continue  # no balanced batch in this loader draw
-            state, aux = step_fn(
-                state, batch["events"], batch["labels"], exp.next_key(),
-                jnp.float32(lr))
-            exp.log(int(state.step),
-                    {**{k: float(v) for k, v in aux.items()},
-                     "learning_rate": lr},
-                    f"[{cfg.name}] epoch {epoch + 1} step {int(state.step)} "
-                    f"loss {float(aux['loss']):.4f}")
-        if int(state.step) == step_at_epoch_start:
-            print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")
-            break
-        metrics, _ = validate(embed_fn, state.params, exp.val_feats,
-                              exp.val_labels)
-        exp.log(int(state.step), metrics,
-                f"[{cfg.name}] epoch {epoch + 1} val mAP "
-                f"{metrics['val_mAP']:.4f}")
-        exp.ckpt.save(state, int(state.step))
+    try:
         epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
+        while epoch < cfg.max_epochs:
+            lr = learning_rate_schedule(epoch, cfg.learning_rate,
+                                        cfg.static_epochs, cfg.max_epochs)
+            step_at_epoch_start = int(state.step)
+            for batch in itertools.islice(stream, exp.batch_per_epoch):
+                if "events" not in batch:
+                    continue  # no balanced batch in this loader draw
+                state, aux = step_fn(
+                    state, batch["events"], batch["labels"], exp.next_key(),
+                    jnp.float32(lr))
+                exp.log(int(state.step),
+                        {**{k: float(v) for k, v in aux.items()},
+                         "learning_rate": lr},
+                        f"[{cfg.name}] epoch {epoch + 1} step {int(state.step)} "
+                        f"loss {float(aux['loss']):.4f}")
+            if int(state.step) == step_at_epoch_start:
+                print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")
+                break
+            metrics, _ = validate(embed_fn, state.params, exp.val_feats,
+                                  exp.val_labels)
+            exp.log(int(state.step), metrics,
+                    f"[{cfg.name}] epoch {epoch + 1} val mAP "
+                    f"{metrics['val_mAP']:.4f}")
+            exp.ckpt.save(state, int(state.step))
+            epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
 
-    stream.close()  # cancel the prefetch worker
-    exp.close()
+    finally:
+        # cancel the prefetch worker (it runs one batch ahead)
+        # and flush any open trace/logs even when a step raises
+        stream.close()
+        exp.close()
     return state, metrics, exp.result_dir
 
 

@@ -536,10 +536,19 @@ def train(cfg: TrainConfig, hard_only: bool = False,
     # epoch's pipeline fill; the epoch loop slices batch_per_epoch batches
     # per epoch and the stream is closed on exit.
     def continuous_batches():
+        import itertools as _it
+
         def epochs():
             while True:
                 produced = 0
-                for b in exp.loader.epoch():
+                batches = exp.loader.epoch()
+                if pcount > 1:
+                    # lockstep truncation at the PRODUCER: a host holding
+                    # extra sessions must not carry surplus batches into
+                    # the next epoch (the consumer islices the same count,
+                    # so without this the epoch boundary drifts)
+                    batches = _it.islice(batches, exp.batch_per_epoch)
+                for b in batches:
                     produced += 1
                     yield b
                 if not produced:  # empty epoch: let the consumer stop
@@ -571,141 +580,140 @@ def train(cfg: TrainConfig, hard_only: bool = False,
     mine_rng = random.Random(cfg.seed)
     mul_rng = np.random.RandomState(cfg.seed)
     epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
-    from multimodal_similarity_tpu.utils.profiling import StepWindowProfiler
-    profiler = StepWindowProfiler(cfg.profile_dir if pid == 0 else "",
-                                  num_steps=cfg.profile_steps)
+    # --profile_dir tracing is owned by exp.profiler (updated in exp.log)
     import itertools
     stream = continuous_batches()
-    while epoch < cfg.max_epochs:
-        lr = learning_rate_schedule(epoch, cfg.learning_rate,
-                                    cfg.static_epochs, cfg.max_epochs,
-                                    decay_base=0.01)
-        step_at_epoch_start = int(state.step)
-        for batch in itertools.islice(stream, exp.batch_per_epoch):
-            if device_mining:
-                # fully fused: one jitted program per batch, zero host hops.
-                # Size the margin table by the full label dictionary, not
-                # just the classes seen in validation: under jit an
-                # out-of-range label would clamp to the last index and
-                # silently borrow another class's margin (the host path
-                # raises KeyError for the same input).
-                from multimodal_similarity_tpu.data import LABEL_TRANSFER
-                # training batches always carry transferred labels
-                # (SessionBatchLoader default), whose space is the
-                # LABEL_TRANSFER range
-                label_space = max(LABEL_TRANSFER.values())
-                n_classes = max(max(dist_dict.keys()), label_space) + 1
-                cm = jnp.asarray([dist_dict.get(c, [0.0])[-1]
-                                  for c in range(n_classes)], jnp.float32)
-                use_mm = jnp.float32(
-                    1.0 if epoch >= cfg.multimodal_epochs else 0.0)
-                # batch tensors arrive device-resident from the prefetch
-                # thread (bf16-cast host-side when --bf16_features)
-                state, aux = fused_step(
-                    state, batch["events"], batch["events2"],
-                    batch["events3"], batch["labels"], batch["mask"],
-                    cm, use_mm, exp.next_key(), jnp.float32(lr))
-                profiler.update(int(state.step))
+    try:
+        while epoch < cfg.max_epochs:
+            lr = learning_rate_schedule(epoch, cfg.learning_rate,
+                                        cfg.static_epochs, cfg.max_epochs,
+                                        decay_base=0.01)
+            step_at_epoch_start = int(state.step)
+            for batch in itertools.islice(stream, exp.batch_per_epoch):
+                if device_mining:
+                    # fully fused: one jitted program per batch, zero host hops.
+                    # Size the margin table by the full label dictionary, not
+                    # just the classes seen in validation: under jit an
+                    # out-of-range label would clamp to the last index and
+                    # silently borrow another class's margin (the host path
+                    # raises KeyError for the same input).
+                    from multimodal_similarity_tpu.data import LABEL_TRANSFER
+                    # training batches always carry transferred labels
+                    # (SessionBatchLoader default), whose space is the
+                    # LABEL_TRANSFER range
+                    label_space = max(LABEL_TRANSFER.values())
+                    n_classes = max(max(dist_dict.keys()), label_space) + 1
+                    cm = jnp.asarray([dist_dict.get(c, [0.0])[-1]
+                                      for c in range(n_classes)], jnp.float32)
+                    use_mm = jnp.float32(
+                        1.0 if epoch >= cfg.multimodal_epochs else 0.0)
+                    # batch tensors arrive device-resident from the prefetch
+                    # thread (bf16-cast host-side when --bf16_features)
+                    state, aux = fused_step(
+                        state, batch["events"], batch["events2"],
+                        batch["events3"], batch["labels"], batch["mask"],
+                        cm, use_mm, exp.next_key(), jnp.float32(lr))
+                    exp.log(int(state.step),
+                            {**{k: float(v) for k, v in aux.items()},
+                             "learning_rate": lr},
+                            f"[{cfg.name}] epoch {epoch + 1} "
+                            f"step {int(state.step)} "
+                            f"loss {float(aux['loss']):.4f} "
+                            f"tri/hard/struct "
+                            f"{float(aux['triplet_count']):.0f}/"
+                            f"{float(aux['hard_count']):.0f}/"
+                            f"{float(aux['struct_count']):.0f}")
+                    continue
+                n = int(batch["num_events"])
+                emb = core_embed(state.params, batch["events"][:n])
+                dists = cdist(all_diffs(emb, emb), cfg.metric)
+                idx, active_count = select_triplets_facenet(
+                    batch["labels"][:n], np.asarray(dists),
+                    cfg.triplet_per_batch, cfg.alpha, cfg.num_negative,
+                    rng=mine_rng)
+                if not idx:
+                    continue
+                triplet_count = len(idx) // 3
+                hard_count = struct_count = 0
+                margins: List[float] = []
+                if epoch >= cfg.multimodal_epochs:
+                    sim = np.array(fused_sim(
+                        state.params, jnp.asarray(batch["events2"]),
+                        jnp.asarray(batch["events3"])))[:n, :n]
+                    np.fill_diagonal(sim, np.nan)
+                    if hard_only:
+                        idx, triplet_count, hard_count = \
+                            select_triplets_mul_hard(
+                                idx, batch["labels"][:n].reshape(-1, 1), sim,
+                                cfg.triplet_per_batch, 3, 0.8, 0.2,
+                                rng=mul_rng)
+                        margins, struct_count = [], 0
+                    else:
+                        idx, margins, triplet_count, hard_count, struct_count = \
+                            select_triplets_mul(
+                                idx, batch["labels"][:n], sim, dist_dict,
+                                cfg.triplet_per_batch, 3, 0.8, 0.2,
+                                rng=mul_rng)
+
+                gather, m_lab, m_hard, m_struct, marg = _pad_triplets(
+                    idx, margins,
+                    (triplet_count, hard_count, struct_count), tri_cap)
+                tri_events = jnp.asarray(_cast(batch["events"][:n][gather]))
+                state, aux = step_fn(state, tri_events, jnp.asarray(m_lab),
+                                     jnp.asarray(m_hard), jnp.asarray(m_struct),
+                                     jnp.asarray(marg), exp.next_key(),
+                                     jnp.float32(lr))
                 exp.log(int(state.step),
                         {**{k: float(v) for k, v in aux.items()},
-                         "learning_rate": lr},
-                        f"[{cfg.name}] epoch {epoch + 1} "
-                        f"step {int(state.step)} "
+                         "active_count": active_count,
+                         "triplet_count": triplet_count,
+                         "hard_count": hard_count,
+                         "struct_count": struct_count, "learning_rate": lr},
+                        f"[{cfg.name}] epoch {epoch + 1} step {int(state.step)} "
                         f"loss {float(aux['loss']):.4f} "
-                        f"tri/hard/struct "
-                        f"{float(aux['triplet_count']):.0f}/"
-                        f"{float(aux['hard_count']):.0f}/"
-                        f"{float(aux['struct_count']):.0f}")
-                continue
-            n = int(batch["num_events"])
-            emb = core_embed(state.params, batch["events"][:n])
-            dists = cdist(all_diffs(emb, emb), cfg.metric)
-            idx, active_count = select_triplets_facenet(
-                batch["labels"][:n], np.asarray(dists),
-                cfg.triplet_per_batch, cfg.alpha, cfg.num_negative,
-                rng=mine_rng)
-            if not idx:
-                continue
-            triplet_count = len(idx) // 3
-            hard_count = struct_count = 0
-            margins: List[float] = []
-            if epoch >= cfg.multimodal_epochs:
-                sim = np.array(fused_sim(
-                    state.params, jnp.asarray(batch["events2"]),
-                    jnp.asarray(batch["events3"])))[:n, :n]
-                np.fill_diagonal(sim, np.nan)
-                if hard_only:
-                    idx, triplet_count, hard_count = \
-                        select_triplets_mul_hard(
-                            idx, batch["labels"][:n].reshape(-1, 1), sim,
-                            cfg.triplet_per_batch, 3, 0.8, 0.2,
-                            rng=mul_rng)
-                    margins, struct_count = [], 0
-                else:
-                    idx, margins, triplet_count, hard_count, struct_count = \
-                        select_triplets_mul(
-                            idx, batch["labels"][:n], sim, dist_dict,
-                            cfg.triplet_per_batch, 3, 0.8, 0.2,
-                            rng=mul_rng)
+                        f"tri/hard/struct {triplet_count}/{hard_count}/"
+                        f"{struct_count}")
 
-            gather, m_lab, m_hard, m_struct, marg = _pad_triplets(
-                idx, margins,
-                (triplet_count, hard_count, struct_count), tri_cap)
-            tri_events = jnp.asarray(_cast(batch["events"][:n][gather]))
-            state, aux = step_fn(state, tri_events, jnp.asarray(m_lab),
-                                 jnp.asarray(m_hard), jnp.asarray(m_struct),
-                                 jnp.asarray(marg), exp.next_key(),
-                                 jnp.float32(lr))
-            profiler.update(int(state.step))
-            exp.log(int(state.step),
-                    {**{k: float(v) for k, v in aux.items()},
-                     "active_count": active_count,
-                     "triplet_count": triplet_count,
-                     "hard_count": hard_count,
-                     "struct_count": struct_count, "learning_rate": lr},
-                    f"[{cfg.name}] epoch {epoch + 1} step {int(state.step)} "
-                    f"loss {float(aux['loss']):.4f} "
-                    f"tri/hard/struct {triplet_count}/{hard_count}/"
-                    f"{struct_count}")
+            if int(state.step) == step_at_epoch_start:
+                print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")
+                break
+            val_params = state.params
+            if pcount > 1:
+                # replicated global arrays -> host-local values for the
+                # (host-side, redundant-per-host) validation pass
+                val_params = jax.tree.map(
+                    lambda a: np.asarray(jax.device_get(a)), state.params)
+            val_emb = core_embed(val_params, cached_device(exp.val_feats))
+            from multimodal_similarity_tpu.eval.metrics import (
+                retrieval_metrics_device)
+            mAP, mPrec, recalls = retrieval_metrics_device(
+                val_emb, exp.val_labels.reshape(-1))
+            metrics = {"val_mAP": mAP, "val_mPrec": mPrec,
+                       "val_recall@1": recalls[1]}
+            exp.log(int(state.step), metrics,
+                    f"[{cfg.name}] epoch {epoch + 1} val mAP {mAP:.4f}")
 
-        if int(state.step) == step_at_epoch_start:
-            print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")
-            break
-        val_params = state.params
-        if pcount > 1:
-            # replicated global arrays -> host-local values for the
-            # (host-side, redundant-per-host) validation pass
-            val_params = jax.tree.map(
-                lambda a: np.asarray(jax.device_get(a)), state.params)
-        val_emb = core_embed(val_params, cached_device(exp.val_feats))
-        from multimodal_similarity_tpu.eval.metrics import (
-            retrieval_metrics_device)
-        mAP, mPrec, recalls = retrieval_metrics_device(
-            val_emb, exp.val_labels.reshape(-1))
-        metrics = {"val_mAP": mAP, "val_mPrec": mPrec,
-                   "val_recall@1": recalls[1]}
-        exp.log(int(state.step), metrics,
-                f"[{cfg.name}] epoch {epoch + 1} val mAP {mAP:.4f}")
+            # dist_dict update cadence (reference :566-573)
+            if (epoch + 1) == 50 or (epoch + 1) % 200 == 0:
+                for i in dist_dict:
+                    temp = val_emb[np.where(exp.val_labels.reshape(-1) == i)[0]]
+                    dist_dict[i].append(float(np.mean(cdist(all_diffs(
+                        jnp.asarray(temp), jnp.asarray(temp)), cfg.metric)))
+                        if temp.shape[0] else 0.0)
+                if pid == 0:
+                    with open(os.path.join(exp.result_dir, "dist_dict.pkl"),
+                              "wb") as f:
+                        pickle.dump(dist_dict, f)
 
-        # dist_dict update cadence (reference :566-573)
-        if (epoch + 1) == 50 or (epoch + 1) % 200 == 0:
-            for i in dist_dict:
-                temp = val_emb[np.where(exp.val_labels.reshape(-1) == i)[0]]
-                dist_dict[i].append(float(np.mean(cdist(all_diffs(
-                    jnp.asarray(temp), jnp.asarray(temp)), cfg.metric)))
-                    if temp.shape[0] else 0.0)
             if pid == 0:
-                with open(os.path.join(exp.result_dir, "dist_dict.pkl"),
-                          "wb") as f:
-                    pickle.dump(dist_dict, f)
+                exp.ckpt.save(state, int(state.step))
+            epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
 
-        if pid == 0:
-            exp.ckpt.save(state, int(state.step))
-        epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
-
-    stream.close()  # cancel the prefetch worker (it runs one batch ahead)
-    profiler.close()
-    exp.close()
+    finally:
+        # cancel the prefetch worker (it runs one batch ahead)
+        # and flush any open trace/logs even when a step raises
+        stream.close()
+        exp.close()
     return state, metrics, exp.result_dir
 
 

@@ -72,12 +72,18 @@ class StepWindowProfiler:
         self.log_dir = log_dir
         self.start_step = start_step
         self.stop_step = start_step + num_steps
-        self._active = False
+        self._base = None  # first observed step: windows are RELATIVE so
+        self._active = False  # checkpoint-resumed runs still trace num_steps
         self._done = not log_dir
 
     def update(self, step: int) -> None:
         if self._done:
             return
+        if self._base is None:
+            # the first observed step is the compile step regardless of the
+            # restored optimizer step count
+            self._base = step - 1
+        step = step - self._base
         if not self._active and step >= self.start_step:
             os.makedirs(self.log_dir, exist_ok=True)
             jax.profiler.start_trace(self.log_dir)

@@ -84,3 +84,32 @@ def test_step_watchdog_fires_and_cancels():
         pass                      # fast step -> cancelled
     time.sleep(0.1)
     assert wd.fired == 1
+
+
+def test_step_window_profiler_resume_relative(monkeypatch, tmp_path):
+    """The trace window is relative to the FIRST observed step, so a
+    checkpoint-resumed run (steps starting at e.g. 101) still traces
+    num_steps steps instead of collapsing to one."""
+    import jax as _jax
+    from multimodal_similarity_tpu.utils.profiling import StepWindowProfiler
+
+    calls = []
+    monkeypatch.setattr(_jax.profiler, "start_trace",
+                        lambda d: calls.append(("start",)))
+    monkeypatch.setattr(_jax.profiler, "stop_trace",
+                        lambda: calls.append(("stop",)))
+
+    prof = StepWindowProfiler(str(tmp_path), num_steps=3)
+    for step in range(101, 110):     # resumed run: absolute steps 101..109
+        prof.update(step)
+    prof.close()
+    assert calls == [("start",), ("stop",)]
+    # started after the first observed (compile) step, stopped 3 steps later
+    sp = StepWindowProfiler(str(tmp_path), num_steps=3)
+    sp.update(101)                   # compile step: starts the window
+    assert sp._active
+    sp.update(102)
+    sp.update(103)
+    assert sp._active                # 2 steps in the window so far
+    sp.update(104)                   # 3rd step: window complete
+    assert not sp._active and sp._done
