@@ -60,13 +60,12 @@ def make_batch_placer(
 
                 a = a.astype(ml_dtypes.bfloat16)
             sh = shardings.get(k)
-            if sh is not None and jax.process_count() > 1:
-                # multihost: this host holds only its local rows of the
-                # global batch (parallel/multihost.make_global_batch
-                # semantics)
-                out[k] = jax.make_array_from_process_local_data(sh, a)
-            elif sh is not None:
-                out[k] = jax.device_put(a, sh)
+            if sh is not None:
+                # single shared assembly primitive with the multihost
+                # library (this host's local rows -> global jax.Array)
+                from multimodal_similarity_tpu.parallel.multihost import (
+                    put_global)
+                out[k] = put_global(sh, a)
             else:
                 out[k] = jax.device_put(a)
         return out
@@ -97,7 +96,15 @@ def feed_shardings(mesh, data_keys: Sequence[str] = ("events", "events2",
                                                      "events3"),
                    replicated_keys: Sequence[str] = ("labels", "mask")):
     """Standard flagship sharding plan: event tensors split on the batch
-    axis over the 1-D "data" mesh, small per-event vectors replicated."""
+    axis over the 1-D "data" mesh, small per-event vectors replicated.
+
+    The replicated default encodes the SINGLE-PROCESS plan.  On a
+    multi-process mesh a replicated spec requires every host to feed
+    identical values; per-host loaders produce *local rows*, so multihost
+    call sites must move those keys onto the data axis instead
+    (``data_keys=(..., "labels", "mask"), replicated_keys=()`` — what
+    base_model/multimodal_model do) and let the step gather them.
+    """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     plan = {k: NamedSharding(mesh, P("data")) for k in data_keys}

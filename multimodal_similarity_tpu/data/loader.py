@@ -98,6 +98,10 @@ class SessionBatchLoader:
         prefetch: int = 2,
     ):
         self.dataset = [list(row) for row in dataset]
+        if not self.dataset:
+            raise ValueError(
+                "SessionBatchLoader got an empty dataset (fewer train "
+                "sessions than hosts on a sharded run?)")
         self.sess_per_batch = sess_per_batch
         self.event_budget = event_budget
         self.num_modalities = len(self.dataset[0]) - 1
@@ -151,19 +155,22 @@ class SessionBatchLoader:
         sess_arr = np.asarray(sess)
 
         n = lab.shape[0]
-        if self.shuffle:
-            perm = self.rng.permutation(n)
-            evs = [e[perm] for e in evs]
-            lab = lab[perm]
-            sess_arr = sess_arr[perm]
-
         budget = self.event_budget
-        if n > budget:  # random subsample (base_model.py:249-253)
+        # one permutation serves both shuffle and over-budget subsample
+        # (base_model.py:249-253): a shuffle followed by a random subsample
+        # is distributionally the same draw, and skipping the first
+        # full-array copy halves the loader thread's memory traffic
+        if n > budget:
             idx = self.rng.permutation(n)[:budget]
+        elif self.shuffle:
+            idx = self.rng.permutation(n)
+        else:
+            idx = None
+        if idx is not None:
             evs = [e[idx] for e in evs]
             lab = lab[idx]
             sess_arr = sess_arr[idx]
-            n = budget
+            n = min(n, budget)
 
         mask = np.zeros(budget, dtype=np.float32)
         mask[:n] = 1.0
@@ -191,7 +198,16 @@ class SessionBatchLoader:
                            for i in order[start:start + self.sess_per_batch]])
         return groups
 
-    def epoch(self):
-        """Yield one epoch of batches with background prefetch."""
+    def epoch(self, max_batches: Optional[int] = None):
+        """Yield one epoch of batches with background prefetch.
+
+        ``max_batches`` truncates the epoch BEFORE the worker starts
+        (multihost lockstep: a host holding surplus sessions emits the
+        global per-epoch step count).  Truncating here rather than
+        abandoning the stream mid-epoch keeps ``self.rng`` consumption
+        deterministic — the prefetch worker never loads (and never draws
+        rng for) batches the consumer will drop."""
         groups = self._epoch_groups()
+        if max_batches is not None:
+            groups = groups[:max_batches]
         yield from _prefetched(groups, self._load_group, self.prefetch)

@@ -40,10 +40,33 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
             coordinator_address=coordinator_address,
             num_processes=num_processes, process_id=process_id)
         return
+    if num_processes is not None or process_id is not None:
+        # partial explicit config: without the coordinator the env-driven
+        # probe below would swallow the failure and every host would train
+        # independently under the same experiment name
+        raise ValueError(
+            "--num_processes/--process_id were given without "
+            "--coordinator_address; pass all three (or none, on a pod "
+            "environment that provides them)")
     try:
         jax.distributed.initialize()
     except Exception:
         pass  # single-process / no env-provided cluster config
+
+
+def put_global(sharding, x):
+    """ONE host-local array -> a (possibly multi-process) global jax.Array.
+
+    The single primitive both feeding paths share (make_global_batch here,
+    data/device_feed.make_batch_placer on the prefetch thread) so the
+    multi-host assembly semantics cannot diverge between them.  With >1
+    process, ``x`` is this host's rows for the sharded axes; for a fully
+    REPLICATED sharding every host must pass the same values — per-host
+    divergent data under a replicated spec is silently wrong.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_process_local_data(sharding, x)
 
 
 def make_global_batch(mesh: Mesh, local_batch: Any,
@@ -57,10 +80,7 @@ def make_global_batch(mesh: Mesh, local_batch: Any,
 
     def put(x):
         spec = P(axis, *([None] * (x.ndim - 1))) if x.ndim else P()
-        sharding = NamedSharding(mesh, spec)
-        if jax.process_count() == 1:
-            return jax.device_put(x, sharding)
-        return jax.make_array_from_process_local_data(sharding, x)
+        return put_global(NamedSharding(mesh, spec), x)
 
     return jax.tree.map(put, local_batch)
 

@@ -62,12 +62,17 @@ def _rotate(tree, axis, n_dev):
 
 
 def _ring_lifted_fwd_body(emb_l, lab_l, idx_l, val_l, *, axis, margin):
+    """Forward ring.  The local shard is folded BEFORE the loop, so only
+    the n_dev - 1 rotations whose results are consumed happen (the
+    backward ring genuinely needs all n_dev — its gradient buffer must
+    come home).  Visit order per device is unchanged, so accumulation is
+    bitwise identical."""
     n_dev = jax.lax.axis_size(axis)
     sq_l = jnp.sum(emb_l * emb_l, axis=1)
     m = emb_l.shape[0]
 
-    def step(s, carry):
-        fp_m, fp_s, cn_m, cn_s, nc, ring = carry
+    def fold(acc, ring):
+        fp_m, fp_s, cn_m, cn_s, nc = acc
         emb_r, lab_r, idx_r, sq_r, val_r = ring
         v_pos, v_neg, _, neg_m = _tile_vals(
             emb_l, sq_l, lab_l, idx_l, emb_r, sq_r, lab_r, idx_r, val_r,
@@ -84,16 +89,22 @@ def _ring_lifted_fwd_body(emb_l, lab_l, idx_l, val_l, *, axis, margin):
         fp_m, fp_s = merge(fp_m, fp_s, v_pos)
         cn_m, cn_s = merge(cn_m, cn_s, v_neg)
         nc = nc + jnp.sum(neg_m, axis=1)
-        ring = _rotate(ring, axis, n_dev)
-        return fp_m, fp_s, cn_m, cn_s, nc, ring
+        return fp_m, fp_s, cn_m, cn_s, nc
 
-    init = (jnp.full((m,), _NEG_INF, jnp.float32),
-            jnp.zeros((m,), jnp.float32),
-            jnp.full((m,), _NEG_INF, jnp.float32),
-            jnp.zeros((m,), jnp.float32),
-            jnp.zeros((m,), jnp.float32),
-            (emb_l, lab_l, idx_l, sq_l, val_l))
-    fp_m, fp_s, cn_m, cn_s, nc, _ = jax.lax.fori_loop(0, n_dev, step, init)
+    def step(s, carry):
+        acc, ring = carry
+        ring = _rotate(ring, axis, n_dev)
+        return fold(acc, ring), ring
+
+    acc = (jnp.full((m,), _NEG_INF, jnp.float32),
+           jnp.zeros((m,), jnp.float32),
+           jnp.full((m,), _NEG_INF, jnp.float32),
+           jnp.zeros((m,), jnp.float32),
+           jnp.zeros((m,), jnp.float32))
+    ring = (emb_l, lab_l, idx_l, sq_l, val_l)
+    acc = fold(acc, ring)
+    (fp_m, fp_s, cn_m, cn_s, nc), _ = jax.lax.fori_loop(
+        0, n_dev - 1, step, (acc, ring))
     fp = fp_m + jnp.log(jnp.maximum(fp_s, 1e-30))
     cn = cn_m + jnp.log(jnp.maximum(cn_s, 1e-30))
     return fp, cn, nc

@@ -29,13 +29,21 @@ _POS_INF = 1e30
 
 
 def _ring_body(emb_l, lab_l, idx_l, *, axis: str, with_idx: bool):
-    """Per-device ring reduction (runs under shard_map)."""
+    """Per-device ring reduction (runs under shard_map).
+
+    The local shard is folded BEFORE the loop, so the ring performs only
+    the n_dev - 1 rotations whose results are consumed (a fold-then-rotate
+    loop would pay one extra ICI hop per pass whose output is discarded).
+    Visit order per device is unchanged (own shard, then neighbors in ring
+    order), so accumulation is bitwise identical.
+    """
     n_dev = jax.lax.axis_size(axis)
     sq_l = jnp.sum(emb_l * emb_l, axis=1)
-    m = emb_l.shape[0]
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
 
-    def step(s, carry):
-        fp, fpi, cn, cni, nc, emb_r, lab_r, idx_r, sq_r = carry
+    def fold(acc, visiting):
+        fp, fpi, cn, cni, nc = acc
+        emb_r, lab_r, idx_r, sq_r = visiting
         inner = jnp.dot(emb_l, emb_r.T, preferred_element_type=jnp.float32)
         dist = jnp.maximum(sq_l[:, None] + sq_r[None, :] - 2.0 * inner, 0.0)
         same = lab_l[:, None] == lab_r[None, :]
@@ -48,28 +56,29 @@ def _ring_body(emb_l, lab_l, idx_l, *, axis: str, with_idx: bool):
         if with_idx:
             t_fpi = idx_r[jnp.argmax(pos_val, axis=1)]
             t_cni = idx_r[jnp.argmin(neg_val, axis=1)]
-            better_fp = t_fp > fp
-            fpi = jnp.where(better_fp, t_fpi, fpi)
-            better_cn = t_cn < cn
-            cni = jnp.where(better_cn, t_cni, cni)
+            fpi = jnp.where(t_fp > fp, t_fpi, fpi)
+            cni = jnp.where(t_cn < cn, t_cni, cni)
         fp = jnp.maximum(fp, t_fp)
         cn = jnp.minimum(cn, t_cn)
         nc = nc + jnp.sum((~same).astype(dist.dtype), axis=1)
-        # rotate the visiting shard to the next neighbor over ICI
-        perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
-        emb_r = jax.lax.ppermute(emb_r, axis, perm)
-        lab_r = jax.lax.ppermute(lab_r, axis, perm)
-        idx_r = jax.lax.ppermute(idx_r, axis, perm)
-        sq_r = jax.lax.ppermute(sq_r, axis, perm)
-        return fp, fpi, cn, cni, nc, emb_r, lab_r, idx_r, sq_r
+        return fp, fpi, cn, cni, nc
 
-    init = (jnp.zeros((m,), jnp.float32),
-            jnp.zeros((m,), jnp.int32),
-            jnp.full((m,), _POS_INF, jnp.float32),
-            jnp.zeros((m,), jnp.int32),
-            jnp.zeros((m,), jnp.float32),
-            emb_l, lab_l, idx_l, sq_l)
-    fp, fpi, cn, cni, nc, *_ = jax.lax.fori_loop(0, n_dev, step, init)
+    def step(s, carry):
+        acc, ring = carry
+        # rotate the visiting shard to the next neighbor over ICI
+        ring = tuple(jax.lax.ppermute(x, axis, perm) for x in ring)
+        return fold(acc, ring), ring
+
+    m = emb_l.shape[0]
+    acc = (jnp.zeros((m,), jnp.float32),
+           jnp.zeros((m,), jnp.int32),
+           jnp.full((m,), _POS_INF, jnp.float32),
+           jnp.zeros((m,), jnp.int32),
+           jnp.zeros((m,), jnp.float32))
+    ring = (emb_l, lab_l, idx_l, sq_l)
+    acc = fold(acc, ring)
+    (fp, fpi, cn, cni, nc), _ = jax.lax.fori_loop(0, n_dev - 1, step,
+                                                  (acc, ring))
     return fp, fpi, cn, cni, nc
 
 

@@ -78,18 +78,20 @@ class HondaExperiment:
             local_set = host_local_sessions(train_set, pid, pcount)
             lockstep_bpe = (len(train_set) // pcount) // cfg.sess_per_batch
 
-        self.loader = SessionBatchLoader(
-            local_set, sess_per_batch=cfg.sess_per_batch,
-            event_budget=event_budget,
-            prepare_funcs=[prep_train] * len(modalities), seed=cfg.seed)
+        # guard BEFORE constructing the loader: an empty/short session
+        # shard must fail with this message, not the loader's internals
         self.batch_per_epoch = (lockstep_bpe if lockstep_bpe is not None
-                                else self.loader.batches_per_epoch)
-        if self.batch_per_epoch < 1:
+                                else len(local_set) // cfg.sess_per_batch)
+        if self.batch_per_epoch < 1 or not local_set:
             raise ValueError(
                 f"{len(train_set)} train sessions < sess_per_batch="
                 f"{cfg.sess_per_batch}"
                 + (f" x {session_shard[1]} processes"
                    if session_shard is not None else ""))
+        self.loader = SessionBatchLoader(
+            local_set, sess_per_batch=cfg.sess_per_batch,
+            event_budget=event_budget,
+            prepare_funcs=[prep_train] * len(modalities), seed=cfg.seed)
 
         val_ids = list(val_sessions or cfg.val_session)
         if len(modalities) == 1:

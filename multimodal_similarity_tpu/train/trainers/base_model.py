@@ -116,19 +116,21 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
         local_budget = event_budget // pcount
         batch_per_epoch = (len(train_set) // pcount) // cfg.sess_per_batch
 
-    loader = SessionBatchLoader(
-        local_set, sess_per_batch=cfg.sess_per_batch,
-        event_budget=local_budget,
-        prepare_funcs=[functools.partial(tsn_prepare_input, cfg.num_seg)],
-        seed=cfg.seed + pid)
     if pcount == 1:
-        batch_per_epoch = loader.batches_per_epoch
-    if batch_per_epoch < 1:
+        batch_per_epoch = len(local_set) // cfg.sess_per_batch
+    # guard BEFORE constructing the loader: an empty/short session shard
+    # must fail with this message, not the loader's internals
+    if batch_per_epoch < 1 or not local_set:
         raise ValueError(
             f"{len(train_set)} train sessions < sess_per_batch="
             f"{cfg.sess_per_batch}"
             + (f" x {pcount} processes" if pcount > 1 else "")
             + "; nothing to iterate")
+    loader = SessionBatchLoader(
+        local_set, sess_per_batch=cfg.sess_per_batch,
+        event_budget=local_budget,
+        prepare_funcs=[functools.partial(tsn_prepare_input, cfg.num_seg)],
+        seed=cfg.seed + pid)
 
     val_feats, val_labels, val_sess, val_bound = load_validation_set(
         val_set, functools.partial(tsn_prepare_input_test, cfg.num_seg))
@@ -201,16 +203,15 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
     # condition owns termination, and the stream is closed on exit
     # (cancels the worker thread).
     def continuous_batches():
-        import itertools
-
         def epochs():
             while True:
                 produced = 0
-                batches = loader.epoch()
-                if pcount > 1:
-                    # lockstep truncation: every host must dispatch the
-                    # same number of collective steps per epoch
-                    batches = itertools.islice(batches, batch_per_epoch)
+                # lockstep truncation (pcount > 1): every host dispatches
+                # the same number of collective steps per epoch; truncated
+                # INSIDE the loader so its rng consumption stays
+                # deterministic (no prefetched-then-dropped batches)
+                batches = loader.epoch(
+                    max_batches=batch_per_epoch if pcount > 1 else None)
                 for b in batches:
                     produced += 1
                     yield b

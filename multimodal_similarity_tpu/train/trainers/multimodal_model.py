@@ -536,18 +536,15 @@ def train(cfg: TrainConfig, hard_only: bool = False,
     # epoch's pipeline fill; the epoch loop slices batch_per_epoch batches
     # per epoch and the stream is closed on exit.
     def continuous_batches():
-        import itertools as _it
-
         def epochs():
             while True:
                 produced = 0
-                batches = exp.loader.epoch()
-                if pcount > 1:
-                    # lockstep truncation at the PRODUCER: a host holding
-                    # extra sessions must not carry surplus batches into
-                    # the next epoch (the consumer islices the same count,
-                    # so without this the epoch boundary drifts)
-                    batches = _it.islice(batches, exp.batch_per_epoch)
+                # lockstep truncation (pcount > 1) at the PRODUCER: a host
+                # holding extra sessions must not carry surplus batches
+                # into the next epoch; truncated inside the loader so its
+                # rng consumption stays deterministic
+                batches = exp.loader.epoch(
+                    max_batches=exp.batch_per_epoch if pcount > 1 else None)
                 for b in batches:
                     produced += 1
                     yield b

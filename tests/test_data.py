@@ -422,3 +422,30 @@ def test_device_prefetch_sharded(synth_root):
     ev_shard = batch["events"].sharding
     assert ev_shard.spec == jax.sharding.PartitionSpec("data")
     assert batch["labels"].sharding.spec == jax.sharding.PartitionSpec()
+
+
+def test_loader_max_batches_deterministic(synth_root):
+    """Lockstep truncation (epoch(max_batches=k)) happens before the
+    prefetch worker starts, so rng consumption — and every later epoch's
+    batch content — is a pure function of the seed, not of worker timing."""
+    root, splits = synth_root
+    ds = prepare_dataset(os.path.join(root, "features"), splits["all"],
+                         "resnet", os.path.join(root, "labels"))
+    import functools
+    prep = [functools.partial(tsn_prepare_input, 3)]
+
+    def run():
+        loader = SessionBatchLoader(ds, sess_per_batch=1, event_budget=32,
+                                    prepare_funcs=prep, seed=7)
+        first = list(loader.epoch(max_batches=1))
+        second = list(loader.epoch())
+        return first, second
+
+    f1, s1 = run()
+    f2, s2 = run()
+    assert len(f1) == 1                       # truncated epoch
+    assert len(s1) == len(ds)                 # full epoch afterwards
+    np.testing.assert_array_equal(f1[0]["labels"], f2[0]["labels"])
+    for a, b in zip(s1, s2):
+        np.testing.assert_array_equal(a["labels"], b["labels"])
+        np.testing.assert_array_equal(a["events"], b["events"])

@@ -292,3 +292,16 @@ def test_two_process_end_to_end_training(tmp_path):
     assert steps[0] == steps[1] > 0
     # process 0 owns the checkpoint artifacts
     assert any((tmp_path / "out0").glob("*.ckpt-*"))
+
+
+def test_partial_explicit_coordinator_raises():
+    """--num_processes/--process_id without --coordinator_address must die
+    loudly: the env-driven fallback would otherwise swallow the failure and
+    every host would train independently under the same experiment name."""
+    from multimodal_similarity_tpu.parallel.multihost import (
+        initialize_distributed)
+
+    with pytest.raises(ValueError, match="coordinator_address"):
+        initialize_distributed(None, 4, None)
+    with pytest.raises(ValueError, match="coordinator_address"):
+        initialize_distributed(None, None, 1)
