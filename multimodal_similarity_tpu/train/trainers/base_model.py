@@ -246,7 +246,9 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
     profiler = StepWindowProfiler(cfg.profile_dir if pid == 0 else "",
                                   num_steps=cfg.profile_steps)
     import itertools
+    from multimodal_similarity_tpu.utils.preemption import PreemptionGuard
     stream = continuous_batches()
+    guard = PreemptionGuard().install()
     try:
         while epoch < cfg.max_epochs:
             lr = learning_rate_schedule(epoch, cfg.learning_rate,
@@ -321,7 +323,18 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                           f"loss {aux['loss']:.4f} triplets {aux['triplet_num']:.0f} "
                           f"({aux['train_time']:.2f}s)")
                 logger.log(int(state.step), aux)
+                if guard.should_stop:
+                    break
 
+            if guard.should_stop:
+                # preemption (SIGTERM grace window): checkpoint the exact
+                # step and exit cleanly; --model_path on this file resumes
+                # from here (epoch_of_step re-derives the epoch)
+                if pid == 0:
+                    ckpt.save(state, int(state.step))
+                print(f"[{cfg.name}] preemption signal: checkpointed at "
+                      f"step {int(state.step)}; exiting")
+                break
             if int(state.step) == step_at_epoch_start:
                 print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")
                 break
@@ -349,6 +362,7 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
     finally:
         # cancel the prefetch worker (it runs one batch ahead)
         # and flush any open trace/logs even when a step raises
+        guard.restore()
         stream.close()
         profiler.close()
         logger.close()

@@ -579,7 +579,9 @@ def train(cfg: TrainConfig, hard_only: bool = False,
     epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
     # --profile_dir tracing is owned by exp.profiler (updated in exp.log)
     import itertools
+    from multimodal_similarity_tpu.utils.preemption import PreemptionGuard
     stream = continuous_batches()
+    guard = PreemptionGuard().install()
     try:
         while epoch < cfg.max_epochs:
             lr = learning_rate_schedule(epoch, cfg.learning_rate,
@@ -670,7 +672,17 @@ def train(cfg: TrainConfig, hard_only: bool = False,
                         f"loss {float(aux['loss']):.4f} "
                         f"tri/hard/struct {triplet_count}/{hard_count}/"
                         f"{struct_count}")
+                if guard.should_stop:
+                    break
 
+            if guard.should_stop:
+                # preemption (SIGTERM grace window): checkpoint the exact
+                # step and exit cleanly; --model_path resumes from here
+                if pid == 0:
+                    exp.ckpt.save(state, int(state.step))
+                print(f"[{cfg.name}] preemption signal: checkpointed at "
+                      f"step {int(state.step)}; exiting")
+                break
             if int(state.step) == step_at_epoch_start:
                 print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")
                 break
@@ -709,6 +721,7 @@ def train(cfg: TrainConfig, hard_only: bool = False,
     finally:
         # cancel the prefetch worker (it runs one batch ahead)
         # and flush any open trace/logs even when a step raises
+        guard.restore()
         stream.close()
         exp.close()
     return state, metrics, exp.result_dir

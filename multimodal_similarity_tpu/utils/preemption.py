@@ -1,0 +1,85 @@
+"""Preemption-safe shutdown: catch SIGTERM, finish the step, checkpoint.
+
+Cloud TPU VMs (and most batch schedulers) deliver SIGTERM with a grace
+window before a preemption/maintenance kill.  The reference's only
+recovery story was manual restart-from-checkpoint (SURVEY.md §5: every
+trainer re-derives its epoch from the restored global step).  This guard
+closes the other half: trainers poll ``should_stop`` at step boundaries
+and write a final checkpoint before exiting, so a preempted run resumes
+exactly where it stopped instead of losing up to an epoch of work.
+
+Usage (the pattern the trainers follow)::
+
+    with PreemptionGuard() as guard:
+        for batch in stream:
+            state, aux = step_fn(state, ...)
+            if guard.should_stop:
+                ckpt.save(state, int(state.step))
+                break
+
+The handler only sets a flag — no I/O happens in signal context — and
+chains any previously-installed handler so embedding frameworks keep
+their own shutdown hooks.  Installing from a non-main thread (where
+CPython forbids ``signal.signal``) degrades to an inert guard rather
+than failing, so library users can call trainers from worker threads.
+"""
+
+from __future__ import annotations
+
+import signal
+import threading
+from typing import Optional, Sequence
+
+
+class PreemptionGuard:
+    """Flag-setting SIGTERM/SIGINT guard with handler chaining."""
+
+    def __init__(self, signals: Sequence[int] = (signal.SIGTERM,)):
+        self._signals = tuple(signals)
+        self._stop = threading.Event()
+        self._previous: dict = {}
+        self._installed = False
+
+    # -- lifecycle ---------------------------------------------------------
+    def install(self) -> "PreemptionGuard":
+        if self._installed:
+            return self
+        if threading.current_thread() is not threading.main_thread():
+            return self  # inert: CPython only allows handlers on main
+        for sig in self._signals:
+            self._previous[sig] = signal.signal(sig, self._handle)
+        self._installed = True
+        return self
+
+    def restore(self) -> None:
+        if not self._installed:
+            return
+        for sig, prev in self._previous.items():
+            signal.signal(sig, prev)
+        self._previous.clear()
+        self._installed = False
+
+    def __enter__(self) -> "PreemptionGuard":
+        return self.install()
+
+    def __exit__(self, *exc) -> None:
+        self.restore()
+
+    # -- signal path -------------------------------------------------------
+    def _handle(self, signum, frame) -> None:
+        self._stop.set()
+        prev = self._previous.get(signum)
+        if callable(prev):  # chain embedding frameworks' own hooks
+            prev(signum, frame)
+
+    # -- consumer API ------------------------------------------------------
+    @property
+    def should_stop(self) -> bool:
+        return self._stop.is_set()
+
+    def request_stop(self) -> None:
+        """Programmatic stop (tests, orchestration glue)."""
+        self._stop.set()
+
+    def wait(self, timeout: Optional[float] = None) -> bool:
+        return self._stop.wait(timeout)

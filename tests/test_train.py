@@ -313,3 +313,35 @@ def test_donated_step_consumes_input_state(rng):
                     jax.random.PRNGKey(1), jnp.float32(0.01))
     with pytest.raises(RuntimeError):
         _ = np.asarray(old_leaf) + 1  # donated buffer is deleted
+
+
+def test_base_trainer_preemption_checkpoints_and_exits(
+        synth_cfg, tmp_path, monkeypatch):
+    """A preemption signal mid-epoch checkpoints the exact step and exits
+    cleanly instead of losing the epoch (utils/preemption.py)."""
+    from multimodal_similarity_tpu.utils import preemption as _pre
+
+    class FiringGuard:
+        def __init__(self, *a, **k):
+            self.checks = 0
+
+        def install(self):
+            return self
+
+        def restore(self):
+            pass
+
+        @property
+        def should_stop(self):
+            self.checks += 1
+            return self.checks > 2   # fire after two post-step checks
+
+    monkeypatch.setattr(_pre, "PreemptionGuard", FiringGuard)
+    cfg = _tiny_cfg(synth_cfg, max_epochs=50)
+    state, metrics, result_dir = base_model.train(
+        cfg, event_budget=64, result_dir=str(tmp_path / "pre"))
+    # stopped after ~2 steps, far short of 50 epochs' worth
+    assert int(state.step) <= 3
+    import glob
+    ckpts = glob.glob(os.path.join(result_dir, "*.ckpt-*"))
+    assert ckpts, "preemption exit did not write a checkpoint"

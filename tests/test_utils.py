@@ -113,3 +113,45 @@ def test_step_window_profiler_resume_relative(monkeypatch, tmp_path):
     assert sp._active                # 2 steps in the window so far
     sp.update(104)                   # 3rd step: window complete
     assert not sp._active and sp._done
+
+
+def test_preemption_guard_signal_and_restore():
+    import os
+    import signal as _signal
+    from multimodal_similarity_tpu.utils.preemption import PreemptionGuard
+
+    seen = []
+    prev = _signal.signal(_signal.SIGUSR1, lambda s, f: seen.append(s))
+    try:
+        with PreemptionGuard(signals=(_signal.SIGUSR1,)) as guard:
+            assert not guard.should_stop
+            os.kill(os.getpid(), _signal.SIGUSR1)
+            assert guard.wait(2.0) and guard.should_stop
+            # the previously-installed handler chained
+            assert seen == [_signal.SIGUSR1]
+        # restored: a new signal hits only the old handler
+        os.kill(os.getpid(), _signal.SIGUSR1)
+        import time
+        time.sleep(0.05)
+        assert seen == [_signal.SIGUSR1] * 2
+        assert not guard._installed
+    finally:
+        _signal.signal(_signal.SIGUSR1, prev)
+
+
+def test_preemption_guard_inert_off_main_thread():
+    import threading
+    from multimodal_similarity_tpu.utils.preemption import PreemptionGuard
+
+    out = {}
+
+    def worker():
+        g = PreemptionGuard().install()   # must not raise off-main
+        out["installed"] = g._installed
+        g.request_stop()
+        out["stops"] = g.should_stop
+
+    t = threading.Thread(target=worker)
+    t.start()
+    t.join()
+    assert out == {"installed": False, "stops": True}
