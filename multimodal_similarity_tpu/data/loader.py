@@ -102,7 +102,11 @@ class SessionBatchLoader:
             raise ValueError(
                 "SessionBatchLoader got an empty dataset (fewer train "
                 "sessions than hosts on a sharded run?)")
-        self.sess_per_batch = sess_per_batch
+        # fewer sessions than sess_per_batch would floor batches_per_epoch
+        # to zero and every epoch would silently yield nothing (a sharded
+        # run can leave a host with a tiny shard); clamp so the remaining
+        # sessions form one smaller batch per epoch instead
+        self.sess_per_batch = min(sess_per_batch, len(self.dataset))
         self.event_budget = event_budget
         self.num_modalities = len(self.dataset[0]) - 1
         self.rng = np.random.RandomState(seed)

@@ -124,6 +124,13 @@ def native_gather_segments(feats: np.ndarray, starts: np.ndarray,
     starts = np.ascontiguousarray(starts, np.int64)
     offsets = np.ascontiguousarray(offsets, np.int64)
     e, s = offsets.shape
+    # the C side memcpys unchecked; validate every frame index here so a
+    # corrupt label file surfaces as IndexError, not an OOB read
+    idx = starts.reshape(-1, 1) + offsets
+    if idx.size and (idx.min() < 0 or idx.max() >= feats.shape[0]):
+        raise IndexError(
+            f"gather_segments frame index out of range: "
+            f"[{idx.min()}, {idx.max()}] vs {feats.shape[0]} rows")
     out = np.zeros((e, s, feats.shape[1]), np.float32)
     lib.msim_gather_segments(
         feats.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

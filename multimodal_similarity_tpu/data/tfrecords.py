@@ -29,6 +29,7 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 _CRC_TABLE = None
+_NATIVE_CRC = None  # resolved lazily: native fn, or False when unavailable
 
 
 def _crc_table():
@@ -46,6 +47,20 @@ def _crc_table():
 
 
 def crc32c(data: bytes) -> int:
+    # the C++ runtime checksums ~100-1000x faster than the per-byte Python
+    # loop; dataset generation CRCs every ~400 KB event payload, so prefer
+    # it whenever the library is present (tests pin Python == native)
+    global _NATIVE_CRC
+    if _NATIVE_CRC is None:
+        try:
+            from multimodal_similarity_tpu.data.native import (
+                load_native, native_crc32c)
+            _NATIVE_CRC = native_crc32c if load_native() is not None \
+                else False
+        except Exception:
+            _NATIVE_CRC = False
+    if _NATIVE_CRC:
+        return _NATIVE_CRC(data)
     table = _crc_table()
     crc = 0xFFFFFFFF
     for b in data:

@@ -95,6 +95,8 @@ def main(argv=None):
     argv = list(argv if argv is not None else sys.argv[1:])
     if "--head" in argv:
         i = argv.index("--head")
+        if i + 1 >= len(argv):
+            sys.exit("usage: --head {pairsim|pddm} (missing value)")
         head_kind = argv[i + 1]
         del argv[i:i + 2]
     cfg = EvalConfig.parse(argv)

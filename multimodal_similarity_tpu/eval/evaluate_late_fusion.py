@@ -36,8 +36,11 @@ def run(cfg: EvalConfig, sensors_n_input: int = 8):
     prep = functools.partial(tsn_prepare_input_test, cfg.num_seg)
     feats, labels, _, _ = load_validation_set(
         [[r[0], r[-1]] for r in test_set], prep, transfer=cfg.transfer)
-    feats2, _, _, _ = load_validation_set(
-        [[r[1], r[-1]] for r in test_set], prep, transfer=cfg.transfer)
+    if not cfg.use_output:
+        # the cross-predicted mode derives the aux embedding from the core
+        # features alone — don't load/upload the second modality there
+        feats2, _, _, _ = load_validation_set(
+            [[r[1], r[-1]] for r in test_set], prep, transfer=cfg.transfer)
 
     core = build_encoder(cfg.network, num_seg=cfg.num_seg,
                          emb_dim=cfg.emb_dim, n_input=cfg.n_input,
@@ -60,12 +63,14 @@ def run(cfg: EvalConfig, sensors_n_input: int = 8):
         cp_head = OutputLayer(n_output=head_dim)
 
         @jax.jit
-        def embed(x, x2):
+        def embed(x):
             e = l2_normalize(core.apply({"params": core_params}, x))
             hidden = core.apply({"params": cp_enc_params}, x)
             pred = cp_head.apply({"params": cp_head_params},
                                  jax.nn.relu(hidden))
             return jnp.concatenate([e, l2_normalize(pred)], axis=1)
+
+        embeddings = np.asarray(embed(jnp.asarray(feats)))
     else:
         sensors = RTSN(n_seg=cfg.num_seg, emb_dim=SENSORS_EMB_DIM,
                        n_input=sensors_n_input)
@@ -78,7 +83,8 @@ def run(cfg: EvalConfig, sensors_n_input: int = 8):
             e2 = l2_normalize(sensors.apply({"params": sensors_params}, x2))
             return jnp.concatenate([e, e2], axis=1)
 
-    embeddings = np.asarray(embed(jnp.asarray(feats), jnp.asarray(feats2)))
+        embeddings = np.asarray(embed(jnp.asarray(feats),
+                                      jnp.asarray(feats2)))
     mAP, mAP_event, mPrec, confusion, count, recall = evaluate(
         embeddings, labels)
     print("late fusion: mAP = %.4f  mPrec@0.5 = %.4f  Recall@1 = %.4f"

@@ -30,6 +30,7 @@ from multimodal_similarity_tpu.data.honda import HONDA_NUM2LABELS
 from multimodal_similarity_tpu.eval.metrics import evaluate
 from multimodal_similarity_tpu.models import build_encoder
 from multimodal_similarity_tpu.train.checkpoints import load_pytree
+from multimodal_similarity_tpu.train.steps import embed_in_chunks
 from multimodal_similarity_tpu.train.steps import l2_normalize
 
 
@@ -74,14 +75,16 @@ def run(cfg: EvalConfig, data=None):
                               n_h=cfg.n_h, n_w=cfg.n_w, n_C=cfg.n_C)
 
     @jax.jit
-    def embed(x):
+    def embed(p, x):
         if cfg.use_output:
-            _, e = model.apply({"params": params}, x)
+            _, e = model.apply({"params": p}, x)
         else:
-            e = model.apply({"params": params}, x)
+            e = model.apply({"params": p}, x)
         return l2_normalize(e) if cfg.normalized else e
 
-    embeddings = np.asarray(embed(jnp.asarray(feats)))
+    # chunked like every trainer's eval pass: a full Honda test split is
+    # ~GBs of 8x8x1536 features, far too large for one device batch
+    embeddings = embed_in_chunks(embed, params, feats)
     mAP, mAP_event, mPrec, confusion, count, recall = evaluate(
         embeddings, labels)
 

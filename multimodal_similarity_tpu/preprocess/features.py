@@ -152,6 +152,10 @@ def extract_session_features(
             batch = []
     if batch:
         feats.append(np.asarray(embed_fn(np.stack(batch))))
+    if not feats:
+        raise FileNotFoundError(
+            f"no frame_*.jpg in {frame_dir!r} — did frame extraction "
+            f"(preprocess.frames) run for this session?")
     out = np.concatenate(feats, axis=0).astype(np.float32)
     np.save(out_path, out)
     return out.shape[0]
@@ -165,9 +169,15 @@ def extract_sessions(session_ids: Sequence[str], frame_root: str,
         out_path = os.path.join(feature_root, session_id + suffix)
         if os.path.exists(out_path):
             continue
-        n = extract_session_features(
-            os.path.join(frame_root, session_id), out_path, embed_fn,
-            batch_size)
+        try:
+            n = extract_session_features(
+                os.path.join(frame_root, session_id), out_path, embed_fn,
+                batch_size)
+        except FileNotFoundError as e:
+            # one frameless session shouldn't abort the batch run —
+            # mirror frames.py's "no video for <session>, skipping"
+            print(f"{session_id}: {e}; skipping")
+            continue
         print(f"{session_id}: {n} frames embedded")
 
 

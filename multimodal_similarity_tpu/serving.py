@@ -18,7 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from multimodal_similarity_tpu.ops.distances import pairwise_distance
-from multimodal_similarity_tpu.train.steps import make_embed_fn
+from multimodal_similarity_tpu.train.steps import (
+    embed_in_chunks, make_embed_fn)
 
 
 class EmbeddingService:
@@ -34,23 +35,13 @@ class EmbeddingService:
         self._embed = make_embed_fn(model, normalized=normalized)
 
     def embed(self, events: np.ndarray) -> np.ndarray:
-        n = events.shape[0]
-        out = []
-        for start in range(0, n, self.batch_size):
-            block = events[start:start + self.batch_size]
-            pad = self.batch_size - block.shape[0]
-            if pad:
-                block = np.concatenate(
-                    [block, np.zeros((pad,) + block.shape[1:],
-                                     block.dtype)])
-            emb = np.asarray(self._embed(self.params, jnp.asarray(block)))
-            out.append(emb[: self.batch_size - pad or None])
-        if not out:  # zero-row request
+        if events.shape[0] == 0:  # zero-row request: probe the width
             probe = np.asarray(self._embed(
                 self.params,
                 jnp.zeros((1,) + events.shape[1:], jnp.float32)))
             return np.zeros((0, probe.shape[-1]), np.float32)
-        return np.concatenate(out, axis=0)[:n]
+        return embed_in_chunks(self._embed, self.params, events,
+                               chunk=self.batch_size)
 
 
 class RetrievalIndex:

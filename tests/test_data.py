@@ -449,3 +449,19 @@ def test_loader_max_batches_deterministic(synth_root):
     for a, b in zip(s1, s2):
         np.testing.assert_array_equal(a["labels"], b["labels"])
         np.testing.assert_array_equal(a["events"], b["events"])
+
+
+def test_loader_clamps_sess_per_batch_to_dataset(synth_root):
+    """0 < len(dataset) < sess_per_batch must yield one smaller batch per
+    epoch, not silently zero batches (a sharded run can leave a host with
+    a tiny session shard)."""
+    root, splits = synth_root
+    ds = prepare_dataset(os.path.join(root, "features"), splits["all"][:2],
+                         "sensors", os.path.join(root, "labels"))
+    import functools
+    loader = SessionBatchLoader(
+        ds, sess_per_batch=3, event_budget=32,
+        prepare_funcs=[functools.partial(tsn_prepare_input, 3)], seed=1)
+    assert loader.batches_per_epoch == 1
+    batches = list(loader.epoch())
+    assert len(batches) == 1 and int(batches[0]["num_events"]) > 0

@@ -252,3 +252,91 @@ def test_native_defers_on_missing_key_and_width_mismatch(tmp_path, rng):
     _, _, labels, ok = native_load_event_batch(
         [p], "sensors", max_time=4, feat_dim=16)
     assert ok == 1 and labels[0] == 2
+
+
+def _session_fixture(tmp_path, rng, T=120, dim=6):
+    """One on-contract session: features npy + label pkl with 4 events."""
+    import pickle
+
+    feats = rng.randn(T, dim).astype(np.float32)
+    feat_path = str(tmp_path / "sess.npy")
+    np.save(feat_path, feats)
+    # segments: background(20) ev(25) short(3) ev(30) bg-short(10) ev(32)
+    s = np.cumsum([0, 20, 25, 3, 30, 10, 32])
+    G = [0, 3, 5, 7, 0, 2]
+    label_path = str(tmp_path / "sess_goal.pkl")
+    with open(label_path, "wb") as f:
+        pickle.dump({"label": None, "s": s, "G": G}, f)
+    return feat_path, label_path
+
+
+@needs_native
+def test_load_data_and_label_native_matches_python(tmp_path, rng):
+    """The TSN native gather fast path is bit-identical to the Python
+    window path — same events, labels, boundaries, AND the same RNG
+    stream afterwards (eligibility is decided before any draw)."""
+    import functools
+    from unittest import mock
+
+    from multimodal_similarity_tpu.data.datasets import load_data_and_label
+    from multimodal_similarity_tpu.data.tsn import (
+        tsn_prepare_input, tsn_prepare_input_test)
+
+    feat_path, label_path = _session_fixture(tmp_path, rng)
+
+    # train-time sampling, loader-style partial-with-rng binding
+    rng_a = np.random.RandomState(7)
+    prep_a = functools.partial(
+        functools.partial(tsn_prepare_input, 3), rng=rng_a)
+    ev_n, lab_n, bou_n = load_data_and_label(feat_path, label_path, prep_a)
+
+    rng_b = np.random.RandomState(7)
+    prep_b = functools.partial(
+        functools.partial(tsn_prepare_input, 3), rng=rng_b)
+    with mock.patch(
+            "multimodal_similarity_tpu.data.datasets."
+            "_load_events_tsn_native", return_value=None):
+        ev_p, lab_p, bou_p = load_data_and_label(feat_path, label_path,
+                                                 prep_b)
+
+    np.testing.assert_array_equal(ev_n, ev_p)
+    np.testing.assert_array_equal(lab_n, lab_p)
+    assert [tuple(map(int, b)) for b in bou_n] == \
+        [tuple(map(int, b)) for b in bou_p]
+    # RNG streams consumed identically
+    assert rng_a.randint(1 << 30) == rng_b.randint(1 << 30)
+
+    # test-time (deterministic) sampling parity
+    prep_t = functools.partial(tsn_prepare_input_test, 3)
+    ev_tn, _, _ = load_data_and_label(feat_path, label_path, prep_t)
+    with mock.patch(
+            "multimodal_similarity_tpu.data.datasets."
+            "_load_events_tsn_native", return_value=None):
+        ev_tp, _, _ = load_data_and_label(feat_path, label_path, prep_t)
+    np.testing.assert_array_equal(ev_tn, ev_tp)
+
+
+@needs_native
+def test_gather_segments_bounds_check(rng):
+    feats = rng.randn(10, 4).astype(np.float32)
+    with pytest.raises(IndexError):
+        native_gather_segments(feats, np.array([8], np.int64),
+                               np.array([[0, 1, 5]], np.int64))
+    with pytest.raises(IndexError):
+        native_gather_segments(feats, np.array([-2], np.int64),
+                               np.array([[0, 1, 1]], np.int64))
+
+
+@needs_native
+def test_crc_python_table_matches_native(rng, monkeypatch):
+    """crc32c() now prefers the native library; pin the pure-Python table
+    fallback against it (and the RFC 3720 test vector) so both encodings
+    stay interchangeable on machines without the .so."""
+    from multimodal_similarity_tpu.data import tfrecords as tfr
+
+    blobs = [b"", b"123456789", rng.bytes(4096)]
+    native_vals = [tfr.crc32c(b) for b in blobs]
+    monkeypatch.setattr(tfr, "_NATIVE_CRC", False)
+    python_vals = [tfr.crc32c(b) for b in blobs]
+    assert native_vals == python_vals
+    assert python_vals[1] == 0xE3069283  # RFC 3720 check value
