@@ -26,7 +26,8 @@ from multimodal_similarity_tpu.eval.evaluate_model import (
     restore_encoder_params)
 from multimodal_similarity_tpu.models import PDDM, PairSim, build_encoder, \
     score_all_pairs, score_all_pairs_sym
-from multimodal_similarity_tpu.train.steps import l2_normalize
+from multimodal_similarity_tpu.train.steps import (
+    embed_arrays_in_chunks, l2_normalize)
 
 
 def run(cfg: EvalConfig, head_kind: str = "pddm", threshold: float = 0.9):
@@ -59,7 +60,7 @@ def run(cfg: EvalConfig, head_kind: str = "pddm", threshold: float = 0.9):
         eve, lab, _ = load_data_and_label(row[0], row[-1], prep,
                                           cfg.transfer)
         lab = lab.reshape(-1)
-        emb = embed(jnp.asarray(eve))
+        emb = jnp.asarray(embed_arrays_in_chunks(embed, (eve,)))
         # PDDM is swap-symmetric -> half the head evaluations; PairSim
         # (concat order matters) must score every ordered pair
         scorer = (score_all_pairs_sym if head_kind == "pddm"

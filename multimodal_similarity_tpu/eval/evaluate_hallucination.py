@@ -20,7 +20,8 @@ from multimodal_similarity_tpu.eval.evaluate_model import (
     restore_encoder_params)
 from multimodal_similarity_tpu.eval.metrics import evaluate
 from multimodal_similarity_tpu.models import build_encoder
-from multimodal_similarity_tpu.train.steps import l2_normalize
+from multimodal_similarity_tpu.train.steps import (
+    embed_arrays_in_chunks, l2_normalize)
 
 SENSORS_EMB_DIM = 32
 
@@ -49,7 +50,7 @@ def run(cfg: EvalConfig):
         e2 = l2_normalize(hal.apply({"params": hal_params}, x))
         return jnp.concatenate([e, e2], axis=1)
 
-    embeddings = np.asarray(embed(jnp.asarray(feats)))
+    embeddings = embed_arrays_in_chunks(embed, (feats,))
     mAP, mAP_event, mPrec, confusion, count, recall = evaluate(
         embeddings, labels)
     print("hallucination fusion: mAP = %.4f  mPrec@0.5 = %.4f  "

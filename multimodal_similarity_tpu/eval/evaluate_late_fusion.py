@@ -22,7 +22,8 @@ from multimodal_similarity_tpu.eval.evaluate_model import (
     restore_encoder_params)
 from multimodal_similarity_tpu.eval.metrics import evaluate
 from multimodal_similarity_tpu.models import RTSN, build_encoder
-from multimodal_similarity_tpu.train.steps import l2_normalize
+from multimodal_similarity_tpu.train.steps import (
+    embed_arrays_in_chunks, l2_normalize)
 
 SENSORS_EMB_DIM = 32
 
@@ -70,7 +71,7 @@ def run(cfg: EvalConfig, sensors_n_input: int = 8):
                                  jax.nn.relu(hidden))
             return jnp.concatenate([e, l2_normalize(pred)], axis=1)
 
-        embeddings = np.asarray(embed(jnp.asarray(feats)))
+        embeddings = embed_arrays_in_chunks(embed, (feats,))
     else:
         sensors = RTSN(n_seg=cfg.num_seg, emb_dim=SENSORS_EMB_DIM,
                        n_input=sensors_n_input)
@@ -83,8 +84,7 @@ def run(cfg: EvalConfig, sensors_n_input: int = 8):
             e2 = l2_normalize(sensors.apply({"params": sensors_params}, x2))
             return jnp.concatenate([e, e2], axis=1)
 
-        embeddings = np.asarray(embed(jnp.asarray(feats),
-                                      jnp.asarray(feats2)))
+        embeddings = embed_arrays_in_chunks(embed, (feats, feats2))
     mAP, mAP_event, mPrec, confusion, count, recall = evaluate(
         embeddings, labels)
     print("late fusion: mAP = %.4f  mPrec@0.5 = %.4f  Recall@1 = %.4f"

@@ -25,7 +25,8 @@ from multimodal_similarity_tpu.eval.evaluate_model import (
     restore_encoder_params)
 from multimodal_similarity_tpu.models import PairSim, build_encoder
 from multimodal_similarity_tpu.ops.distances import pairwise_distance
-from multimodal_similarity_tpu.train.steps import l2_normalize
+from multimodal_similarity_tpu.train.steps import (
+    embed_arrays_in_chunks, l2_normalize)
 
 
 def select_eval_triplets(lab, eve_embedding, triplet_per_batch,
@@ -107,7 +108,7 @@ def run(cfg: EvalConfig):
     for row in test_set:
         eve, lab, _ = load_data_and_label(row[0], row[-1], prep,
                                           cfg.transfer)
-        emb = np.asarray(embed(jnp.asarray(eve)))
+        emb = embed_arrays_in_chunks(embed, (eve,))
         tri = select_eval_triplets(lab, emb, 100, alpha=0.2,
                                    rng=eval_rng)
         if not tri:

@@ -71,17 +71,30 @@ def make_embed_fn(model, normalized: bool = True,
 def embed_in_chunks(embed_fn, params, events, chunk: int = 256):
     """Fixed-chunk embedding of a host or device array (one compile for
     any N; device inputs are sliced in place, never copied back to host)."""
+    return embed_arrays_in_chunks(
+        lambda *blocks: embed_fn(params, *blocks), (events,), chunk=chunk)
+
+
+def embed_arrays_in_chunks(embed_fn, arrays, chunk: int = 256):
+    """Like embed_in_chunks for a row-aligned tuple of input arrays and a
+    params-free ``embed_fn(*blocks)`` (the eval CLIs' closed-over-params
+    jits, including two-modality fusions)."""
     import numpy as np
 
-    n = events.shape[0]
+    n = arrays[0].shape[0]
     out = []
     for start in range(0, n, chunk):
-        block = jnp.asarray(events[start:start + chunk])
-        pad = chunk - block.shape[0]
-        if pad:
-            block = jnp.concatenate(
-                [block, jnp.zeros((pad,) + block.shape[1:], block.dtype)])
-        out.append(np.asarray(embed_fn(params, block))[:chunk - pad or None])
+        blocks = []
+        pad = 0
+        for arr in arrays:
+            block = jnp.asarray(arr[start:start + chunk])
+            pad = chunk - block.shape[0]
+            if pad:
+                block = jnp.concatenate(
+                    [block,
+                     jnp.zeros((pad,) + block.shape[1:], block.dtype)])
+            blocks.append(block)
+        out.append(np.asarray(embed_fn(*blocks))[:chunk - pad or None])
     return np.concatenate(out, axis=0)[:n]
 
 
