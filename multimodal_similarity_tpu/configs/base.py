@@ -67,10 +67,15 @@ class BaseConfig:
                                  "segment": (357,)})
 
     def resolve(self) -> "BaseConfig":
-        self.feature_root = os.path.join(self.DATA_ROOT, "features/")
-        self.label_root = os.path.join(self.DATA_ROOT, "labels/")
-        self.result_root = os.path.join(self.DATA_ROOT, "results/")
-        self.tfrecords_root = os.path.join(self.DATA_ROOT, "tfrecords2/")
+        # derived from DATA_ROOT exactly like the reference
+        # (base_config.py:35-37), but an explicitly-constructed value
+        # (library users: BaseConfig(result_root=...)) is honored
+        for attr, sub in (("feature_root", "features/"),
+                          ("label_root", "labels/"),
+                          ("result_root", "results/"),
+                          ("tfrecords_root", "tfrecords2/")):
+            if not getattr(self, attr):
+                setattr(self, attr, os.path.join(self.DATA_ROOT, sub))
         for attr, fname in (("all_session", "all_session.txt"),
                             ("train_session", "train_session.txt"),
                             ("val_session", "val_session.txt"),
