@@ -246,9 +246,11 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
     profiler = StepWindowProfiler(cfg.profile_dir if pid == 0 else "",
                                   num_steps=cfg.profile_steps)
     import itertools
-    from multimodal_similarity_tpu.utils.preemption import PreemptionGuard
+    from multimodal_similarity_tpu.utils.preemption import (
+        PreemptionGuard, sync_should_stop)
     stream = continuous_batches()
     guard = PreemptionGuard().install()
+    stopping = False
     try:
         while epoch < cfg.max_epochs:
             lr = learning_rate_schedule(epoch, cfg.learning_rate,
@@ -323,10 +325,14 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                           f"loss {aux['loss']:.4f} triplets {aux['triplet_num']:.0f} "
                           f"({aux['train_time']:.2f}s)")
                 logger.log(int(state.step), aux)
-                if guard.should_stop:
+                # collective: a SIGTERM on ANY host stops every host at
+                # this same step boundary (a lone exiter would leave its
+                # peers blocked in the next collective)
+                stopping = sync_should_stop(guard, pcount)
+                if stopping:
                     break
 
-            if guard.should_stop:
+            if stopping:
                 # preemption (SIGTERM grace window): checkpoint the exact
                 # step and exit cleanly; --model_path on this file resumes
                 # from here (epoch_of_step re-derives the epoch)

@@ -579,9 +579,11 @@ def train(cfg: TrainConfig, hard_only: bool = False,
     epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
     # --profile_dir tracing is owned by exp.profiler (updated in exp.log)
     import itertools
-    from multimodal_similarity_tpu.utils.preemption import PreemptionGuard
+    from multimodal_similarity_tpu.utils.preemption import (
+        PreemptionGuard, sync_should_stop)
     stream = continuous_batches()
     guard = PreemptionGuard().install()
+    stopping = False
     try:
         while epoch < cfg.max_epochs:
             lr = learning_rate_schedule(epoch, cfg.learning_rate,
@@ -672,10 +674,14 @@ def train(cfg: TrainConfig, hard_only: bool = False,
                         f"loss {float(aux['loss']):.4f} "
                         f"tri/hard/struct {triplet_count}/{hard_count}/"
                         f"{struct_count}")
-                if guard.should_stop:
+                # collective: a SIGTERM on ANY host stops every host at
+                # this same step boundary (a lone exiter would leave its
+                # peers blocked in the next collective)
+                stopping = sync_should_stop(guard, pcount)
+                if stopping:
                     break
 
-            if guard.should_stop:
+            if stopping:
                 # preemption (SIGTERM grace window): checkpoint the exact
                 # step and exit cleanly; --model_path resumes from here
                 if pid == 0:

@@ -83,3 +83,23 @@ class PreemptionGuard:
 
     def wait(self, timeout: Optional[float] = None) -> bool:
         return self._stop.wait(timeout)
+
+
+def sync_should_stop(guard: PreemptionGuard, pcount: int = 1) -> bool:
+    """Collective stop decision for multi-process training.
+
+    A SIGTERM may reach only some hosts (or at different step boundaries);
+    a host that exits alone leaves its peers blocked in the next
+    collective.  When more than one process is live, all-gather each
+    host's local flag and stop iff ANY host saw the signal — every host
+    then leaves the step loop at the same step boundary, keeping the
+    final checkpoint and the collectives in lockstep.
+    """
+    if pcount <= 1:
+        return guard.should_stop
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    flags = multihost_utils.process_allgather(
+        np.asarray(guard.should_stop, np.int32))
+    return bool(np.any(flags))

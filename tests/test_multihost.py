@@ -305,3 +305,102 @@ def test_partial_explicit_coordinator_raises():
         initialize_distributed(None, 4, None)
     with pytest.raises(ValueError, match="coordinator_address"):
         initialize_distributed(None, None, 1)
+
+
+_PREEMPT_WORKER = textwrap.dedent("""
+    import sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+
+    coord, pid, root, outdir = (sys.argv[1], int(sys.argv[2]), sys.argv[3],
+                                sys.argv[4])
+    from multimodal_similarity_tpu.configs import TrainConfig
+    from multimodal_similarity_tpu.train.trainers import base_model
+    from multimodal_similarity_tpu.utils import preemption as _pre
+
+    if pid == 1:
+        # simulate a SIGTERM landing on ONE host only, after its second
+        # post-step check; the collective stop agreement must still stop
+        # BOTH hosts at the same step boundary
+        class LateStop(_pre.PreemptionGuard):
+            _checks = 0
+
+            @property
+            def should_stop(self):
+                LateStop._checks += 1
+                if LateStop._checks >= 2:
+                    self.request_stop()
+                return self._stop.is_set()
+
+        _pre.PreemptionGuard = LateStop
+
+    cfg = TrainConfig(
+        DATA_ROOT=root, name="pe", network="rtsn", feat="sensors",
+        n_input=8, emb_dim=8, num_seg=3, sess_per_batch=1, max_epochs=50,
+        triplet_per_batch=12, learning_rate=0.01, keep_prob=1.0,
+        triplet_select="facenet", silent_mode=True,
+        multihost=True, coordinator_address=coord, num_processes=2,
+        process_id=pid).resolve()
+    state, metrics, rd = base_model.train(cfg, event_budget=32,
+                                          result_dir=outdir)
+    print(f"WORKER_{pid}_STOPPED step={int(state.step)} dir={rd}")
+""")
+
+
+@pytest.mark.skipif(os.environ.get("MSIM_SKIP_SUBPROCESS") == "1",
+                    reason="subprocess tests disabled")
+def test_two_process_asymmetric_preemption(tmp_path):
+    """A preemption signal reaching only ONE host must stop BOTH hosts at
+    the same step boundary (utils.preemption.sync_should_stop) — a lone
+    exiter would leave its peer blocked in the next collective."""
+    from multimodal_similarity_tpu.data import generate_synthetic_honda
+
+    root = str(tmp_path / "honda")
+    generate_synthetic_honda(
+        root, n_sessions=5, frames_per_session=200,
+        modal_dims={"sensors": (8,)}, class_scale=1.0, noise_scale=1.0,
+        seed=0)
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+
+    worker = tmp_path / "preempt_worker.py"
+    worker.write_text(_PREEMPT_WORKER)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.getcwd()] + env.get("PYTHONPATH", "").split(os.pathsep))
+
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), coord, str(pid), root,
+         str(tmp_path / f"out{pid}")],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env) for pid in (0, 1)]
+    outs = []
+    for pid, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+
+    import glob
+    import re
+    steps = []
+    for pid, out in enumerate(outs):
+        assert "preemption signal: checkpointed at step" in out, out
+        m = re.search(rf"WORKER_{pid}_STOPPED step=(\d+)", out)
+        assert m, out
+        steps.append(int(m.group(1)))
+    # both hosts left the loop at the same collective step, well short of
+    # the 50-epoch budget, and process 0 owns the final checkpoint
+    assert steps[0] == steps[1] > 0
+    ckpts = glob.glob(str(tmp_path / "out0" / "*.ckpt-*"))
+    assert any(c.endswith(f".ckpt-{steps[0]}") for c in ckpts), ckpts
