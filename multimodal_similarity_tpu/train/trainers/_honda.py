@@ -126,6 +126,10 @@ class HondaExperiment:
         self.profiler = StepWindowProfiler(
             cfg.profile_dir if pid == 0 else "",
             num_steps=cfg.profile_steps)
+        # SIGTERM-grace preemption guard shared by every loop trainer
+        # built on this scaffolding (restored in close())
+        from multimodal_similarity_tpu.utils.preemption import PreemptionGuard
+        self._guard = PreemptionGuard().install()
 
     def next_key(self):
         self.rng, key = jax.random.split(self.rng)
@@ -137,6 +141,18 @@ class HondaExperiment:
         if echo and not self.cfg.silent_mode:
             print(echo)
 
+    def preempted(self, state) -> bool:
+        """Poll at step boundaries: on a preemption signal, checkpoint the
+        exact step so --model_path resumes with zero lost work, report,
+        and tell the caller to leave its loop (utils/preemption.py)."""
+        if not self._guard.should_stop:
+            return False
+        self.ckpt.save(state, int(state.step))
+        print(f"[{self.cfg.name}] preemption signal: checkpointed at "
+              f"step {int(state.step)}; exiting")
+        return True
+
     def close(self):
+        self._guard.restore()
         self.profiler.close()
         self.logger.close()

@@ -169,9 +169,7 @@ def train(cfg: TrainConfig, loss_kind: str = "batchhard",
 
     metrics = {}
     import itertools
-    from multimodal_similarity_tpu.utils.preemption import PreemptionGuard
     stream = continuous_selected()
-    guard = PreemptionGuard().install()
     try:
         epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
         while epoch < cfg.max_epochs:
@@ -189,14 +187,9 @@ def train(cfg: TrainConfig, loss_kind: str = "batchhard",
                          "learning_rate": lr},
                         f"[{cfg.name}] epoch {epoch + 1} step {int(state.step)} "
                         f"loss {float(aux['loss']):.4f}")
-                if guard.should_stop:
+                if exp._guard.should_stop:
                     break
-            if guard.should_stop:
-                # preemption (SIGTERM grace window): checkpoint the exact
-                # step and exit cleanly; --model_path resumes from here
-                exp.ckpt.save(state, int(state.step))
-                print(f"[{cfg.name}] preemption signal: checkpointed at "
-                      f"step {int(state.step)}; exiting")
+            if exp.preempted(state):
                 break
             if int(state.step) == step_at_epoch_start:
                 print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")
@@ -212,7 +205,6 @@ def train(cfg: TrainConfig, loss_kind: str = "batchhard",
     finally:
         # cancel the prefetch worker (it runs one batch ahead)
         # and flush any open trace/logs even when a step raises
-        guard.restore()
         stream.close()
         exp.close()
     return state, metrics, exp.result_dir

@@ -87,6 +87,10 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                     f"[{cfg.name}] epoch {epoch + 1} step {int(state.step)} "
                     f"loss {float(aux['loss']):.4f} "
                     f"acc {float(aux['accuracy']):.3f}")
+            if exp._guard.should_stop:
+                break
+        if exp.preempted(state):
+            break
         logits = np.asarray(infer(state.params, cached_device(exp.val_feats)))
         val_acc = float(np.mean(np.argmax(logits, -1)
                                 == exp.val_labels.reshape(-1)))

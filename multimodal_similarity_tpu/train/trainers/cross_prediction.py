@@ -94,6 +94,10 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                      "learning_rate": lr},
                     f"[{cfg.name}] epoch {epoch + 1} step {int(state.step)} "
                     f"mse {float(aux['mse']):.4f}")
+            if exp._guard.should_stop:
+                break
+        if exp.preempted(state):
+            break
         metrics = {"train_mse": float(aux["mse"])}
         exp.ckpt.save(state, int(state.step))
         epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)

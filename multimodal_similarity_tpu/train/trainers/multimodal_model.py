@@ -579,10 +579,9 @@ def train(cfg: TrainConfig, hard_only: bool = False,
     epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
     # --profile_dir tracing is owned by exp.profiler (updated in exp.log)
     import itertools
-    from multimodal_similarity_tpu.utils.preemption import (
-        PreemptionGuard, sync_should_stop)
+    from multimodal_similarity_tpu.utils.preemption import sync_should_stop
     stream = continuous_batches()
-    guard = PreemptionGuard().install()
+    guard = exp._guard  # installed by HondaExperiment, restored in close()
     stopping = False
     try:
         while epoch < cfg.max_epochs:
@@ -727,7 +726,6 @@ def train(cfg: TrainConfig, hard_only: bool = False,
     finally:
         # cancel the prefetch worker (it runs one batch ahead)
         # and flush any open trace/logs even when a step raises
-        guard.restore()
         stream.close()
         exp.close()
     return state, metrics, exp.result_dir

@@ -319,6 +319,10 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                         f"[{cfg.name}] epoch {epoch + 1} "
                         f"step {int(state.step)} "
                         f"loss {float(aux['loss']):.4f}")
+            if exp._guard.should_stop:
+                break
+        if exp.preempted(state):
+            break
 
         if steps_this_epoch == 0:
             # no labeled sessions and pseudo-labels not yet active: the

@@ -226,6 +226,10 @@ def train(cfg: TrainConfig, use_mse: bool = False,
                      "learning_rate": lr},
                     f"[{cfg.name}] epoch {epoch + 1} step {int(state.step)} "
                     f"loss {float(aux['loss']):.4f}")
+            if exp._guard.should_stop:
+                break
+        if exp.preempted(state):
+            break
 
         from multimodal_similarity_tpu.eval.metrics import (
             retrieval_metrics_device)

@@ -124,6 +124,10 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                     f"[{cfg.name}] epoch {epoch + 1} step {int(state.step)} "
                     f"loss {float(aux['loss']):.4f} "
                     f"ver_acc {float(aux['ver_acc']):.3f}")
+            if exp._guard.should_stop:
+                break
+        if exp.preempted(state):
+            break
         if int(state.step) == step_at_epoch_start:
             print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")
             break

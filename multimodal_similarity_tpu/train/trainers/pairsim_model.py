@@ -169,6 +169,7 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
         return acc, prob
 
     metrics = {}
+    val_prob = None
     # config-seeded pair-sampler stream (independent of global RNG)
     mine_rng = random.Random(cfg.seed)
     epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
@@ -213,6 +214,10 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                     f"[{cfg.name}] epoch {epoch + 1} step {int(state.step)} "
                     f"loss {float(aux['loss']):.4f} "
                     f"acc {float(aux['acc']):.3f}")
+            if exp._guard.should_stop:
+                break
+        if exp.preempted(state):
+            break
         if int(state.step) == step_at_epoch_start:
             print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")
             break
@@ -225,8 +230,12 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
         exp.ckpt.save(state, int(state.step))
         epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
 
-    # final per-pair log (reference :332-337)
+    # final per-pair log (reference :332-337); skipped when a preemption
+    # lands before the first validation pass produced any probabilities
     import os
+    if val_prob is None:
+        exp.close()
+        return state, metrics, exp.result_dir
     with open(os.path.join(exp.result_dir, "val_results.txt"), "w") as fout:
         fout.write("acc = %.4f\n" % metrics.get("val_acc", 0.0))
         fout.write("label\tprob_0\tprob_1\tA_idx\tB_idx\n")

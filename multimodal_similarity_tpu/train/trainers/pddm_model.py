@@ -167,6 +167,10 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                      "learning_rate": lr},
                     f"[{cfg.name}] epoch {epoch + 1} step {int(state.step)} "
                     f"loss {float(aux['loss']):.4f}")
+            if exp._guard.should_stop:
+                break
+        if exp.preempted(state):
+            break
         if int(state.step) == step_at_epoch_start:
             print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")
             break

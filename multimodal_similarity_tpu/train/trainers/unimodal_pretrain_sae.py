@@ -89,6 +89,10 @@ def train(cfg: TrainConfig, mode: str = "seq2seq",
                      "learning_rate": lr},
                     f"[{cfg.name}] epoch {epoch + 1} step {int(state.step)} "
                     f"mse {float(aux['mse']):.4f}")
+            if exp._guard.should_stop:
+                break
+        if exp.preempted(state):
+            break
         # validation reconstruction error
         x = cached_device(val_x_host)
         _, recon = model.apply({"params": state.params}, x)

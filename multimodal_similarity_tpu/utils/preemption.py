@@ -22,6 +22,17 @@ chains any previously-installed handler so embedding frameworks keep
 their own shutdown hooks.  Installing from a non-main thread (where
 CPython forbids ``signal.signal``) degrades to an inert guard rather
 than failing, so library users can call trainers from worker threads.
+
+Reliability notes, both validated on the real chip (RESULTS.md):
+(1) the signal must reach the *python* process — wrapping the trainer in
+a shell pipeline and signalling the shell orphans the trainer instead of
+stopping it (use ``timeout``/``exec`` or signal the python pid);
+(2) a preemption landing while the main thread is stuck in a very long
+device RPC cannot run any Python handler until the call returns — that
+failure mode is a hang, which is the watchdog's jurisdiction
+(utils/watchdog.py), not the guard's.  ``should_stop`` additionally
+re-asserts the OS disposition at every poll, so anything that replaces
+the handler from native code is overridden within one step.
 """
 
 from __future__ import annotations
@@ -75,6 +86,19 @@ class PreemptionGuard:
     # -- consumer API ------------------------------------------------------
     @property
     def should_stop(self) -> bool:
+        # Re-assert the OS disposition on every poll: some PJRT runtimes
+        # (observed with the tunneled TPU backend) transiently reset the
+        # process's SIGTERM disposition from native code, which would let
+        # a later signal kill the process despite an installed Python
+        # handler.  One sigaction syscall per step boundary is free; it
+        # shrinks the clobber window to at most one step.
+        if self._installed and \
+                threading.current_thread() is threading.main_thread():
+            for sig in self._signals:
+                try:
+                    signal.signal(sig, self._handle)
+                except (ValueError, OSError):  # pragma: no cover
+                    pass
         return self._stop.is_set()
 
     def request_stop(self) -> None:

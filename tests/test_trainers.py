@@ -273,3 +273,48 @@ def test_multimodal_fused_hard_only(synth_root, tmp_path):
     for l in step_lines:
         assert l["struct_count"] == 0.0
         assert l["metric_loss3"] == 0.0
+
+
+def test_honda_experiment_trainers_preempt(synth_root, tmp_path, monkeypatch):
+    """Every HondaExperiment-based trainer checkpoints and exits on a
+    preemption signal instead of running out its epoch budget (the guard
+    is installed by the shared scaffolding, trainers/_honda.py)."""
+    import glob
+    import os
+
+    from multimodal_similarity_tpu.utils import preemption as _pre
+
+    class FiringGuard(_pre.PreemptionGuard):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self._checks = 0
+
+        def install(self):
+            return self
+
+        def restore(self):
+            pass
+
+        @property
+        def should_stop(self):
+            self._checks += 1
+            if self._checks > 2:
+                self.request_stop()
+            return self._stop.is_set()
+
+    monkeypatch.setattr(_pre, "PreemptionGuard", FiringGuard)
+    from multimodal_similarity_tpu.train.trainers import (
+        base_model_batchhard, pddm_model, unimodal_pretrain_sae)
+
+    for i, (mod, kw) in enumerate([
+            (base_model_batchhard, {}),
+            (pddm_model, {}),
+            (unimodal_pretrain_sae, {"network": "seq2seq"})]):
+        cfg = _cfg(synth_root, max_epochs=50, **kw)
+        rd = str(tmp_path / f"pre{i}")
+        state, metrics, out_dir = mod.train(cfg, event_budget=48,
+                                            result_dir=rd)
+        assert int(state.step) <= 4, (mod.__name__, int(state.step))
+        ckpts = glob.glob(os.path.join(out_dir, "*.ckpt-*"))
+        assert any(c.endswith(f".ckpt-{int(state.step)}") for c in ckpts), \
+            (mod.__name__, ckpts)
