@@ -119,6 +119,8 @@ def train(cfg: TrainConfig, event_per_batch: int = 64,
         return l2_normalize(e) if cfg.normalized else e
 
     metrics = {}
+    from multimodal_similarity_tpu.utils.preemption import PreemptionGuard
+    guard = PreemptionGuard().install()
     epoch = epoch_of_step(int(state.step), batch_per_epoch)
     while epoch < cfg.max_epochs:
         lr = learning_rate_schedule(epoch, cfg.learning_rate,
@@ -138,7 +140,15 @@ def train(cfg: TrainConfig, event_per_batch: int = 64,
                 print(f"[{cfg.name}] epoch {epoch + 1} "
                       f"step {int(state.step)} "
                       f"loss {float(aux['loss']):.4f}")
-
+            if guard.should_stop:
+                break
+        if guard.should_stop:
+            # preemption (SIGTERM grace window): checkpoint the exact
+            # step and exit cleanly; --model_path resumes from here
+            ckpt.save(state, int(state.step))
+            print(f"[{cfg.name}] preemption signal: checkpointed at "
+                  f"step {int(state.step)}; exiting")
+            break
         if int(state.step) == step_at_epoch_start:
             print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")
             break
@@ -161,6 +171,7 @@ def train(cfg: TrainConfig, event_per_batch: int = 64,
         ckpt.save(state, int(state.step))
         epoch = epoch_of_step(int(state.step), batch_per_epoch)
 
+    guard.restore()
     logger.close()
     return state, metrics, result_dir
 
