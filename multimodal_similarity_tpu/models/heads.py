@@ -27,9 +27,12 @@ Dense = functools.partial(
 
 
 def _l2_normalize(x: Array, eps: float = 1e-10) -> Array:
-    # tf.nn.l2_normalize semantics: x / max(||x||, eps) via rsqrt(max(ss, eps^2))
+    # tf.nn.l2_normalize semantics: x * rsqrt(max(sum(x^2), eps)) — the
+    # floor applies to the squared SUM, so near-zero vectors (like the
+    # u-branch for a self-pair) stay near zero instead of blowing up to
+    # unit norm
     sq = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
-    return x * jax.lax.rsqrt(jnp.maximum(sq, eps * eps))
+    return x * jax.lax.rsqrt(jnp.maximum(sq, eps))
 
 
 class PairSim(nn.Module):

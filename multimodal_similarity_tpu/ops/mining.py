@@ -162,10 +162,12 @@ def mine_semihard_triplets_from_embeddings(
 
     # per-class valid-member counts WITHOUT the [N, N] label-equality
     # matrix (three N^2 bool masks would dominate HBM at mega-batch N):
-    # sort-rank the labels into dense ids, then one O(N) segment_sum
-    labels_i = labels.astype(jnp.int32)
-    order = jnp.argsort(labels_i)
-    sorted_lab = labels_i[order]
+    # sort-rank the labels into dense ids, then one O(N) segment_sum.
+    # Rank the RAW labels — truncating to int here while the pos/neg
+    # masks below compare raw values would merge distinct float classes
+    # in the counts only, corrupting anchor weights and the >=2 gate.
+    order = jnp.argsort(labels)
+    sorted_lab = labels[order]
     new_group = jnp.concatenate([
         jnp.zeros((1,), jnp.int32),
         (sorted_lab[1:] != sorted_lab[:-1]).astype(jnp.int32)])

@@ -43,6 +43,23 @@ _POS_INF = 1e30
 _INVALID_LABEL = -2.0
 
 
+def _dense_label_ids(labels):
+    """Equality-preserving dense label ids as float32.
+
+    The kernels stream labels as f32 tiles and compare them for equality;
+    raw integer ids >= 2^24 (hashed / 64-bit track ids) would silently
+    collide in that cast.  Sort-rank to dense 0..n-1 — always exact in
+    f32 for any feasible batch — so arbitrary ids stay distinct.
+    """
+    lab = labels.reshape(-1)
+    order = jnp.argsort(lab)
+    slab = lab[order]
+    new = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                           (slab[1:] != slab[:-1]).astype(jnp.int32)])
+    return jnp.zeros(lab.shape[0], jnp.float32).at[order].set(
+        jnp.cumsum(new).astype(jnp.float32))
+
+
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -312,7 +329,7 @@ def fused_batch_hard_stats(emb: Array, labels: Array,
     if not block:
         block = _auto_block(emb.shape[1], precision)
     emb32 = emb.astype(jnp.float32)
-    labels_f = labels.reshape(-1).astype(jnp.float32)
+    labels_f = _dense_label_ids(labels)
     n = emb32.shape[0]
     valid_f = (jnp.ones(n, jnp.float32) if valid is None
                else valid.reshape(-1).astype(jnp.float32))
@@ -328,7 +345,7 @@ def _stats_impl(emb, labels, valid, block, precision="bf16", algo="auto"):
     if not block:
         block = _auto_block(emb.shape[1], precision)
     emb = emb.astype(jnp.float32)
-    labels_f = labels.reshape(-1).astype(jnp.float32)
+    labels_f = _dense_label_ids(labels)
     n = emb.shape[0]
     valid_f = (jnp.ones(n, jnp.float32) if valid is None
                else valid.reshape(-1).astype(jnp.float32))

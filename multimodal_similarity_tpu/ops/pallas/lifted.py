@@ -41,6 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 from multimodal_similarity_tpu.ops.pallas.batch_hard import (
     _INVALID_LABEL,
     _POS_INF,
+    _dense_label_ids,
     _prep_operands,
     _use_interpret,
 )
@@ -306,7 +307,7 @@ def fused_lifted_stats(emb: Array, labels: Array,
 
 def _prep(emb, labels, valid):
     emb = emb.astype(jnp.float32)
-    labels_f = labels.reshape(-1).astype(jnp.float32)
+    labels_f = _dense_label_ids(labels)
     n = emb.shape[0]
     valid_f = (jnp.ones(n, jnp.float32) if valid is None
                else valid.reshape(-1).astype(jnp.float32))

@@ -19,11 +19,11 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from multimodal_similarity_tpu.ops.losses import triplet_loss_masked
-from multimodal_similarity_tpu.ops.mining import mine_semihard_triplets
+from multimodal_similarity_tpu.ops.mining import (
+    mine_semihard_triplets_from_embeddings)
 from multimodal_similarity_tpu.train.steps import (
     jit_step,
     l2_normalize,
-    masked_self_distance,
 )
 
 
@@ -64,10 +64,12 @@ def make_dp_triplet_step(
             emb = jax.lax.with_sharding_constraint(
                 emb, NamedSharding(mesh, P()))
             emb = jax.lax.stop_gradient(emb)
-            dists = masked_self_distance(emb, mask, metric)
-            mined = mine_semihard_triplets(
-                dists, labels, k_mine, triplet_per_batch, alpha=alpha,
-                num_negative=num_negative, valid=mask)
+            # O(P*N) rowwise miner (bit-identical sampling to the matrix
+            # variant under the same key) — the [N, N] distance matrix
+            # would be replicated per chip and OOM at mega-batch N
+            mined = mine_semihard_triplets_from_embeddings(
+                emb, labels, k_mine, triplet_per_batch, alpha=alpha,
+                num_negative=num_negative, valid=mask, metric=metric)
 
             tri_idx = jnp.concatenate(
                 [mined.anchor, mined.positive, mined.negative])

@@ -109,8 +109,11 @@ def build_optimizer(
         if optimizer == "ADAM":
             return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=0.1)
         if optimizer == "RMSPROP":
+            # initial_scale=1.0: tf.train.RMSPropOptimizer (utils.py:19)
+            # initializes the mean-square accumulator to ones, unlike the
+            # optax/PyTorch default of zeros
             return optax.rmsprop(learning_rate, decay=0.9, eps=1.0,
-                                 momentum=0.9)
+                                 momentum=0.9, initial_scale=1.0)
         if optimizer == "MOMENTUM":
             return optax.sgd(learning_rate, momentum=0.9, nesterov=True)
         return optax.sgd(learning_rate)
@@ -150,6 +153,13 @@ def l2_regularization(params, filter_biases: bool = True) -> Array:
         name = path[-1].key if path else ""
         if not filter_biases:
             return True
+        # LSTM internals are exempt: the reference regularizes only its
+        # hand-declared W_* matrices (networks.py get_variable calls) —
+        # tf.contrib.rnn.LSTMCell variables never join
+        # REGULARIZATION_LOSSES.  Our LSTM weights all live under a
+        # scan-cell scope named "cell" (models/lstm.py).
+        if any(str(getattr(p, "key", "")) == "cell" for p in path):
+            return False
         return not str(name).startswith("b")
 
     leaves = jax.tree_util.tree_flatten_with_path(params)[0]

@@ -43,8 +43,12 @@ def jit_step(step, **jit_kwargs):
 
 
 def l2_normalize(x: Array, eps: float = 1e-10) -> Array:
+    # tf.nn.l2_normalize floors the squared SUM at epsilon (not epsilon^2):
+    # x * rsqrt(max(sum(x^2), eps)).  Matching it exactly matters for
+    # degenerate near-zero vectors (1e-20 < ss < 1e-10), which TF leaves
+    # near zero instead of amplifying to unit norm.
     sq = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
-    return x * jax.lax.rsqrt(jnp.maximum(sq, eps * eps))
+    return x * jax.lax.rsqrt(jnp.maximum(sq, eps))
 
 
 def masked_self_distance(emb: Array, mask: Array, metric: str) -> Array:

@@ -243,3 +243,25 @@ def test_score_rows_matches_all_pairs_rows(rng):
     rows = jnp.asarray([0, 5, 19, 36, 5])
     got = np.asarray(score_rows(fn, emb, rows, block=8))
     np.testing.assert_allclose(got, full[np.asarray(rows)], atol=1e-5)
+
+
+def test_embedding_miner_float_labels_match_matrix(rng):
+    """Distinct float classes (1.2 vs 1.7) must not merge in the rowwise
+    miner's class counts — it ranks RAW labels, matching the matrix
+    miner's raw-label equality tests."""
+    from multimodal_similarity_tpu.ops.mining import (
+        mine_semihard_triplets_from_embeddings)
+    emb, _ = _make_batch(rng, n=40)
+    labels = np.tile([1.2, 1.7, 2.5, 0.0], 10).astype(np.float32)
+    key = jax.random.PRNGKey(9)
+    m1 = mine_semihard_triplets(self_distance(jnp.array(emb)),
+                                jnp.array(labels), key, 24)
+    m2 = mine_semihard_triplets_from_embeddings(
+        jnp.array(emb), jnp.array(labels), key, 24)
+    np.testing.assert_array_equal(np.asarray(m1.anchor),
+                                  np.asarray(m2.anchor))
+    np.testing.assert_array_equal(np.asarray(m1.positive),
+                                  np.asarray(m2.positive))
+    np.testing.assert_array_equal(np.asarray(m1.negative),
+                                  np.asarray(m2.negative))
+    np.testing.assert_array_equal(np.asarray(m1.mask), np.asarray(m2.mask))

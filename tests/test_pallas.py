@@ -320,3 +320,22 @@ def test_lifted_tri_bounded_gradients_match(rng):
     g2 = jax.grad(tri)(emb)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=2e-3,
                                atol=1e-5)
+
+
+def test_fused_stats_large_label_ids(rng):
+    """Integer ids >= 2^24 (hashed track ids) must stay distinct — labels
+    are sort-ranked to dense f32 ids before streaming, so adjacent huge
+    ids no longer collide in the f32 cast."""
+    n, d = 96, 32
+    emb = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    small = np.array([1, 2, 3] * (n // 3), np.int64)
+    huge = (small + (1 << 26)).astype(np.int64)
+    # pre-fix these all round to the same f32 value (spacing 8 at 2^26)
+    assert len({float(np.float32(v)) for v in [huge[0], huge[1], huge[2]]}) == 1
+    fp_s, cn_s, nc_s = fused_batch_hard_stats(emb, jnp.asarray(small),
+                                              precision="f32")
+    fp_h, cn_h, nc_h = fused_batch_hard_stats(emb, jnp.asarray(huge),
+                                              precision="f32")
+    np.testing.assert_allclose(np.asarray(fp_s), np.asarray(fp_h))
+    np.testing.assert_allclose(np.asarray(cn_s), np.asarray(cn_h))
+    np.testing.assert_allclose(np.asarray(nc_s), np.asarray(nc_h))

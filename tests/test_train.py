@@ -345,3 +345,64 @@ def test_base_trainer_preemption_checkpoints_and_exits(
     import glob
     ckpts = glob.glob(os.path.join(result_dir, "*.ckpt-*"))
     assert ckpts, "preemption exit did not write a checkpoint"
+
+
+def test_l2_normalize_matches_tf_semantics():
+    """tf.nn.l2_normalize floors the squared SUM at eps: degenerate
+    near-zero vectors stay near zero instead of amplifying to unit norm."""
+    from multimodal_similarity_tpu.train.steps import l2_normalize
+
+    x = np.zeros((2, 4), np.float32)
+    x[0] = 1e-8          # ss = 4e-16: between eps^2 and eps
+    x[1, 0] = 3.0        # healthy row
+    out = np.asarray(l2_normalize(jnp.asarray(x)))
+    assert np.linalg.norm(out[0]) < 1e-2, "degenerate row blew up"
+    np.testing.assert_allclose(np.linalg.norm(out[1]), 1.0, rtol=1e-6)
+    try:
+        import tensorflow as tf
+    except ImportError:
+        return
+    # the reference passes epsilon=1e-10 at every call site
+    # (base_model.py:136 etc.)
+    ref = tf.nn.l2_normalize(tf.constant(x), axis=-1, epsilon=1e-10).numpy()
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-12)
+
+
+def test_rmsprop_tf1_initial_scale():
+    """tf.train.RMSPropOptimizer starts its mean-square accumulator at
+    ONES; the first update must use sqrt(decay*1 + (1-decay)*g^2 + eps)."""
+    import optax
+    from multimodal_similarity_tpu.train.state import build_optimizer
+
+    g, lr, decay, eps, momentum = 2.0, 0.1, 0.9, 1.0, 0.9
+    params = {"w": jnp.zeros((1,), jnp.float32)}
+    tx = build_optimizer("RMSPROP", lr)
+    st = tx.init(params)
+    upd, _ = tx.update({"w": jnp.full((1,), g)}, st, params)
+    expected = -lr * g / np.sqrt(decay * 1.0 + (1 - decay) * g * g + eps)
+    np.testing.assert_allclose(np.asarray(upd["w"]), expected, rtol=1e-6)
+
+
+def test_l2_regularization_exempts_lstm_cells(rng):
+    """The reference regularizes only its hand-declared W_* matrices;
+    LSTM cell variables never join REGULARIZATION_LOSSES."""
+    from multimodal_similarity_tpu.models import build_encoder
+    from multimodal_similarity_tpu.train.state import l2_regularization
+
+    model = build_encoder("rtsn", num_seg=3, emb_dim=8, n_input=4)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((2, 3, 4)))["params"]
+    total = float(l2_regularization(params))
+    manual = 0.0
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    saw_cell = False
+    for path, leaf in flat:
+        keys = [str(getattr(p, "key", "")) for p in path]
+        if "cell" in keys:
+            saw_cell = True
+            continue
+        if keys[-1].startswith("b"):
+            continue
+        manual += 0.5 * float(np.sum(np.square(np.asarray(leaf))))
+    assert saw_cell, "rtsn params should contain an LSTM cell subtree"
+    np.testing.assert_allclose(total, manual, rtol=1e-6)
