@@ -44,20 +44,33 @@ _INVALID_LABEL = -2.0
 
 
 def _dense_label_ids(labels):
-    """Equality-preserving dense label ids as float32.
+    """Equality-preserving float32 label ids for the kernels' tiles.
 
-    The kernels stream labels as f32 tiles and compare them for equality;
-    raw integer ids >= 2^24 (hashed / 64-bit track ids) would silently
-    collide in that cast.  Sort-rank to dense 0..n-1 — always exact in
-    f32 for any feasible batch — so arbitrary ids stay distinct.
+    The kernels stream labels as f32 and compare for equality; raw ids
+    >= 2^24 (hashed / 64-bit track ids) would silently collide in that
+    cast.  The sort-rank remap to dense 0..n-1 is exact for any feasible
+    batch but costs ~0.7-0.9 ms at mining sizes — comparable to the
+    kernel itself at small d — so it runs only when actually needed:
+    f32 inputs pass through (the cast is the identity), and integer
+    inputs take a runtime ``lax.cond`` on max|label| (a cheap reduction)
+    that remaps only when some id exceeds 2^24.
     """
     lab = labels.reshape(-1)
-    order = jnp.argsort(lab)
-    slab = lab[order]
-    new = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                           (slab[1:] != slab[:-1]).astype(jnp.int32)])
-    return jnp.zeros(lab.shape[0], jnp.float32).at[order].set(
-        jnp.cumsum(new).astype(jnp.float32))
+    if lab.dtype == jnp.float32:
+        return lab
+
+    def _remap(l):
+        order = jnp.argsort(l)
+        slab = l[order]
+        new = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               (slab[1:] != slab[:-1]).astype(jnp.int32)])
+        return jnp.zeros(l.shape[0], jnp.float32).at[order].set(
+            jnp.cumsum(new).astype(jnp.float32))
+
+    if jnp.issubdtype(lab.dtype, jnp.integer):
+        return jax.lax.cond(jnp.max(jnp.abs(lab)) < (1 << 24),
+                            lambda l: l.astype(jnp.float32), _remap, lab)
+    return _remap(lab)  # float64 etc.: distinct values may collide in f32
 
 
 def _use_interpret() -> bool:
