@@ -147,9 +147,9 @@ class HondaExperiment:
         and tell the caller to leave its loop (utils/preemption.py)."""
         if not self._guard.should_stop:
             return False
-        self.ckpt.save(state, int(state.step))
-        print(f"[{self.cfg.name}] preemption signal: checkpointed at "
-              f"step {int(state.step)}; exiting")
+        from multimodal_similarity_tpu.utils.preemption import (
+            report_preemption)
+        report_preemption(self.cfg.name, state, self.ckpt)
         return True
 
     def close(self):

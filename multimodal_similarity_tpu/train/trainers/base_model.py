@@ -247,7 +247,7 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                                   num_steps=cfg.profile_steps)
     import itertools
     from multimodal_similarity_tpu.utils.preemption import (
-        PreemptionGuard, sync_should_stop)
+        PreemptionGuard, report_preemption, sync_should_stop)
     stream = continuous_batches()
     guard = PreemptionGuard().install()
     stopping = False
@@ -328,18 +328,19 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                 # collective: a SIGTERM on ANY host stops every host at
                 # this same step boundary (a lone exiter would leave its
                 # peers blocked in the next collective)
-                stopping = sync_should_stop(guard, pcount)
+                stopping = sync_should_stop(guard, pcount,
+                                            step=int(state.step))
                 if stopping:
                     break
 
+            # epoch boundary: force a sync so a signal near epoch end
+            # isn't deferred into the next epoch by the step throttle
+            stopping = stopping or sync_should_stop(guard, pcount)
             if stopping:
                 # preemption (SIGTERM grace window): checkpoint the exact
                 # step and exit cleanly; --model_path on this file resumes
                 # from here (epoch_of_step re-derives the epoch)
-                if pid == 0:
-                    ckpt.save(state, int(state.step))
-                print(f"[{cfg.name}] preemption signal: checkpointed at "
-                      f"step {int(state.step)}; exiting")
+                report_preemption(cfg.name, state, ckpt, pid)
                 break
             if int(state.step) == step_at_epoch_start:
                 print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")

@@ -145,9 +145,9 @@ def train(cfg: TrainConfig, event_per_batch: int = 64,
         if guard.should_stop:
             # preemption (SIGTERM grace window): checkpoint the exact
             # step and exit cleanly; --model_path resumes from here
-            ckpt.save(state, int(state.step))
-            print(f"[{cfg.name}] preemption signal: checkpointed at "
-                  f"step {int(state.step)}; exiting")
+            from multimodal_similarity_tpu.utils.preemption import (
+                report_preemption)
+            report_preemption(cfg.name, state, ckpt)
             break
         if int(state.step) == step_at_epoch_start:
             print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")

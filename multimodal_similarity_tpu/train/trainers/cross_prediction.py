@@ -81,28 +81,32 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
 
     metrics = {}
     epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
-    while epoch < cfg.max_epochs:
-        lr = learning_rate_schedule(epoch, cfg.learning_rate,
-                                    cfg.static_epochs, cfg.max_epochs)
-        for batch in exp.loader.epoch():
-            targets = batch["events2"].reshape(batch["events2"].shape[0], -1)
-            state, aux = step_fn(
-                state, jnp.asarray(batch["events"]), jnp.asarray(targets),
-                jnp.asarray(batch["mask"]), exp.next_key(), jnp.float32(lr))
-            exp.log(int(state.step),
-                    {**{k: float(v) for k, v in aux.items()},
-                     "learning_rate": lr},
-                    f"[{cfg.name}] epoch {epoch + 1} step {int(state.step)} "
-                    f"mse {float(aux['mse']):.4f}")
-            if exp._guard.should_stop:
+    # exp.close() must run even when the loop raises: it
+    # restores the SIGTERM guard and flushes logs/traces
+    try:
+        while epoch < cfg.max_epochs:
+            lr = learning_rate_schedule(epoch, cfg.learning_rate,
+                                        cfg.static_epochs, cfg.max_epochs)
+            for batch in exp.loader.epoch():
+                targets = batch["events2"].reshape(batch["events2"].shape[0], -1)
+                state, aux = step_fn(
+                    state, jnp.asarray(batch["events"]), jnp.asarray(targets),
+                    jnp.asarray(batch["mask"]), exp.next_key(), jnp.float32(lr))
+                exp.log(int(state.step),
+                        {**{k: float(v) for k, v in aux.items()},
+                         "learning_rate": lr},
+                        f"[{cfg.name}] epoch {epoch + 1} step {int(state.step)} "
+                        f"mse {float(aux['mse']):.4f}")
+                if exp._guard.should_stop:
+                    break
+            if exp.preempted(state):
                 break
-        if exp.preempted(state):
-            break
-        metrics = {"train_mse": float(aux["mse"])}
-        exp.ckpt.save(state, int(state.step))
-        epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
+            metrics = {"train_mse": float(aux["mse"])}
+            exp.ckpt.save(state, int(state.step))
+            epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
 
-    exp.close()
+    finally:
+        exp.close()
     return state, metrics, exp.result_dir
 
 

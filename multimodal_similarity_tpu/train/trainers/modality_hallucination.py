@@ -194,61 +194,65 @@ def train(cfg: TrainConfig, sensors_only: bool = False,
     # config-seeded host-miner stream (independent of global RNG)
     mine_rng = random.Random(cfg.seed)
     epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
-    while epoch < cfg.max_epochs:
-        lr = learning_rate_schedule(epoch, cfg.learning_rate,
-                                    cfg.static_epochs, cfg.max_epochs)
-        step_at_epoch_start = int(state.step)
-        for batch in exp.loader.epoch():
-            n = int(batch["num_events"])
-            emb = core_embed(state.params, batch["events"][:n])
-            dists = cdist(all_diffs(emb, emb), cfg.metric)
-            idx, _ = select_triplets_facenet(
-                batch["labels"][:n], np.asarray(dists),
-                cfg.triplet_per_batch, cfg.alpha, cfg.num_negative,
-                rng=mine_rng)
-            if not idx:
-                continue
-            t = min(len(idx) // 3, tri_cap)
-            gather = np.zeros(3 * tri_cap, np.int32)
-            gather[: 3 * t] = np.asarray(idx[: 3 * t], np.int32)
-            mask = np.zeros(tri_cap, np.float32)
-            mask[:t] = 1.0
-            # triplets arrive role-major for the reshape(tri_cap, 3, ...)
-            gmat = gather.reshape(tri_cap, 3)
-            tri_events = jnp.asarray(batch["events"][:n][gmat.reshape(-1)])
-            tri_sensors = jnp.asarray(batch["events2"][:n][gmat.reshape(-1)])
-            tri_segment = (jnp.asarray(
-                batch["events3"][:n][gmat.reshape(-1)])
-                if not sensors_only else tri_sensors)
-            state, aux = step_fn(state, tri_events, tri_sensors, tri_segment,
-                                 jnp.asarray(mask), exp.next_key(),
-                                 jnp.float32(lr))
-            exp.log(int(state.step),
-                    {**{k: float(v) for k, v in aux.items()},
-                     "learning_rate": lr},
-                    f"[{cfg.name}] epoch {epoch + 1} step {int(state.step)} "
-                    f"loss {float(aux['loss']):.4f}")
-            if exp._guard.should_stop:
+    # exp.close() must run even when the loop raises: it
+    # restores the SIGTERM guard and flushes logs/traces
+    try:
+        while epoch < cfg.max_epochs:
+            lr = learning_rate_schedule(epoch, cfg.learning_rate,
+                                        cfg.static_epochs, cfg.max_epochs)
+            step_at_epoch_start = int(state.step)
+            for batch in exp.loader.epoch():
+                n = int(batch["num_events"])
+                emb = core_embed(state.params, batch["events"][:n])
+                dists = cdist(all_diffs(emb, emb), cfg.metric)
+                idx, _ = select_triplets_facenet(
+                    batch["labels"][:n], np.asarray(dists),
+                    cfg.triplet_per_batch, cfg.alpha, cfg.num_negative,
+                    rng=mine_rng)
+                if not idx:
+                    continue
+                t = min(len(idx) // 3, tri_cap)
+                gather = np.zeros(3 * tri_cap, np.int32)
+                gather[: 3 * t] = np.asarray(idx[: 3 * t], np.int32)
+                mask = np.zeros(tri_cap, np.float32)
+                mask[:t] = 1.0
+                # triplets arrive role-major for the reshape(tri_cap, 3, ...)
+                gmat = gather.reshape(tri_cap, 3)
+                tri_events = jnp.asarray(batch["events"][:n][gmat.reshape(-1)])
+                tri_sensors = jnp.asarray(batch["events2"][:n][gmat.reshape(-1)])
+                tri_segment = (jnp.asarray(
+                    batch["events3"][:n][gmat.reshape(-1)])
+                    if not sensors_only else tri_sensors)
+                state, aux = step_fn(state, tri_events, tri_sensors, tri_segment,
+                                     jnp.asarray(mask), exp.next_key(),
+                                     jnp.float32(lr))
+                exp.log(int(state.step),
+                        {**{k: float(v) for k, v in aux.items()},
+                         "learning_rate": lr},
+                        f"[{cfg.name}] epoch {epoch + 1} step {int(state.step)} "
+                        f"loss {float(aux['loss']):.4f}")
+                if exp._guard.should_stop:
+                    break
+            if exp.preempted(state):
                 break
-        if exp.preempted(state):
-            break
 
-        from multimodal_similarity_tpu.eval.metrics import (
-            retrieval_metrics_device)
-        if int(state.step) == step_at_epoch_start:
-            print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")
-            break
-        val_emb = core_embed(state.params, cached_device(exp.val_feats))
-        mAP, mPrec, recalls = retrieval_metrics_device(
-            val_emb, exp.val_labels.reshape(-1))
-        metrics = {"val_mAP": mAP, "val_mPrec": mPrec,
-                   "val_recall@1": recalls[1]}
-        exp.log(int(state.step), metrics,
-                f"[{cfg.name}] epoch {epoch + 1} val mAP {mAP:.4f}")
-        exp.ckpt.save(state, int(state.step))
-        epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
+            from multimodal_similarity_tpu.eval.metrics import (
+                retrieval_metrics_device)
+            if int(state.step) == step_at_epoch_start:
+                print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")
+                break
+            val_emb = core_embed(state.params, cached_device(exp.val_feats))
+            mAP, mPrec, recalls = retrieval_metrics_device(
+                val_emb, exp.val_labels.reshape(-1))
+            metrics = {"val_mAP": mAP, "val_mPrec": mPrec,
+                       "val_recall@1": recalls[1]}
+            exp.log(int(state.step), metrics,
+                    f"[{cfg.name}] epoch {epoch + 1} val mAP {mAP:.4f}")
+            exp.ckpt.save(state, int(state.step))
+            epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
 
-    exp.close()
+    finally:
+        exp.close()
     return state, metrics, exp.result_dir
 
 

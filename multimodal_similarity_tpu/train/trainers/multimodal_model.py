@@ -579,7 +579,8 @@ def train(cfg: TrainConfig, hard_only: bool = False,
     epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
     # --profile_dir tracing is owned by exp.profiler (updated in exp.log)
     import itertools
-    from multimodal_similarity_tpu.utils.preemption import sync_should_stop
+    from multimodal_similarity_tpu.utils.preemption import (
+        report_preemption, sync_should_stop)
     stream = continuous_batches()
     guard = exp._guard  # installed by HondaExperiment, restored in close()
     stopping = False
@@ -623,6 +624,12 @@ def train(cfg: TrainConfig, hard_only: bool = False,
                             f"{float(aux['triplet_count']):.0f}/"
                             f"{float(aux['hard_count']):.0f}/"
                             f"{float(aux['struct_count']):.0f}")
+                    # the fused path is the only --multihost path: it must
+                    # hit the same collective stop poll as the host path
+                    stopping = sync_should_stop(guard, pcount,
+                                                step=int(state.step))
+                    if stopping:
+                        break
                     continue
                 n = int(batch["num_events"])
                 emb = core_embed(state.params, batch["events"][:n])
@@ -676,17 +683,18 @@ def train(cfg: TrainConfig, hard_only: bool = False,
                 # collective: a SIGTERM on ANY host stops every host at
                 # this same step boundary (a lone exiter would leave its
                 # peers blocked in the next collective)
-                stopping = sync_should_stop(guard, pcount)
+                stopping = sync_should_stop(guard, pcount,
+                                            step=int(state.step))
                 if stopping:
                     break
 
+            # epoch boundary: force a sync so a signal near epoch end
+            # isn't deferred into the next epoch by the step throttle
+            stopping = stopping or sync_should_stop(guard, pcount)
             if stopping:
                 # preemption (SIGTERM grace window): checkpoint the exact
                 # step and exit cleanly; --model_path resumes from here
-                if pid == 0:
-                    exp.ckpt.save(state, int(state.step))
-                print(f"[{cfg.name}] preemption signal: checkpointed at "
-                      f"step {int(state.step)}; exiting")
+                report_preemption(cfg.name, state, exp.ckpt, pid)
                 break
             if int(state.step) == step_at_epoch_start:
                 print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")

@@ -257,92 +257,96 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
     mine_rng = random.Random(cfg.seed)
     mul_rng = np.random.RandomState(cfg.seed)
     epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
-    while epoch < cfg.max_epochs:
-        lr = learning_rate_schedule(epoch, cfg.learning_rate,
-                                    cfg.static_epochs, cfg.max_epochs)
-        steps_this_epoch = 0
-        for batch in exp.loader.epoch():
-            n = int(batch["num_events"])
-            labels = batch["labels"][:n]
-            sessions = batch["sessions"][:n]
-            labeled_mask = np.asarray(
-                [s in exp.labeled_sessions for s in sessions])
+    # exp.close() must run even when the loop raises: it
+    # restores the SIGTERM guard and flushes logs/traces
+    try:
+        while epoch < cfg.max_epochs:
+            lr = learning_rate_schedule(epoch, cfg.learning_rate,
+                                        cfg.static_epochs, cfg.max_epochs)
+            steps_this_epoch = 0
+            for batch in exp.loader.epoch():
+                n = int(batch["num_events"])
+                labels = batch["labels"][:n]
+                sessions = batch["sessions"][:n]
+                labeled_mask = np.asarray(
+                    [s in exp.labeled_sessions for s in sessions])
 
-            # labeled slice: facenet triplets -> unimodal op
-            lab_idx_map = np.where(labeled_mask)[0]
-            did_step = False
-            if lab_idx_map.size:
-                emb = core_embed(state.params,
-                                 batch["events"][:n][lab_idx_map])
-                dists = cdist(all_diffs(emb, emb), cfg.metric)
-                idx, _ = select_triplets_facenet(
-                    labels[lab_idx_map], np.asarray(dists),
-                    cfg.triplet_per_batch, cfg.alpha, cfg.num_negative,
-                    rng=mine_rng)
-                if idx:
-                    gather, mask = _pad_flat(
-                        lab_idx_map[np.asarray(idx, np.int64)].tolist(),
-                        tri_cap)
-                    state, aux = uni_step(
-                        state, jnp.asarray(batch["events"][:n][gather]),
-                        jnp.asarray(mask), exp.next_key(), jnp.float32(lr))
-                    did_step = True
+                # labeled slice: facenet triplets -> unimodal op
+                lab_idx_map = np.where(labeled_mask)[0]
+                did_step = False
+                if lab_idx_map.size:
+                    emb = core_embed(state.params,
+                                     batch["events"][:n][lab_idx_map])
+                    dists = cdist(all_diffs(emb, emb), cfg.metric)
+                    idx, _ = select_triplets_facenet(
+                        labels[lab_idx_map], np.asarray(dists),
+                        cfg.triplet_per_batch, cfg.alpha, cfg.num_negative,
+                        rng=mine_rng)
+                    if idx:
+                        gather, mask = _pad_flat(
+                            lab_idx_map[np.asarray(idx, np.int64)].tolist(),
+                            tri_cap)
+                        state, aux = uni_step(
+                            state, jnp.asarray(batch["events"][:n][gather]),
+                            jnp.asarray(mask), exp.next_key(), jnp.float32(lr))
+                        did_step = True
 
-            # unlabeled slice: PDDM pseudo-label triplets -> multimodal op
-            if epoch >= cfg.multimodal_epochs:
-                sim = np.array(sensors_sim(
-                    state.params, jnp.asarray(batch["events2"])))[:n, :n]
-                np.fill_diagonal(sim, np.nan)
-                if cfg.multimodal_select == "confidence":
-                    mul_idx, count = select_triplets_multimodal(
-                        sim, 0.9, cfg.triplet_per_batch, rng=mul_rng)
-                elif cfg.multimodal_select == "random":
-                    mul_idx, count = random_triplets_multimodal(
-                        sim, cfg.triplet_per_batch, rng=mul_rng)
-                elif cfg.multimodal_select == "nopos":
-                    mul_idx, count = nopos_triplets_multimodal(
-                        sim, cfg.triplet_per_batch, rng=mul_rng)
-                else:
-                    raise NotImplementedError(cfg.multimodal_select)
-                if count:
-                    gather, mask = _pad_flat(mul_idx, tri_cap)
-                    state, aux = mm_step(
-                        state, jnp.asarray(batch["events"][:n][gather]),
-                        jnp.asarray(batch["events2"][:n][gather]),
-                        jnp.asarray(mask), exp.next_key(), jnp.float32(lr))
-                    did_step = True
+                # unlabeled slice: PDDM pseudo-label triplets -> multimodal op
+                if epoch >= cfg.multimodal_epochs:
+                    sim = np.array(sensors_sim(
+                        state.params, jnp.asarray(batch["events2"])))[:n, :n]
+                    np.fill_diagonal(sim, np.nan)
+                    if cfg.multimodal_select == "confidence":
+                        mul_idx, count = select_triplets_multimodal(
+                            sim, 0.9, cfg.triplet_per_batch, rng=mul_rng)
+                    elif cfg.multimodal_select == "random":
+                        mul_idx, count = random_triplets_multimodal(
+                            sim, cfg.triplet_per_batch, rng=mul_rng)
+                    elif cfg.multimodal_select == "nopos":
+                        mul_idx, count = nopos_triplets_multimodal(
+                            sim, cfg.triplet_per_batch, rng=mul_rng)
+                    else:
+                        raise NotImplementedError(cfg.multimodal_select)
+                    if count:
+                        gather, mask = _pad_flat(mul_idx, tri_cap)
+                        state, aux = mm_step(
+                            state, jnp.asarray(batch["events"][:n][gather]),
+                            jnp.asarray(batch["events2"][:n][gather]),
+                            jnp.asarray(mask), exp.next_key(), jnp.float32(lr))
+                        did_step = True
 
-            steps_this_epoch += did_step
-            if did_step:
-                exp.log(int(state.step),
-                        {"loss": float(aux["loss"]), "learning_rate": lr},
-                        f"[{cfg.name}] epoch {epoch + 1} "
-                        f"step {int(state.step)} "
-                        f"loss {float(aux['loss']):.4f}")
-            if exp._guard.should_stop:
+                steps_this_epoch += did_step
+                if did_step:
+                    exp.log(int(state.step),
+                            {"loss": float(aux["loss"]), "learning_rate": lr},
+                            f"[{cfg.name}] epoch {epoch + 1} "
+                            f"step {int(state.step)} "
+                            f"loss {float(aux['loss']):.4f}")
+                if exp._guard.should_stop:
+                    break
+            if exp.preempted(state):
                 break
-        if exp.preempted(state):
-            break
 
-        if steps_this_epoch == 0:
-            # no labeled sessions and pseudo-labels not yet active: the
-            # global step cannot advance, so bail instead of spinning
-            print(f"[{cfg.name}] epoch {epoch + 1}: no trainable slice "
-                  "this epoch; stopping")
-            break
-        from multimodal_similarity_tpu.eval.metrics import (
-            retrieval_metrics_device)
-        val_emb = core_embed(state.params, cached_device(exp.val_feats))
-        mAP, mPrec, recalls = retrieval_metrics_device(
-            val_emb, exp.val_labels.reshape(-1))
-        metrics = {"val_mAP": mAP, "val_mPrec": mPrec,
-                   "val_recall@1": recalls[1]}
-        exp.log(int(state.step), metrics,
-                f"[{cfg.name}] epoch {epoch + 1} val mAP {mAP:.4f}")
-        exp.ckpt.save(state, int(state.step))
-        epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
+            if steps_this_epoch == 0:
+                # no labeled sessions and pseudo-labels not yet active: the
+                # global step cannot advance, so bail instead of spinning
+                print(f"[{cfg.name}] epoch {epoch + 1}: no trainable slice "
+                      "this epoch; stopping")
+                break
+            from multimodal_similarity_tpu.eval.metrics import (
+                retrieval_metrics_device)
+            val_emb = core_embed(state.params, cached_device(exp.val_feats))
+            mAP, mPrec, recalls = retrieval_metrics_device(
+                val_emb, exp.val_labels.reshape(-1))
+            metrics = {"val_mAP": mAP, "val_mPrec": mPrec,
+                       "val_recall@1": recalls[1]}
+            exp.log(int(state.step), metrics,
+                    f"[{cfg.name}] epoch {epoch + 1} val mAP {mAP:.4f}")
+            exp.ckpt.save(state, int(state.step))
+            epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
 
-    exp.close()
+    finally:
+        exp.close()
     return state, metrics, exp.result_dir
 
 

@@ -172,81 +172,85 @@ def train(cfg: TrainConfig, use_mse: bool = False,
     mine_rng = random.Random(cfg.seed)
     unsup_rng = np.random.RandomState(cfg.seed)
     epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
-    while epoch < cfg.max_epochs:
-        lr = learning_rate_schedule(epoch, cfg.learning_rate,
-                                    cfg.static_epochs, cfg.max_epochs,
-                                    decay_base=0.01)
-        lambda_mul = cfg.lambda_multimodal if epoch >= cfg.multimodal_epochs \
-            else 0.0
-        step_at_epoch_start = int(state.step)
-        for batch in exp.loader.epoch():
-            n = int(batch["num_events"])
-            labels = batch["labels"][:n]
-            sessions = batch["sessions"][:n]
-            labeled = np.asarray(
-                [s in exp.labeled_sessions for s in sessions])
-            lab_map = np.where(labeled)[0]
+    # exp.close() must run even when the loop raises: it
+    # restores the SIGTERM guard and flushes logs/traces
+    try:
+        while epoch < cfg.max_epochs:
+            lr = learning_rate_schedule(epoch, cfg.learning_rate,
+                                        cfg.static_epochs, cfg.max_epochs,
+                                        decay_base=0.01)
+            lambda_mul = cfg.lambda_multimodal if epoch >= cfg.multimodal_epochs \
+                else 0.0
+            step_at_epoch_start = int(state.step)
+            for batch in exp.loader.epoch():
+                n = int(batch["num_events"])
+                labels = batch["labels"][:n]
+                sessions = batch["sessions"][:n]
+                labeled = np.asarray(
+                    [s in exp.labeled_sessions for s in sessions])
+                lab_map = np.where(labeled)[0]
 
-            gather = np.zeros(3 * tri_cap, np.int32)
-            tri_mask = np.zeros(tri_cap, np.float32)
-            if lab_map.size:
-                emb = core_embed(state.params, batch["events"][:n][lab_map])
-                dists = cdist(all_diffs(emb, emb), cfg.metric)
-                idx, _ = select_triplets_facenet(
-                    labels[lab_map], np.asarray(dists),
-                    cfg.triplet_per_batch, cfg.alpha, cfg.num_negative,
-                    rng=mine_rng)
-                t = min(len(idx) // 3, tri_cap)
-                if t:
-                    gather[: 3 * t] = lab_map[
-                        np.asarray(idx[: 3 * t], np.int64)]
-                    tri_mask[:t] = 1.0
-            if not tri_mask.any() and lambda_mul == 0.0:
-                continue  # nothing to train this step (reference :312-314)
+                gather = np.zeros(3 * tri_cap, np.int32)
+                tri_mask = np.zeros(tri_cap, np.float32)
+                if lab_map.size:
+                    emb = core_embed(state.params, batch["events"][:n][lab_map])
+                    dists = cdist(all_diffs(emb, emb), cfg.metric)
+                    idx, _ = select_triplets_facenet(
+                        labels[lab_map], np.asarray(dists),
+                        cfg.triplet_per_batch, cfg.alpha, cfg.num_negative,
+                        rng=mine_rng)
+                    t = min(len(idx) // 3, tri_cap)
+                    if t:
+                        gather[: 3 * t] = lab_map[
+                            np.asarray(idx[: 3 * t], np.int64)]
+                        tri_mask[:t] = 1.0
+                if not tri_mask.any() and lambda_mul == 0.0:
+                    continue  # nothing to train this step (reference :312-314)
 
-            # fixed-size unsupervised slice; resample with replacement if
-            # the batch is short (padding zeros would corrupt the DCCA
-            # covariances)
-            perm = unsup_rng.permutation(n)[:unsup_cap]
-            if perm.size < unsup_cap:
-                extra = unsup_rng.randint(0, n, size=unsup_cap - perm.size)
-                perm = np.concatenate([perm, extra])
-            u_idx = perm.astype(np.int32)
+                # fixed-size unsupervised slice; resample with replacement if
+                # the batch is short (padding zeros would corrupt the DCCA
+                # covariances)
+                perm = unsup_rng.permutation(n)[:unsup_cap]
+                if perm.size < unsup_cap:
+                    extra = unsup_rng.randint(0, n, size=unsup_cap - perm.size)
+                    perm = np.concatenate([perm, extra])
+                u_idx = perm.astype(np.int32)
 
-            state, aux = step_fn(
-                state, jnp.asarray(batch["events"][:n][gather]),
-                jnp.asarray(tri_mask),
-                jnp.asarray(batch["events"][:n][u_idx]),
-                jnp.asarray(batch["events2"][:n][u_idx]),
-                jnp.asarray(batch["events3"][:n][u_idx]),
-                jnp.float32(lambda_mul),
-                exp.next_key(), jnp.float32(lr))
-            exp.log(int(state.step),
-                    {**{k: float(v) for k, v in aux.items()},
-                     "learning_rate": lr},
-                    f"[{cfg.name}] epoch {epoch + 1} step {int(state.step)} "
-                    f"loss {float(aux['loss']):.4f}")
-            if exp._guard.should_stop:
+                state, aux = step_fn(
+                    state, jnp.asarray(batch["events"][:n][gather]),
+                    jnp.asarray(tri_mask),
+                    jnp.asarray(batch["events"][:n][u_idx]),
+                    jnp.asarray(batch["events2"][:n][u_idx]),
+                    jnp.asarray(batch["events3"][:n][u_idx]),
+                    jnp.float32(lambda_mul),
+                    exp.next_key(), jnp.float32(lr))
+                exp.log(int(state.step),
+                        {**{k: float(v) for k, v in aux.items()},
+                         "learning_rate": lr},
+                        f"[{cfg.name}] epoch {epoch + 1} step {int(state.step)} "
+                        f"loss {float(aux['loss']):.4f}")
+                if exp._guard.should_stop:
+                    break
+            if exp.preempted(state):
                 break
-        if exp.preempted(state):
-            break
 
-        from multimodal_similarity_tpu.eval.metrics import (
-            retrieval_metrics_device)
-        if int(state.step) == step_at_epoch_start:
-            print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")
-            break
-        val_emb = core_embed(state.params, cached_device(exp.val_feats))
-        mAP, mPrec, recalls = retrieval_metrics_device(
-            val_emb, exp.val_labels.reshape(-1))
-        metrics = {"val_mAP": mAP, "val_mPrec": mPrec,
-                   "val_recall@1": recalls[1]}
-        exp.log(int(state.step), metrics,
-                f"[{cfg.name}] epoch {epoch + 1} val mAP {mAP:.4f}")
-        exp.ckpt.save(state, int(state.step))
-        epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
+            from multimodal_similarity_tpu.eval.metrics import (
+                retrieval_metrics_device)
+            if int(state.step) == step_at_epoch_start:
+                print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")
+                break
+            val_emb = core_embed(state.params, cached_device(exp.val_feats))
+            mAP, mPrec, recalls = retrieval_metrics_device(
+                val_emb, exp.val_labels.reshape(-1))
+            metrics = {"val_mAP": mAP, "val_mPrec": mPrec,
+                       "val_recall@1": recalls[1]}
+            exp.log(int(state.step), metrics,
+                    f"[{cfg.name}] epoch {epoch + 1} val mAP {mAP:.4f}")
+            exp.ckpt.save(state, int(state.step))
+            epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
 
-    exp.close()
+    finally:
+        exp.close()
     return state, metrics, exp.result_dir
 
 

@@ -109,39 +109,43 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
 
     metrics = {}
     epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
-    while epoch < cfg.max_epochs:
-        lr = learning_rate_schedule(epoch, cfg.learning_rate,
-                                    cfg.static_epochs, cfg.max_epochs)
-        step_at_epoch_start = int(state.step)
-        for batch in exp.loader.epoch():
-            state, aux = step_fn(
-                state, jnp.asarray(batch["events"]),
-                jnp.asarray(batch["labels"]), jnp.asarray(batch["mask"]),
-                exp.next_key(), jnp.float32(lr))
-            exp.log(int(state.step),
-                    {**{k: float(v) for k, v in aux.items()},
-                     "learning_rate": lr},
-                    f"[{cfg.name}] epoch {epoch + 1} step {int(state.step)} "
-                    f"loss {float(aux['loss']):.4f} "
-                    f"ver_acc {float(aux['ver_acc']):.3f}")
-            if exp._guard.should_stop:
+    # exp.close() must run even when the loop raises: it
+    # restores the SIGTERM guard and flushes logs/traces
+    try:
+        while epoch < cfg.max_epochs:
+            lr = learning_rate_schedule(epoch, cfg.learning_rate,
+                                        cfg.static_epochs, cfg.max_epochs)
+            step_at_epoch_start = int(state.step)
+            for batch in exp.loader.epoch():
+                state, aux = step_fn(
+                    state, jnp.asarray(batch["events"]),
+                    jnp.asarray(batch["labels"]), jnp.asarray(batch["mask"]),
+                    exp.next_key(), jnp.float32(lr))
+                exp.log(int(state.step),
+                        {**{k: float(v) for k, v in aux.items()},
+                         "learning_rate": lr},
+                        f"[{cfg.name}] epoch {epoch + 1} step {int(state.step)} "
+                        f"loss {float(aux['loss']):.4f} "
+                        f"ver_acc {float(aux['ver_acc']):.3f}")
+                if exp._guard.should_stop:
+                    break
+            if exp.preempted(state):
                 break
-        if exp.preempted(state):
-            break
-        if int(state.step) == step_at_epoch_start:
-            print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")
-            break
-        metrics, _ = validate(
-            lambda p, x: embed_fn(p["encoder"], x) if isinstance(p, dict)
-            else embed_fn(p, x),
-            state.params, exp.val_feats, exp.val_labels)
-        exp.log(int(state.step), metrics,
-                f"[{cfg.name}] epoch {epoch + 1} val mAP "
-                f"{metrics['val_mAP']:.4f}")
-        exp.ckpt.save(state, int(state.step))
-        epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
+            if int(state.step) == step_at_epoch_start:
+                print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")
+                break
+            metrics, _ = validate(
+                lambda p, x: embed_fn(p["encoder"], x) if isinstance(p, dict)
+                else embed_fn(p, x),
+                state.params, exp.val_feats, exp.val_labels)
+            exp.log(int(state.step), metrics,
+                    f"[{cfg.name}] epoch {epoch + 1} val mAP "
+                    f"{metrics['val_mAP']:.4f}")
+            exp.ckpt.save(state, int(state.step))
+            epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
 
-    exp.close()
+    finally:
+        exp.close()
     return state, metrics, exp.result_dir
 
 

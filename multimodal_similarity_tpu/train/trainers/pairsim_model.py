@@ -173,79 +173,82 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
     # config-seeded pair-sampler stream (independent of global RNG)
     mine_rng = random.Random(cfg.seed)
     epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
-    while epoch < cfg.max_epochs:
-        lr = learning_rate_schedule(epoch, cfg.learning_rate,
-                                    cfg.static_epochs, cfg.max_epochs)
-        step_at_epoch_start = int(state.step)
-        for batch in exp.loader.epoch():
-            n = int(batch["num_events"])
-            pair_idx, pair_lab = random_pairs(batch["labels"][:n],
-                                              cfg.batch_size,
-                                              cfg.num_negative,
-                                              rng=mine_rng)
-            if not pair_lab:
-                continue
-            # keep host-side lists in sync with the padded device batch so
-            # the returned probs align with hard_pairs' indexing
-            pair_idx = pair_idx[: 2 * pair_cap]
-            pair_lab = pair_lab[:pair_cap]
-            idx, lab, mask = _pad_pairs(pair_idx, pair_lab, pair_cap)
-            events = jnp.asarray(batch["events"])
-            state, aux = step_fn(state, events, jnp.asarray(idx),
-                                 jnp.asarray(lab), jnp.asarray(mask),
-                                 exp.next_key(), jnp.float32(lr),
-                                 jnp.int32(1))
-            negative_count = 0
-            if epoch >= cfg.negative_epochs:
-                prob = np.asarray(aux["prob"])[: len(pair_lab)]
-                h_idx, h_lab, negative_count = hard_pairs(
-                    np.asarray(pair_lab), prob, 0.5)
-                if negative_count > 0:
-                    flat = np.asarray(pair_idx, np.int32)
-                    h_pairs = flat[np.asarray(h_idx, np.int32)]
-                    hi, hl, hm = _pad_pairs(h_pairs.tolist(), h_lab, pair_cap)
-                    state, _ = step_fn(state, events, jnp.asarray(hi),
-                                       jnp.asarray(hl), jnp.asarray(hm),
-                                       exp.next_key(), jnp.float32(lr),
-                                       jnp.int32(0))
-            exp.log(int(state.step),
-                    {"loss": float(aux["loss"]), "acc": float(aux["acc"]),
-                     "negative_count": negative_count, "learning_rate": lr},
-                    f"[{cfg.name}] epoch {epoch + 1} step {int(state.step)} "
-                    f"loss {float(aux['loss']):.4f} "
-                    f"acc {float(aux['acc']):.3f}")
-            if exp._guard.should_stop:
+    # exp.close() must run even when the loop raises: it
+    # restores the SIGTERM guard and flushes logs/traces
+    try:
+        while epoch < cfg.max_epochs:
+            lr = learning_rate_schedule(epoch, cfg.learning_rate,
+                                        cfg.static_epochs, cfg.max_epochs)
+            step_at_epoch_start = int(state.step)
+            for batch in exp.loader.epoch():
+                n = int(batch["num_events"])
+                pair_idx, pair_lab = random_pairs(batch["labels"][:n],
+                                                  cfg.batch_size,
+                                                  cfg.num_negative,
+                                                  rng=mine_rng)
+                if not pair_lab:
+                    continue
+                # keep host-side lists in sync with the padded device batch so
+                # the returned probs align with hard_pairs' indexing
+                pair_idx = pair_idx[: 2 * pair_cap]
+                pair_lab = pair_lab[:pair_cap]
+                idx, lab, mask = _pad_pairs(pair_idx, pair_lab, pair_cap)
+                events = jnp.asarray(batch["events"])
+                state, aux = step_fn(state, events, jnp.asarray(idx),
+                                     jnp.asarray(lab), jnp.asarray(mask),
+                                     exp.next_key(), jnp.float32(lr),
+                                     jnp.int32(1))
+                negative_count = 0
+                if epoch >= cfg.negative_epochs:
+                    prob = np.asarray(aux["prob"])[: len(pair_lab)]
+                    h_idx, h_lab, negative_count = hard_pairs(
+                        np.asarray(pair_lab), prob, 0.5)
+                    if negative_count > 0:
+                        flat = np.asarray(pair_idx, np.int32)
+                        h_pairs = flat[np.asarray(h_idx, np.int32)]
+                        hi, hl, hm = _pad_pairs(h_pairs.tolist(), h_lab, pair_cap)
+                        state, _ = step_fn(state, events, jnp.asarray(hi),
+                                           jnp.asarray(hl), jnp.asarray(hm),
+                                           exp.next_key(), jnp.float32(lr),
+                                           jnp.int32(0))
+                exp.log(int(state.step),
+                        {"loss": float(aux["loss"]), "acc": float(aux["acc"]),
+                         "negative_count": negative_count, "learning_rate": lr},
+                        f"[{cfg.name}] epoch {epoch + 1} step {int(state.step)} "
+                        f"loss {float(aux['loss']):.4f} "
+                        f"acc {float(aux['acc']):.3f}")
+                if exp._guard.should_stop:
+                    break
+            if exp.preempted(state):
                 break
-        if exp.preempted(state):
-            break
-        if int(state.step) == step_at_epoch_start:
-            print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")
-            break
-        val_acc, val_prob = evaluate_pairs(
-            state.params, cached_device(exp.val_feats),
-            jnp.asarray(val_idx_a), jnp.asarray(val_lab_a))
-        metrics = {"val_acc": float(val_acc)}
-        exp.log(int(state.step), metrics,
-                f"[{cfg.name}] epoch {epoch + 1} val acc {float(val_acc):.4f}")
-        exp.ckpt.save(state, int(state.step))
-        epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
+            if int(state.step) == step_at_epoch_start:
+                print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")
+                break
+            val_acc, val_prob = evaluate_pairs(
+                state.params, cached_device(exp.val_feats),
+                jnp.asarray(val_idx_a), jnp.asarray(val_lab_a))
+            metrics = {"val_acc": float(val_acc)}
+            exp.log(int(state.step), metrics,
+                    f"[{cfg.name}] epoch {epoch + 1} val acc {float(val_acc):.4f}")
+            exp.ckpt.save(state, int(state.step))
+            epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
 
-    # final per-pair log (reference :332-337); skipped when a preemption
-    # lands before the first validation pass produced any probabilities
-    import os
-    if val_prob is None:
+        # final per-pair log (reference :332-337); skipped when a preemption
+        # lands before the first validation pass produced any probabilities
+        import os
+        if val_prob is not None:
+            with open(os.path.join(exp.result_dir, "val_results.txt"),
+                      "w") as fout:
+                fout.write("acc = %.4f\n" % metrics.get("val_acc", 0.0))
+                fout.write("label\tprob_0\tprob_1\tA_idx\tB_idx\n")
+                prob = np.asarray(val_prob)
+                for i in range(prob.shape[0]):
+                    fout.write("%d\t%.4f\t%.4f\t%d\t%d\n" % (
+                        val_lab_a[i], prob[i, 0], prob[i, 1],
+                        val_idx_a[2 * i], val_idx_a[2 * i + 1]))
+
+    finally:
         exp.close()
-        return state, metrics, exp.result_dir
-    with open(os.path.join(exp.result_dir, "val_results.txt"), "w") as fout:
-        fout.write("acc = %.4f\n" % metrics.get("val_acc", 0.0))
-        fout.write("label\tprob_0\tprob_1\tA_idx\tB_idx\n")
-        prob = np.asarray(val_prob)
-        for i in range(prob.shape[0]):
-            fout.write("%d\t%.4f\t%.4f\t%d\t%d\n" % (
-                val_lab_a[i], prob[i, 0], prob[i, 1],
-                val_idx_a[2 * i], val_idx_a[2 * i + 1]))
-
-    exp.close()
     return state, metrics, exp.result_dir
 
 

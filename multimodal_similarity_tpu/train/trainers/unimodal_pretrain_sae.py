@@ -77,33 +77,37 @@ def train(cfg: TrainConfig, mode: str = "seq2seq",
 
     metrics = {}
     epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
-    while epoch < cfg.max_epochs:
-        lr = learning_rate_schedule(epoch, cfg.learning_rate,
-                                    cfg.static_epochs, cfg.max_epochs)
-        for batch in exp.loader.epoch():
-            state, aux = step_fn(state, jnp.asarray(batch["events"]),
-                                 jnp.asarray(batch["mask"]), exp.next_key(),
-                                 jnp.float32(lr))
-            exp.log(int(state.step),
-                    {**{k: float(v) for k, v in aux.items()},
-                     "learning_rate": lr},
-                    f"[{cfg.name}] epoch {epoch + 1} step {int(state.step)} "
-                    f"mse {float(aux['mse']):.4f}")
-            if exp._guard.should_stop:
+    # exp.close() must run even when the loop raises: it
+    # restores the SIGTERM guard and flushes logs/traces
+    try:
+        while epoch < cfg.max_epochs:
+            lr = learning_rate_schedule(epoch, cfg.learning_rate,
+                                        cfg.static_epochs, cfg.max_epochs)
+            for batch in exp.loader.epoch():
+                state, aux = step_fn(state, jnp.asarray(batch["events"]),
+                                     jnp.asarray(batch["mask"]), exp.next_key(),
+                                     jnp.float32(lr))
+                exp.log(int(state.step),
+                        {**{k: float(v) for k, v in aux.items()},
+                         "learning_rate": lr},
+                        f"[{cfg.name}] epoch {epoch + 1} step {int(state.step)} "
+                        f"mse {float(aux['mse']):.4f}")
+                if exp._guard.should_stop:
+                    break
+            if exp.preempted(state):
                 break
-        if exp.preempted(state):
-            break
-        # validation reconstruction error
-        x = cached_device(val_x_host)
-        _, recon = model.apply({"params": state.params}, x)
-        val_mse = float(jnp.mean(jnp.square(x - recon)))
-        metrics = {"val_mse": val_mse}
-        exp.log(int(state.step), metrics,
-                f"[{cfg.name}] epoch {epoch + 1} val mse {val_mse:.4f}")
-        exp.ckpt.save(state, int(state.step))
-        epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
+            # validation reconstruction error
+            x = cached_device(val_x_host)
+            _, recon = model.apply({"params": state.params}, x)
+            val_mse = float(jnp.mean(jnp.square(x - recon)))
+            metrics = {"val_mse": val_mse}
+            exp.log(int(state.step), metrics,
+                    f"[{cfg.name}] epoch {epoch + 1} val mse {val_mse:.4f}")
+            exp.ckpt.save(state, int(state.step))
+            epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
 
-    exp.close()
+    finally:
+        exp.close()
     return state, metrics, exp.result_dir
 
 

@@ -78,6 +78,14 @@ class PreemptionGuard:
 
     # -- signal path -------------------------------------------------------
     def _handle(self, signum, frame) -> None:
+        if self._stop.is_set():
+            # second signal: the sender means it — restore the previous
+            # dispositions and re-deliver so termination proceeds even if
+            # no loop is polling this guard (e.g. it leaked past an
+            # exception, or the grace-window work is stuck)
+            self.restore()
+            signal.raise_signal(signum)
+            return
         self._stop.set()
         prev = self._previous.get(signum)
         if callable(prev):  # chain embedding frameworks' own hooks
@@ -109,7 +117,8 @@ class PreemptionGuard:
         return self._stop.wait(timeout)
 
 
-def sync_should_stop(guard: PreemptionGuard, pcount: int = 1) -> bool:
+def sync_should_stop(guard: PreemptionGuard, pcount: int = 1,
+                     step: Optional[int] = None, every: int = 8) -> bool:
     """Collective stop decision for multi-process training.
 
     A SIGTERM may reach only some hosts (or at different step boundaries);
@@ -118,12 +127,36 @@ def sync_should_stop(guard: PreemptionGuard, pcount: int = 1) -> bool:
     host's local flag and stop iff ANY host saw the signal — every host
     then leaves the step loop at the same step boundary, keeping the
     final checkpoint and the collectives in lockstep.
+
+    The all-gather blocks the host thread, so per-step polling would gate
+    every step on the slowest host: pass the (lockstep) ``step`` counter
+    and the collective runs only every ``every`` steps — preemption grace
+    windows are tens of seconds, so detecting a signal a few steps late
+    costs nothing.  All hosts compute the same throttle decision, keeping
+    the collective call counts aligned.  Omit ``step`` to force a sync
+    (e.g. once per epoch boundary).
     """
     if pcount <= 1:
         return guard.should_stop
+    if step is not None and every > 1 and step % every:
+        return False
     import numpy as np
     from jax.experimental import multihost_utils
 
     flags = multihost_utils.process_allgather(
         np.asarray(guard.should_stop, np.int32))
     return bool(np.any(flags))
+
+
+def report_preemption(name: str, state, ckpt, pid: int = 0) -> None:
+    """Shared preemption epilogue: process 0 checkpoints the exact step;
+    other processes report that they are stopping without claiming a
+    checkpoint they did not write."""
+    step = int(state.step)
+    if pid == 0:
+        ckpt.save(state, step)
+        print(f"[{name}] preemption signal: checkpointed at step {step}; "
+              f"exiting")
+    else:
+        print(f"[{name}] preemption signal: stopping at step {step} "
+              f"(checkpoint owned by process 0); exiting")

@@ -318,3 +318,43 @@ def test_honda_experiment_trainers_preempt(synth_root, tmp_path, monkeypatch):
         ckpts = glob.glob(os.path.join(out_dir, "*.ckpt-*"))
         assert any(c.endswith(f".ckpt-{int(state.step)}") for c in ckpts), \
             (mod.__name__, ckpts)
+
+
+def test_flagship_device_mining_preempts(synth_root, tmp_path, monkeypatch):
+    """The fused --device_mining path (the only --multihost path) must hit
+    the preemption poll too — its `continue` used to skip the check,
+    making SIGTERM a no-op for fused runs."""
+    import glob
+    import os
+
+    from multimodal_similarity_tpu.utils import preemption as _pre
+
+    class FiringGuard(_pre.PreemptionGuard):
+        _checks = 0
+
+        def install(self):
+            return self
+
+        def restore(self):
+            pass
+
+        @property
+        def should_stop(self):
+            FiringGuard._checks += 1
+            if FiringGuard._checks > 2:
+                self.request_stop()
+            return self._stop.is_set()
+
+    monkeypatch.setattr(_pre, "PreemptionGuard", FiringGuard)
+    from multimodal_similarity_tpu.train.trainers import multimodal_model
+    cfg = _cfg(synth_root, network="convrtsn",
+               feat=["resnet", "sensors", "segment"], n_h=2, n_w=2, n_C=4,
+               lambda_multimodal=0.5, multimodal_epochs=0, label_num=3,
+               triplet_per_batch=16, max_epochs=50)
+    cfg.feat_dim["segment"] = (16,)
+    state, metrics, out_dir = multimodal_model.train(
+        cfg, device_mining=True, event_budget=48,
+        result_dir=str(tmp_path / "fp"))
+    assert int(state.step) <= 8, int(state.step)
+    ckpts = glob.glob(os.path.join(out_dir, "*.ckpt-*"))
+    assert any(c.endswith(f".ckpt-{int(state.step)}") for c in ckpts), ckpts
