@@ -5,7 +5,7 @@ step body is the same fused embed -> mine -> re-forward -> loss triangle as
 the single-chip step (train/steps.py); sharding annotations on inputs plus
 with_sharding_constraint on the embeddings let XLA's SPMD partitioner run
 the encoder batch-parallel, all-gather the (small) embedding matrix over ICI
-for the global O(N^2) mining, and reduce the gradients with a psum — no
+for the global O(P*N) rowwise mining, and reduce the gradients with a psum — no
 hand-written collectives on this path (the Pallas ring variants live in
 ops/pallas for the cases XLA can't fuse).
 """
