@@ -155,3 +155,41 @@ def test_preemption_guard_inert_off_main_thread():
     t.start()
     t.join()
     assert out == {"installed": False, "stops": True}
+
+
+def test_sync_should_stop_throttles_collective(monkeypatch):
+    """With pcount>1 the all-gather runs only on every-K lockstep steps
+    (plus forced syncs when step is omitted) — all hosts compute the same
+    throttle decision, keeping collective call counts aligned."""
+    import numpy as np
+    from multimodal_similarity_tpu.utils import preemption as _pre
+
+    calls = []
+
+    def fake_allgather(x):
+        calls.append(int(np.asarray(x)))
+        return np.asarray([0, calls[-1]])
+
+    import types
+    fake_mh = types.SimpleNamespace(process_allgather=fake_allgather)
+    import jax.experimental
+    monkeypatch.setattr(jax.experimental, "multihost_utils", fake_mh,
+                        raising=False)
+
+    g = _pre.PreemptionGuard()  # not installed: flag only
+    # steps 1..16 at every=8: collective fires at 8 and 16 only
+    fired = [s for s in range(1, 17)
+             if _pre.sync_should_stop(g, 2, step=s, every=8)]
+    assert len(calls) == 2 and fired == []
+    # a locally-stopped host is seen at the next sync point
+    g.request_stop()
+    assert not _pre.sync_should_stop(g, 2, step=9, every=8)  # throttled
+    assert _pre.sync_should_stop(g, 2, step=16, every=8)
+    # forced sync (no step): always gathers
+    n = len(calls)
+    assert _pre.sync_should_stop(g, 2)
+    assert len(calls) == n + 1
+    # single process short-circuits with no collective
+    n = len(calls)
+    assert _pre.sync_should_stop(g, 1, step=3)
+    assert len(calls) == n
