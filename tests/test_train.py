@@ -406,3 +406,22 @@ def test_l2_regularization_exempts_lstm_cells(rng):
         manual += 0.5 * float(np.sum(np.square(np.asarray(leaf))))
     assert saw_cell, "rtsn params should contain an LSTM cell subtree"
     np.testing.assert_allclose(total, manual, rtol=1e-6)
+
+
+def test_embed_arrays_in_chunks_multi_input(rng):
+    """Multi-chunk + remainder padding over row-aligned input tuples must
+    equal the single forward (the eval CLIs' fusion path)."""
+    from multimodal_similarity_tpu.train.steps import embed_arrays_in_chunks
+
+    W = rng.randn(6, 3).astype(np.float32)
+    X = rng.randn(11, 6).astype(np.float32)
+    B = rng.randn(11, 3).astype(np.float32)
+    f1 = jax.jit(lambda x: x @ W)
+    got = embed_arrays_in_chunks(f1, (X,), chunk=4)   # 3 chunks, last padded
+    np.testing.assert_allclose(got, X @ W, rtol=1e-6)
+    f2 = jax.jit(lambda a, b: a @ W + b)
+    got2 = embed_arrays_in_chunks(f2, (X, B), chunk=4)
+    np.testing.assert_allclose(got2, X @ W + B, rtol=1e-6)
+    # n < chunk: single padded call
+    got3 = embed_arrays_in_chunks(f2, (X[:2], B[:2]), chunk=4)
+    np.testing.assert_allclose(got3, X[:2] @ W + B[:2], rtol=1e-6)
