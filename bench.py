@@ -123,6 +123,23 @@ def main():
 
     fused16_eps = best_throughput(one_fused16, 50)
 
+    # int8 feature shipping (--int8_features): quarter of the f32 feature
+    # read; the step dequantizes inline (train.steps.dequant_features)
+    _mark("int8 variant")
+    from multimodal_similarity_tpu.data.device_feed import quantize_features
+
+    q_np, scale_np = quantize_features(np.asarray(x))
+    x8 = {"q": jnp.asarray(q_np), "scale": jnp.asarray(scale_np)}
+    state, aux = step(state, x8, labels, mask, key, lr)  # compile
+    float(aux["loss"])
+
+    def one_fused8():
+        nonlocal state
+        state, aux = step(state, x8, labels, mask, key, lr)
+        return aux["loss"]
+
+    fused8_eps = best_throughput(one_fused8, 50)
+
     # --- host-resident-data variants: the REAL contract (the reference
     #     loads features from disk into host RAM per batch, data_io.py:
     #     166-211), so the 1.2 GB/step f32 feature upload is on the clock.
@@ -192,6 +209,20 @@ def main():
     host_pipe_eps = n_events * reps_pipe / (time.time() - t0)
 
     _mark(f"host pipelined {host_pipe_eps:.0f} ev/s")
+    # int8 pipelined: half the bf16 wire bytes again (--int8_features);
+    # host-side quantization runs on the prefetch thread
+    float(one_fused8())  # ensure the int8-features step is compiled
+    t0 = time.time()
+    out = None
+    for batch in device_prefetch(host_batches(reps_pipe),
+                                 device_keys=("events",),
+                                 int8_keys=("events",)):
+        state, aux = step(state, batch["events"], labels, mask, key, lr)
+        out = aux["loss"]
+    float(out)
+    host_pipe8_eps = n_events * reps_pipe / (time.time() - t0)
+
+    _mark(f"host pipelined int8 {host_pipe8_eps:.0f} ev/s")
     # --- reference-style step: device embed -> host mine -> device gather
     #     + re-forward.  The device<->host copies here ride a development
     #     tunnel whose latency is not representative of co-located PCIe, so
@@ -412,9 +443,12 @@ def main():
         "detail": {
             "embed_events_per_sec": round(embed_eps, 2),
             "fused_step_bf16_features_events_per_sec": round(fused16_eps, 2),
+            "fused_step_int8_features_events_per_sec": round(fused8_eps, 2),
             "fused_step_host_data_events_per_sec": round(host_sync_eps, 2),
             "fused_step_host_pipelined_events_per_sec": round(
                 host_pipe_eps, 2),
+            "fused_step_host_pipelined_int8_events_per_sec": round(
+                host_pipe8_eps, 2),
             "host_to_device_gbps": round(host_to_device_gbps, 3),
             "host_data_link_bound_ceiling_events_per_sec": round(
                 link_ceiling_eps, 2),

@@ -164,6 +164,7 @@ class TrainConfig(BaseConfig):
     # fused step; params and loss math stay f32 — measured ~18% faster
     # per step with loss identical to 4 decimals)
     bf16_features: bool = False
+    int8_features: bool = False
     # framework extension: multi-process (pod) training.  --multihost
     # bootstraps jax.distributed (explicit coordinator flags or the
     # platform environment), shards the training sessions across hosts
@@ -218,6 +219,7 @@ class TrainConfig(BaseConfig):
         p.add_argument("--multimodal_select", type=str, default="random")
         p.add_argument("--device_mining", action="store_true")
         p.add_argument("--bf16_features", action="store_true")
+        p.add_argument("--int8_features", action="store_true")
         p.add_argument("--multihost", action="store_true")
         p.add_argument("--coordinator_address", type=str, default="")
         p.add_argument("--num_processes", type=int, default=0)

@@ -29,9 +29,32 @@ from multimodal_similarity_tpu.data.loader import _prefetched
 DEFAULT_DEVICE_KEYS = ("events", "events2", "events3", "labels", "mask")
 
 
+def quantize_features(a: np.ndarray):
+    """Symmetric int8 quantization with fine-grained max-abs scales.
+
+    Scale granularity: per-(event, frame) for flat features ([N, S, D] ->
+    scales [N, S, 1]) and per-(event, frame, channel) for conv maps
+    ([N, S, h, w, C] -> scales [N, S, 1, 1, C]) — spatial positions share
+    a scale, channels do not (conv features have hot channels whose range
+    would otherwise crush the rest).  Returns (q int8, scale float32) with
+    dequant x_hat = q * scale; worst-case error is scale/2 = max|x|/254
+    within each scale group.
+    """
+    a = np.asarray(a, np.float32)
+    if a.ndim >= 4:
+        axes = tuple(range(2, a.ndim - 1))      # keep batch, frame, channel
+    else:
+        axes = tuple(range(2, a.ndim)) or (a.ndim - 1,)
+    amax = np.max(np.abs(a), axis=axes, keepdims=True)
+    scale = np.maximum(amax, 1e-12).astype(np.float32) / 127.0
+    q = np.clip(np.rint(a / scale), -127, 127).astype(np.int8)
+    return q, scale
+
+
 def make_batch_placer(
     device_keys: Sequence[str] = DEFAULT_DEVICE_KEYS,
     bf16_keys: Sequence[str] = (),
+    int8_keys: Sequence[str] = (),
     shardings: Optional[Mapping[str, object]] = None,
 ):
     """Return placer(host_batch) -> batch with device-resident arrays.
@@ -41,6 +64,10 @@ def make_batch_placer(
     bf16_keys -- subset cast to bfloat16 ON THE HOST first (--bf16_features):
         the cast happens before the wire, halving transferred bytes, not
         merely the device-side read.
+    int8_keys -- subset quantized to int8 ON THE HOST (--int8_features):
+        quarter of f32 / half of bf16 on the wire and in the device-side
+        feature read; the batch entry becomes {"q": int8, "scale": f32}
+        and the steps dequantize inline (train.steps.dequant_features).
     shardings -- optional per-key jax.sharding.Sharding for multi-device
         feeding (e.g. events -> P("data"), labels -> replicated).
     """
@@ -48,6 +75,16 @@ def make_batch_placer(
 
     shardings = dict(shardings or {})
     bf16 = frozenset(bf16_keys)
+    int8 = frozenset(int8_keys)
+
+    def _put(a, sh):
+        if sh is not None:
+            # single shared assembly primitive with the multihost
+            # library (this host's local rows -> global jax.Array)
+            from multimodal_similarity_tpu.parallel.multihost import (
+                put_global)
+            return put_global(sh, a)
+        return jax.device_put(a)
 
     def place(batch: Dict[str, np.ndarray]) -> Dict[str, object]:
         out = dict(batch)
@@ -55,19 +92,16 @@ def make_batch_placer(
             if k not in batch:
                 continue
             a = np.asarray(batch[k])
+            sh = shardings.get(k)
+            if k in int8:
+                q, scale = quantize_features(a)
+                out[k] = {"q": _put(q, sh), "scale": _put(scale, sh)}
+                continue
             if k in bf16:
                 import ml_dtypes
 
                 a = a.astype(ml_dtypes.bfloat16)
-            sh = shardings.get(k)
-            if sh is not None:
-                # single shared assembly primitive with the multihost
-                # library (this host's local rows -> global jax.Array)
-                from multimodal_similarity_tpu.parallel.multihost import (
-                    put_global)
-                out[k] = put_global(sh, a)
-            else:
-                out[k] = jax.device_put(a)
+            out[k] = _put(a, sh)
         return out
 
     return place
@@ -77,6 +111,7 @@ def device_prefetch(
     batches: Iterable[Dict[str, np.ndarray]],
     device_keys: Sequence[str] = DEFAULT_DEVICE_KEYS,
     bf16_keys: Sequence[str] = (),
+    int8_keys: Sequence[str] = (),
     shardings: Optional[Mapping[str, object]] = None,
     depth: int = 2,
 ):
@@ -88,7 +123,7 @@ def device_prefetch(
     its own thread): disk load / pad -> thread 1, host->device DMA ->
     thread 2, compute -> main thread.
     """
-    place = make_batch_placer(device_keys, bf16_keys, shardings)
+    place = make_batch_placer(device_keys, bf16_keys, int8_keys, shardings)
     yield from _prefetched(batches, place, depth)
 
 

@@ -51,6 +51,8 @@ def make_dp_triplet_step(
     repl = NamedSharding(mesh, P())
 
     def step(state, events, labels, mask, key, learning_rate):
+        from multimodal_similarity_tpu.train.steps import dequant_features
+        events = dequant_features(events)
         k_mine, k_drop = jax.random.split(key)
         if gather_smalls:
             labels = jax.lax.with_sharding_constraint(labels, repl)

@@ -42,6 +42,19 @@ def jit_step(step, **jit_kwargs):
     return jax.jit(step, **jit_kwargs)
 
 
+def dequant_features(x):
+    """Accept a dense feature array or the int8 feed's {"q", "scale"} dict
+    (data/device_feed.quantize_features) and return bf16 features.
+
+    Called at the top of the jitted steps so XLA fuses the dequant
+    multiply into the first consumer — the int8 tensor is what crosses
+    the wire and what the feature read streams from HBM.
+    """
+    if isinstance(x, dict) and "q" in x:
+        return x["q"].astype(jnp.bfloat16) * x["scale"].astype(jnp.bfloat16)
+    return x
+
+
 def l2_normalize(x: Array, eps: float = 1e-10) -> Array:
     # tf.nn.l2_normalize floors the squared SUM at epsilon (not epsilon^2):
     # x * rsqrt(max(sum(x^2), eps)).  Matching it exactly matters for
@@ -121,8 +134,9 @@ def make_triplet_train_step(
     a train-mode re-forward of only the selected triplets.
     """
 
-    def step(state: TrainState, events: Array, labels: Array, mask: Array,
+    def step(state: TrainState, events, labels: Array, mask: Array,
              key: jax.Array, learning_rate: Array):
+        events = dequant_features(events)
         k_mine, k_drop = jax.random.split(key)
 
         def loss_fn(params):

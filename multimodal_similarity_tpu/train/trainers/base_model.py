@@ -189,6 +189,14 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
 
     from multimodal_similarity_tpu.train.trainer import feature_caster
     _cast = feature_caster(cfg)
+    if cfg.int8_features:
+        if cfg.bf16_features:
+            raise ValueError("--int8_features and --bf16_features are "
+                             "mutually exclusive")
+        if cfg.triplet_select != "facenet":
+            raise ValueError("--int8_features requires the device-fed "
+                             "path (--triplet_select facenet); host "
+                             "miners slice raw numpy features")
 
     # fused-step path: events/labels/mask are device_put (with the bf16
     # cast host-side) on a background thread one batch ahead, so the
@@ -235,6 +243,7 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
         return device_prefetch(
             epochs(), device_keys=("events", "labels", "mask"),
             bf16_keys=("events",) if cfg.bf16_features else (),
+            int8_keys=("events",) if cfg.int8_features else (),
             shardings=shardings)
 
     metrics = {}

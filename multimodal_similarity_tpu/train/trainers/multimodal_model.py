@@ -202,6 +202,10 @@ def make_mm_fused_step(core, sensors_enc, sensors_pddm, segment_enc,
 
     def step(state, events, eve_sensors, eve_segment, labels, mask,
              class_margins, use_multimodal, key, learning_rate):
+        from multimodal_similarity_tpu.train.steps import dequant_features
+        events = dequant_features(events)
+        eve_sensors = dequant_features(eve_sensors)
+        eve_segment = dequant_features(eve_segment)
         k_mine, k_mul, k_drop = jax.random.split(key, 3)
         if gather_smalls:
             # multihost feeding: labels/mask arrive sharded on the batch
@@ -410,6 +414,14 @@ def train(cfg: TrainConfig, hard_only: bool = False,
     all inside one jitted program per batch (make_mm_fused_step) — zero
     host round trips.  The default path keeps the reference's exact
     host-side sequential mining semantics."""
+    if cfg.int8_features:
+        if cfg.bf16_features:
+            raise ValueError("--int8_features and --bf16_features are "
+                             "mutually exclusive")
+        if not device_mining:
+            raise ValueError("--int8_features requires --device_mining "
+                             "(the device-fed path); host miners slice "
+                             "raw numpy features")
     modalities = cfg.feat if isinstance(cfg.feat, list) else \
         ["resnet", "sensors", "segment"]
     # multihost (pod) flagship: jax.distributed bootstrap, sessions sharded
@@ -569,6 +581,7 @@ def train(cfg: TrainConfig, hard_only: bool = False,
             epochs(),
             device_keys=("events", "events2", "events3", "labels", "mask"),
             bf16_keys=("events",) if cfg.bf16_features else (),
+            int8_keys=("events",) if cfg.int8_features else (),
             shardings=shardings)
 
     metrics = {}

@@ -465,3 +465,24 @@ def test_loader_clamps_sess_per_batch_to_dataset(synth_root):
     assert loader.batches_per_epoch == 1
     batches = list(loader.epoch())
     assert len(batches) == 1 and int(batches[0]["num_events"]) > 0
+
+
+def test_quantize_features_roundtrip(rng):
+    """Symmetric int8 quantization: dequant error bounded by scale/2
+    within each (event, frame[, channel]) scale group."""
+    from multimodal_similarity_tpu.data.device_feed import quantize_features
+
+    conv = (rng.randn(4, 3, 2, 2, 8) * rng.gamma(2.0, 2.0)).astype(np.float32)
+    q, scale = quantize_features(conv)
+    assert q.dtype == np.int8 and scale.shape == (4, 3, 1, 1, 8)
+    err = np.abs(q.astype(np.float32) * scale - conv)
+    assert np.all(err <= scale / 2 + 1e-7)
+
+    flat = rng.randn(4, 3, 16).astype(np.float32)
+    q2, scale2 = quantize_features(flat)
+    assert scale2.shape == (4, 3, 1)
+    np.testing.assert_allclose(q2.astype(np.float32) * scale2, flat,
+                               atol=float(scale2.max()) / 2 + 1e-7)
+    # all-zero rows quantize to zero without div-by-zero
+    q3, scale3 = quantize_features(np.zeros((2, 3, 4), np.float32))
+    assert not q3.any() and np.isfinite(scale3).all()

@@ -425,3 +425,44 @@ def test_embed_arrays_in_chunks_multi_input(rng):
     # n < chunk: single padded call
     got3 = embed_arrays_in_chunks(f2, (X[:2], B[:2]), chunk=4)
     np.testing.assert_allclose(got3, X[:2] @ W + B[:2], rtol=1e-6)
+
+
+def test_base_trainer_int8_features(synth_cfg, tmp_path):
+    """--int8_features ships quantized features through the device feed;
+    the step dequantizes inline and trains normally."""
+    cfg = _tiny_cfg(synth_cfg, int8_features=True)
+    state, metrics, _ = base_model.train(
+        cfg, event_budget=64, result_dir=str(tmp_path / "i8"))
+    assert int(state.step) == 2
+    assert np.isfinite(metrics["val_mAP"])
+
+    with pytest.raises(ValueError):
+        base_model.train(_tiny_cfg(synth_cfg, int8_features=True,
+                                   bf16_features=True),
+                         event_budget=64,
+                         result_dir=str(tmp_path / "bad"))
+    with pytest.raises(ValueError):
+        base_model.train(_tiny_cfg(synth_cfg, int8_features=True,
+                                   triplet_select="facenet_host"),
+                         event_budget=64,
+                         result_dir=str(tmp_path / "bad2"))
+
+
+def test_int8_features_quality_parity(tmp_path_factory, tmp_path):
+    """int8 feature quantization must not change what the model learns:
+    same data/config/seed trained both ways lands at comparable val mAP
+    (the quantization error is <0.4% of each scale group's range)."""
+    root = str(tmp_path_factory.mktemp("honda_i8"))
+    generate_synthetic_honda(
+        root, n_sessions=5, frames_per_session=300,
+        modal_dims={"resnet": (2, 2, 8), "sensors": (8,)},
+        class_scale=1.0, noise_scale=1.8, seed=3)
+
+    results = {}
+    for mode in ("f32", "int8"):
+        cfg = _tiny_cfg(root, max_epochs=10, learning_rate=0.02,
+                        int8_features=(mode == "int8"))
+        _, metrics, _ = base_model.train(
+            cfg, event_budget=64, result_dir=str(tmp_path / mode))
+        results[mode] = metrics["val_mAP"]
+    assert results["int8"] >= results["f32"] - 0.15, results

@@ -358,3 +358,17 @@ def test_flagship_device_mining_preempts(synth_root, tmp_path, monkeypatch):
     assert int(state.step) <= 8, int(state.step)
     ckpts = glob.glob(os.path.join(out_dir, "*.ckpt-*"))
     assert any(c.endswith(f".ckpt-{int(state.step)}") for c in ckpts), ckpts
+
+
+def test_flagship_device_mining_int8(synth_root, tmp_path):
+    from multimodal_similarity_tpu.train.trainers import multimodal_model
+    cfg = _cfg(synth_root, network="convrtsn",
+               feat=["resnet", "sensors", "segment"], n_h=2, n_w=2, n_C=4,
+               lambda_multimodal=0.5, multimodal_epochs=0, label_num=3,
+               triplet_per_batch=16, int8_features=True)
+    cfg.feat_dim["segment"] = (16,)
+    state, metrics, _ = multimodal_model.train(
+        cfg, device_mining=True, event_budget=48,
+        result_dir=str(tmp_path / "i8f"))
+    assert int(state.step) >= 1
+    assert np.isfinite(metrics["val_mAP"])
