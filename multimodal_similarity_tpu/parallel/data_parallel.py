@@ -51,15 +51,15 @@ def make_dp_triplet_step(
     repl = NamedSharding(mesh, P())
 
     def step(state, events, labels, mask, key, learning_rate):
-        from multimodal_similarity_tpu.train.steps import dequant_features
-        events = dequant_features(events)
+        from multimodal_similarity_tpu.train.steps import (
+            dequant_features, take_features)
         k_mine, k_drop = jax.random.split(key)
         if gather_smalls:
             labels = jax.lax.with_sharding_constraint(labels, repl)
             mask = jax.lax.with_sharding_constraint(mask, repl)
 
         def loss_fn(params):
-            emb = model.apply({"params": params}, events)
+            emb = model.apply({"params": params}, dequant_features(events))
             if normalized:
                 emb = l2_normalize(emb)
             # embeddings gathered for the global mining pass
@@ -75,7 +75,8 @@ def make_dp_triplet_step(
 
             tri_idx = jnp.concatenate(
                 [mined.anchor, mined.positive, mined.negative])
-            tri_events = jnp.take(events, tri_idx, axis=0)
+            # gather in the feed's storage dtype, dequantize the selection
+            tri_events = dequant_features(take_features(events, tri_idx))
             tri_events = jax.lax.with_sharding_constraint(
                 tri_events, NamedSharding(mesh, P("data")))
             tri_emb = model.apply({"params": params}, tri_events, train=True,

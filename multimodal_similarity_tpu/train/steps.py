@@ -46,13 +46,23 @@ def dequant_features(x):
     """Accept a dense feature array or the int8 feed's {"q", "scale"} dict
     (data/device_feed.quantize_features) and return bf16 features.
 
-    Called at the top of the jitted steps so XLA fuses the dequant
-    multiply into the first consumer — the int8 tensor is what crosses
-    the wire and what the feature read streams from HBM.
+    Call at each CONSUMPTION site (not once per step): the embed pass's
+    dequant fuses into its contraction (measured faster than a bf16 read),
+    while a triplet gather must run on the int8 tensor via take_features —
+    gathering a dequantized tensor forces XLA to materialize the full bf16
+    copy in HBM, which is what made naive int8 slower than bf16.
     """
     if isinstance(x, dict) and "q" in x:
         return x["q"].astype(jnp.bfloat16) * x["scale"].astype(jnp.bfloat16)
     return x
+
+
+def take_features(x, idx):
+    """Row-gather that stays in the feed's storage dtype (int8 rows cost
+    a quarter of f32 gather traffic); compose with dequant_features."""
+    if isinstance(x, dict) and "q" in x:
+        return {k: jnp.take(v, idx, axis=0) for k, v in x.items()}
+    return jnp.take(x, idx, axis=0)
 
 
 def l2_normalize(x: Array, eps: float = 1e-10) -> Array:
@@ -136,11 +146,11 @@ def make_triplet_train_step(
 
     def step(state: TrainState, events, labels: Array, mask: Array,
              key: jax.Array, learning_rate: Array):
-        events = dequant_features(events)
         k_mine, k_drop = jax.random.split(key)
 
         def loss_fn(params):
-            emb_mine = model.apply({"params": params}, events)
+            emb_mine = model.apply({"params": params},
+                                   dequant_features(events))
             if normalized:
                 emb_mine = l2_normalize(emb_mine)
             emb_mine = jax.lax.stop_gradient(emb_mine)
@@ -152,7 +162,9 @@ def make_triplet_train_step(
 
             tri_idx = jnp.concatenate(
                 [mined.anchor, mined.positive, mined.negative])
-            tri_events = jnp.take(events, tri_idx, axis=0)
+            # gather in the feed's storage dtype (int8 rows are 4x
+            # cheaper), dequantizing only the selected triplets
+            tri_events = dequant_features(take_features(events, tri_idx))
             tri_emb = model.apply({"params": params}, tri_events, train=True,
                                   rngs={"dropout": k_drop})
             if normalized:

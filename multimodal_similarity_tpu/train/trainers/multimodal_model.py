@@ -202,8 +202,8 @@ def make_mm_fused_step(core, sensors_enc, sensors_pddm, segment_enc,
 
     def step(state, events, eve_sensors, eve_segment, labels, mask,
              class_margins, use_multimodal, key, learning_rate):
-        from multimodal_similarity_tpu.train.steps import dequant_features
-        events = dequant_features(events)
+        from multimodal_similarity_tpu.train.steps import (
+            dequant_features, take_features)
         eve_sensors = dequant_features(eve_sensors)
         eve_segment = dequant_features(eve_segment)
         k_mine, k_mul, k_drop = jax.random.split(key, 3)
@@ -217,7 +217,7 @@ def make_mm_fused_step(core, sensors_enc, sensors_pddm, segment_enc,
 
         def loss_fn(params):
             emb_mine = core.apply({"params": params["modality_core"]},
-                                  events)
+                                  dequant_features(events))
             if cfg.normalized:
                 emb_mine = l2_normalize(emb_mine)
             if mesh is not None:
@@ -283,7 +283,9 @@ def make_mm_fused_step(core, sensors_enc, sensors_pddm, segment_enc,
             margins = jnp.concatenate(
                 [jnp.zeros(lab_t + hard_cap), mul.margins])
 
-            tri_events = jnp.take(events, gather, axis=0)
+            # gather in the feed's storage dtype (int8 rows are 4x
+            # cheaper), dequantizing only the selected triplets
+            tri_events = dequant_features(take_features(events, gather))
             if mesh is not None:
                 # re-forward batch sharded over chips too
                 tri_events = jax.lax.with_sharding_constraint(
