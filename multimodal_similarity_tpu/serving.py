@@ -23,16 +23,24 @@ from multimodal_similarity_tpu.train.steps import (
 
 
 class EmbeddingService:
-    """Jitted, padded-batch embedding with a single compilation."""
+    """Jitted, padded-batch embedding with a single compilation.
+
+    ``int8=True`` quantizes each request host-side before upload
+    (data/device_feed.quantize_features) and dequantizes inline on
+    device — quarter of the f32 request bytes on the wire, the serving
+    path's governing cost (RESULTS.md "Serving").
+    """
 
     def __init__(self, model, params, batch_size: int = 256,
-                 normalized: bool = True):
+                 normalized: bool = True, int8: bool = False):
         self.model = model
         self.params = params
         self.batch_size = batch_size
+        self.int8 = int8
         # the same jitted eval-mode embed the trainers use — serving must
         # never diverge from training-side embedding semantics
         self._embed = make_embed_fn(model, normalized=normalized)
+        self._embed_q = None  # lazily-built quantized-request twin
 
     def embed(self, events: np.ndarray) -> np.ndarray:
         if events.shape[0] == 0:  # zero-row request: probe the width
@@ -40,8 +48,32 @@ class EmbeddingService:
                 self.params,
                 jnp.zeros((1,) + events.shape[1:], jnp.float32)))
             return np.zeros((0, probe.shape[-1]), np.float32)
+        if self.int8:
+            from multimodal_similarity_tpu.data.device_feed import (
+                quantize_features)
+            # NOTE server-side quantization costs a few host passes over
+            # the request; on a 1-core host that can eat the wire saving.
+            # Wire-bound deployments should quantize CLIENT-side and call
+            # embed_quantized directly.
+            return self.embed_quantized(*quantize_features(events))
         return embed_in_chunks(self._embed, self.params, events,
                                chunk=self.batch_size)
+
+    def embed_quantized(self, q: np.ndarray,
+                        scale: np.ndarray) -> np.ndarray:
+        """Embed a pre-quantized request (client-side
+        data/device_feed.quantize_features): the int8 payload is a quarter
+        of the f32 request bytes on the wire, the serving path's governing
+        cost."""
+        from multimodal_similarity_tpu.train.steps import (
+            dequant_features, embed_arrays_in_chunks)
+        if self._embed_q is None:
+            params = self.params
+            embed = self._embed
+            self._embed_q = jax.jit(lambda qb, sb: embed(
+                params, dequant_features({"q": qb, "scale": sb})))
+        return embed_arrays_in_chunks(self._embed_q, (q, scale),
+                                      chunk=self.batch_size)
 
 
 class RetrievalIndex:

@@ -142,3 +142,38 @@ def test_embedding_service_zero_rows(rng):
     svc = EmbeddingService(model, params, batch_size=4)
     out = svc.embed(np.zeros((0, 3, 8), np.float32))
     assert out.shape == (0, 16)
+
+
+def test_embedding_service_int8(rng):
+    """int8 request path matches the f32 path within quantization error."""
+    from multimodal_similarity_tpu.models import build_encoder
+    from multimodal_similarity_tpu.serving import EmbeddingService
+
+    model = build_encoder("rtsn", num_seg=3, emb_dim=16, n_input=8)
+    x0 = jnp.zeros((2, 3, 8), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x0)["params"]
+    events = rng.randn(37, 3, 8).astype(np.float32)
+    f32 = EmbeddingService(model, params, batch_size=16).embed(events)
+    i8 = EmbeddingService(model, params, batch_size=16,
+                          int8=True).embed(events)
+    assert i8.shape == f32.shape == (37, 16)
+    # l2-normalized outputs: quantization error stays small
+    assert float(np.max(np.abs(i8 - f32))) < 0.05
+    np.testing.assert_allclose(np.linalg.norm(i8, axis=1), 1.0, rtol=1e-2)
+
+
+def test_embedding_service_embed_quantized(rng):
+    """Client-side-quantized requests produce the same embeddings as the
+    server-side-quantizing int8 path."""
+    from multimodal_similarity_tpu.data.device_feed import quantize_features
+    from multimodal_similarity_tpu.models import build_encoder
+    from multimodal_similarity_tpu.serving import EmbeddingService
+
+    model = build_encoder("rtsn", num_seg=3, emb_dim=16, n_input=8)
+    x0 = jnp.zeros((2, 3, 8), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x0)["params"]
+    events = rng.randn(21, 3, 8).astype(np.float32)
+    svc = EmbeddingService(model, params, batch_size=16, int8=True)
+    via_embed = svc.embed(events)
+    via_quant = svc.embed_quantized(*quantize_features(events))
+    np.testing.assert_allclose(via_embed, via_quant, atol=1e-6)
