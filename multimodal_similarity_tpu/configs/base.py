@@ -84,6 +84,10 @@ class BaseConfig:
                 getattr(self, attr), self.DATA_ROOT, fname))
         if isinstance(getattr(self, "feat", None), str) and "," in self.feat:
             self.feat = self.feat.split(",")
+        if getattr(self, "int8_features", False) and \
+                getattr(self, "bf16_features", False):
+            raise ValueError("--int8_features and --bf16_features are "
+                             "mutually exclusive")
         return self
 
     # ---- CLI ----------------------------------------------------------

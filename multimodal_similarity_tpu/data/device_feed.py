@@ -54,8 +54,9 @@ def quantize_features(a: np.ndarray):
 def make_batch_placer(
     device_keys: Sequence[str] = DEFAULT_DEVICE_KEYS,
     bf16_keys: Sequence[str] = (),
-    int8_keys: Sequence[str] = (),
     shardings: Optional[Mapping[str, object]] = None,
+    *,
+    int8_keys: Sequence[str] = (),
 ):
     """Return placer(host_batch) -> batch with device-resident arrays.
 
@@ -111,9 +112,10 @@ def device_prefetch(
     batches: Iterable[Dict[str, np.ndarray]],
     device_keys: Sequence[str] = DEFAULT_DEVICE_KEYS,
     bf16_keys: Sequence[str] = (),
-    int8_keys: Sequence[str] = (),
     shardings: Optional[Mapping[str, object]] = None,
     depth: int = 2,
+    *,
+    int8_keys: Sequence[str] = (),
 ):
     """Yield batches with ``device_keys`` already device-resident.
 
@@ -123,7 +125,8 @@ def device_prefetch(
     its own thread): disk load / pad -> thread 1, host->device DMA ->
     thread 2, compute -> main thread.
     """
-    place = make_batch_placer(device_keys, bf16_keys, int8_keys, shardings)
+    place = make_batch_placer(device_keys, bf16_keys, shardings,
+                              int8_keys=int8_keys)
     yield from _prefetched(batches, place, depth)
 
 

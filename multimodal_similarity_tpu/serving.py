@@ -67,12 +67,18 @@ class EmbeddingService:
         cost."""
         from multimodal_similarity_tpu.train.steps import (
             dequant_features, embed_arrays_in_chunks)
+        if q.shape[0] == 0:  # zero-row request: probe the width
+            probe = np.asarray(self._embed(
+                self.params, jnp.zeros((1,) + q.shape[1:], jnp.float32)))
+            return np.zeros((0, probe.shape[-1]), np.float32)
         if self._embed_q is None:
-            params = self.params
             embed = self._embed
-            self._embed_q = jax.jit(lambda qb, sb: embed(
-                params, dequant_features({"q": qb, "scale": sb})))
-        return embed_arrays_in_chunks(self._embed_q, (q, scale),
+            # params stay a CALL argument so a hot-swapped checkpoint
+            # (svc.params = new) applies to both request paths
+            self._embed_q = jax.jit(lambda p, qb, sb: embed(
+                p, dequant_features({"q": qb, "scale": sb})))
+        fn = lambda qb, sb: self._embed_q(self.params, qb, sb)  # noqa: E731
+        return embed_arrays_in_chunks(fn, (q, scale),
                                       chunk=self.batch_size)
 
 

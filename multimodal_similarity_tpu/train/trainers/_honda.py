@@ -38,8 +38,18 @@ class HondaExperiment:
                  result_dir: Optional[str] = None,
                  limit_label_num: bool = True,
                  val_sessions: Optional[Sequence[str]] = None,
-                 session_shard: Optional[Sequence[int]] = None):
+                 session_shard: Optional[Sequence[int]] = None,
+                 supports_int8: bool = False):
         self.cfg = cfg
+        # --int8_features only works on trainers that feed through
+        # device_prefetch AND dequantize in their step; everywhere else it
+        # must fail loudly instead of silently shipping f32
+        if getattr(cfg, "int8_features", False) and not supports_int8:
+            raise ValueError(
+                "--int8_features is not supported by this trainer (it "
+                "requires a device-fed step that dequantizes inline); "
+                "supported: base_model (facenet), base_model_batchhard, "
+                "multimodal_model --device_mining")
         self.result_dir = setup_experiment(cfg, result_dir=result_dir)
         self.logger = MetricsLogger(self.result_dir)
         self.ckpt = CheckpointManager(self.result_dir, cfg.name)

@@ -189,14 +189,11 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
 
     from multimodal_similarity_tpu.train.trainer import feature_caster
     _cast = feature_caster(cfg)
-    if cfg.int8_features:
-        if cfg.bf16_features:
-            raise ValueError("--int8_features and --bf16_features are "
-                             "mutually exclusive")
-        if cfg.triplet_select != "facenet":
-            raise ValueError("--int8_features requires the device-fed "
-                             "path (--triplet_select facenet); host "
-                             "miners slice raw numpy features")
+    # (int8 x bf16 exclusion is validated in TrainConfig.resolve)
+    if cfg.int8_features and cfg.triplet_select != "facenet":
+        raise ValueError("--int8_features requires the device-fed "
+                         "path (--triplet_select facenet); host "
+                         "miners slice raw numpy features")
 
     # fused-step path: events/labels/mask are device_put (with the bf16
     # cast host-side) on a background thread one batch ahead, so the

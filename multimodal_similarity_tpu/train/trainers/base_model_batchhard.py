@@ -60,9 +60,11 @@ def make_balanced_batch_step(model, cfg: TrainConfig, loss_kind: str,
             ring_loss = make_ring_lifted_loss(mesh, margin, weighted=True)
 
     def step(state, events, labels, key, learning_rate):
+        from multimodal_similarity_tpu.train.steps import dequant_features
+
         def loss_fn(params):
-            emb = model.apply({"params": params}, events, train=True,
-                              rngs={"dropout": key})
+            emb = model.apply({"params": params}, dequant_features(events),
+                              train=True, rngs={"dropout": key})
             if cfg.normalized:
                 emb = l2_normalize(emb)
             if mesh is not None:
@@ -99,7 +101,7 @@ def train(cfg: TrainConfig, loss_kind: str = "batchhard",
           event_budget: Optional[int] = None,
           result_dir: Optional[str] = None):
     exp = HondaExperiment(cfg, event_budget=event_budget,
-                          result_dir=result_dir)
+                          result_dir=result_dir, supports_int8=True)
     from multimodal_similarity_tpu.train.trainer import feature_caster
     _cast = feature_caster(cfg)
     model = build_encoder(cfg.network, num_seg=cfg.num_seg,
@@ -164,8 +166,10 @@ def train(cfg: TrainConfig, loss_kind: str = "batchhard",
         if mesh is not None:
             shardings = feed_shardings(mesh, data_keys=("events",),
                                        replicated_keys=("labels",))
-        return device_prefetch(epochs(), device_keys=("events", "labels"),
-                               shardings=shardings)
+        return device_prefetch(
+            epochs(), device_keys=("events", "labels"),
+            shardings=shardings,
+            int8_keys=("events",) if cfg.int8_features else ())
 
     metrics = {}
     import itertools

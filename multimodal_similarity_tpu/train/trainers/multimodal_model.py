@@ -416,14 +416,11 @@ def train(cfg: TrainConfig, hard_only: bool = False,
     all inside one jitted program per batch (make_mm_fused_step) — zero
     host round trips.  The default path keeps the reference's exact
     host-side sequential mining semantics."""
-    if cfg.int8_features:
-        if cfg.bf16_features:
-            raise ValueError("--int8_features and --bf16_features are "
-                             "mutually exclusive")
-        if not device_mining:
-            raise ValueError("--int8_features requires --device_mining "
-                             "(the device-fed path); host miners slice "
-                             "raw numpy features")
+    # (int8 x bf16 exclusion is validated in TrainConfig.resolve)
+    if cfg.int8_features and not device_mining:
+        raise ValueError("--int8_features requires --device_mining "
+                         "(the device-fed path); host miners slice "
+                         "raw numpy features")
     modalities = cfg.feat if isinstance(cfg.feat, list) else \
         ["resnet", "sensors", "segment"]
     # multihost (pod) flagship: jax.distributed bootstrap, sessions sharded
@@ -463,6 +460,7 @@ def train(cfg: TrainConfig, hard_only: bool = False,
     if cfg.multihost and mesh is None:
         raise RuntimeError("--multihost needs >= 2 devices across processes")
     exp = HondaExperiment(cfg, modalities=modalities,
+                          supports_int8=device_mining,
                           event_budget=(event_budget or cfg.event_per_batch)
                           // pcount if pcount > 1 else event_budget,
                           result_dir=result_dir,

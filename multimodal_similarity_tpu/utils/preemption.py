@@ -50,6 +50,7 @@ class PreemptionGuard:
         self._stop = threading.Event()
         self._previous: dict = {}
         self._installed = False
+        self._signal_time: Optional[float] = None  # first REAL signal
 
     # -- lifecycle ---------------------------------------------------------
     def install(self) -> "PreemptionGuard":
@@ -77,15 +78,26 @@ class PreemptionGuard:
         self.restore()
 
     # -- signal path -------------------------------------------------------
+    #: seconds a first SIGTERM gets to reach a checkpoint before a repeat
+    #: escalates to termination — supervisors commonly deliver duplicates
+    #: within milliseconds (process group + child), which must NOT kill
+    #: the run before any step-boundary poll could respond
+    ESCALATE_AFTER_S = 5.0
+
     def _handle(self, signum, frame) -> None:
-        if self._stop.is_set():
-            # second signal: the sender means it — restore the previous
-            # dispositions and re-deliver so termination proceeds even if
-            # no loop is polling this guard (e.g. it leaked past an
-            # exception, or the grace-window work is stuck)
+        import time
+
+        if self._signal_time is not None and \
+                time.monotonic() - self._signal_time > self.ESCALATE_AFTER_S:
+            # repeated signal after a real grace window: the sender means
+            # it — restore the previous dispositions and re-deliver so
+            # termination proceeds even if no loop is polling this guard
+            # (e.g. it leaked past an exception, or the work is stuck)
             self.restore()
             signal.raise_signal(signum)
             return
+        if self._signal_time is None:
+            self._signal_time = time.monotonic()
         self._stop.set()
         prev = self._previous.get(signum)
         if callable(prev):  # chain embedding frameworks' own hooks

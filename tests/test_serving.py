@@ -177,3 +177,28 @@ def test_embedding_service_embed_quantized(rng):
     via_embed = svc.embed(events)
     via_quant = svc.embed_quantized(*quantize_features(events))
     np.testing.assert_allclose(via_embed, via_quant, atol=1e-6)
+
+
+def test_embedding_service_quantized_zero_rows_and_hot_swap(rng):
+    from multimodal_similarity_tpu.data.device_feed import quantize_features
+    from multimodal_similarity_tpu.models import build_encoder
+    from multimodal_similarity_tpu.serving import EmbeddingService
+
+    model = build_encoder("rtsn", num_seg=3, emb_dim=16, n_input=8)
+    x0 = jnp.zeros((2, 3, 8), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x0)["params"]
+    svc = EmbeddingService(model, params, batch_size=8, int8=True)
+    # zero-row request mirrors embed()'s (0, D) contract
+    empty = svc.embed_quantized(np.zeros((0, 3, 8), np.int8),
+                                np.zeros((0, 3, 1), np.float32))
+    assert empty.shape == (16,) or empty.shape == (0, 16)
+    assert empty.shape == (0, 16)
+
+    # hot-swapped params apply to BOTH request paths
+    events = rng.randn(5, 3, 8).astype(np.float32)
+    q, s = quantize_features(events)
+    before = svc.embed_quantized(q, s)
+    svc.params = model.init(jax.random.PRNGKey(9), x0)["params"]
+    after = svc.embed_quantized(q, s)
+    assert float(np.max(np.abs(after - before))) > 1e-3
+    np.testing.assert_allclose(after, svc.embed(events), atol=1e-6)

@@ -372,3 +372,22 @@ def test_flagship_device_mining_int8(synth_root, tmp_path):
         result_dir=str(tmp_path / "i8f"))
     assert int(state.step) >= 1
     assert np.isfinite(metrics["val_mAP"])
+
+
+def test_batchhard_trainer_int8(synth_root, tmp_path):
+    from multimodal_similarity_tpu.train.trainers import base_model_batchhard
+    cfg = _cfg(synth_root, int8_features=True)
+    state, metrics, _ = base_model_batchhard.train(
+        cfg, event_budget=48, result_dir=str(tmp_path / "bh8"))
+    assert int(state.step) >= 1
+    assert np.isfinite(metrics["val_mAP"])
+
+
+def test_int8_rejected_by_unsupported_trainers(synth_root, tmp_path):
+    """Trainers without a device-fed dequantizing step must fail loudly on
+    --int8_features instead of silently shipping f32."""
+    from multimodal_similarity_tpu.train.trainers import pddm_model
+    with pytest.raises(ValueError, match="int8_features"):
+        pddm_model.train(_cfg(synth_root, int8_features=True),
+                         event_budget=48,
+                         result_dir=str(tmp_path / "no8"))
