@@ -55,3 +55,60 @@ def chunked_topk(queries: jnp.ndarray, gallery: jnp.ndarray, k: int = 32,
     (best_d, best_i), _ = jax.lax.scan(body, init,
                                        (g_chunks, valid, idx_chunks))
     return best_d, best_i
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "metric"))
+def chunked_topk_quantized(queries: jnp.ndarray, q_gallery: jnp.ndarray,
+                           scale: jnp.ndarray, gsq: jnp.ndarray,
+                           k: int = 32,
+                           chunk: int = 4096, metric: str = "euclidean"):
+    """Streaming top-k over an int8-quantized gallery (rows g = s * qg).
+
+    The gallery HBM read is a quarter of f32; distances use the exact
+    identity d^2(x, g) = |x|^2 + s^2 |qg|^2 - 2 s (x . qg), so the only
+    approximation is the row quantization itself (|d - d_exact| bounded by
+    the per-row scale — see serving.RetrievalIndex(int8_gallery=True)).
+    Euclidean metrics only: l1 has no scale-factoring identity.
+    """
+    if metric not in ("euclidean", "squaredeuclidean"):
+        raise NotImplementedError(
+            f"int8 gallery supports euclidean metrics, not {metric!r}")
+    q = queries.astype(jnp.float32)
+    xsq = jnp.sum(q * q, axis=1, keepdims=True)              # [Q, 1]
+    qb = q.astype(jnp.bfloat16)
+    n = q_gallery.shape[0]
+    pad = (-n) % chunk
+    qg = jnp.pad(q_gallery, ((0, pad), (0, 0)))
+    s = jnp.pad(scale.reshape(-1).astype(jnp.float32), ((0, pad),))
+    gsq_p = jnp.pad(gsq.reshape(-1).astype(jnp.float32), ((0, pad),))
+    n_chunks = qg.shape[0] // chunk
+    qg_chunks = qg.reshape(n_chunks, chunk, -1)
+    s_chunks = s.reshape(n_chunks, chunk)
+    gsq_chunks = gsq_p.reshape(n_chunks, chunk)
+    valid = (jnp.arange(n + pad) < n).reshape(n_chunks, chunk)
+    idx_chunks = jnp.arange(n + pad, dtype=jnp.int32).reshape(n_chunks,
+                                                              chunk)
+    nq = q.shape[0]
+    init = (jnp.full((nq, k), _POS_INF, jnp.float32),
+            jnp.full((nq, k), -1, jnp.int32))
+
+    def body(carry, inputs):
+        best_d, best_i = carry
+        qg_c, s_c, gsq_c, v_c, i_c = inputs
+        g16 = qg_c.astype(jnp.bfloat16)
+        inner = jax.lax.dot_general(qb, g16, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        d = jnp.maximum(xsq + gsq_c[None, :] - 2.0 * s_c[None, :] * inner,
+                        0.0)
+        if metric == "euclidean":
+            d = jnp.sqrt(d)
+        d = jnp.where(v_c[None, :], d, _POS_INF)
+        cand_d = jnp.concatenate([best_d, d], axis=1)
+        cand_i = jnp.concatenate(
+            [best_i, jnp.broadcast_to(i_c[None, :], (nq, chunk))], axis=1)
+        neg_top, pos = jax.lax.top_k(-cand_d, k)
+        return (-neg_top, jnp.take_along_axis(cand_i, pos, axis=1)), None
+
+    (best_d, best_i), _ = jax.lax.scan(
+        body, init, (qg_chunks, s_chunks, gsq_chunks, valid, idx_chunks))
+    return best_d, best_i

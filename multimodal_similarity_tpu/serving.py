@@ -91,10 +91,27 @@ class RetrievalIndex:
     """
 
     def __init__(self, emb_dim: int, metric: str = "euclidean",
-                 mesh=None, gallery_chunk: int = 65536):
+                 mesh=None, gallery_chunk: int = 65536,
+                 int8_gallery: bool = False):
         self.emb_dim = emb_dim
         self.metric = metric
         self.mesh = mesh
+        # int8 gallery rows (g = s * qg, per-row max-abs scale): quarter
+        # of the f32 gallery HBM — 4x the rows per chip — and a quarter
+        # of the query pass's gallery read.  Distances use the exact
+        # scale-factored identity (ops/chunked_topk.py), so the only
+        # approximation is the ~0.4%-of-row-norm quantization error;
+        # top-k overlap vs the exact index is pinned in
+        # tests/test_serving.py.  Euclidean metrics only.
+        self.int8_gallery = int8_gallery
+        if int8_gallery and mesh is not None:
+            raise NotImplementedError(
+                "int8_gallery + sharded mesh gallery not implemented; "
+                "shard an f32 gallery or use int8 on one chip")
+        if int8_gallery and metric not in ("euclidean",
+                                           "squaredeuclidean"):
+            raise NotImplementedError(
+                "int8_gallery supports euclidean metrics only")
         # galleries beyond this stream through the chunked scan so the
         # [Q, N] matrix never materializes (ops/chunked_topk.py)
         self.gallery_chunk = gallery_chunk
@@ -145,6 +162,21 @@ class RetrievalIndex:
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 self._device_gallery = jax.device_put(
                     gallery, NamedSharding(self.mesh, P("data", None)))
+            elif self.int8_gallery:
+                # per-row scalar max-abs quantization (upload once)
+                amax = np.maximum(np.max(np.abs(gallery), axis=1,
+                                         keepdims=True), 1e-12)
+                scale = (amax / 127.0).astype(np.float32)
+                qg = np.clip(np.rint(gallery / scale), -127,
+                             127).astype(np.int8)
+                # exact per-row squared norms of the QUANTIZED rows,
+                # precomputed once so queries touch only the int8 matmul
+                gsq = (scale.reshape(-1) ** 2) * np.sum(
+                    qg.astype(np.float32) ** 2, axis=1)
+                self._device_gallery = (jax.device_put(qg),
+                                        jax.device_put(scale),
+                                        jax.device_put(
+                                            gsq.astype(np.float32)))
             else:
                 self._device_gallery = jnp.asarray(gallery)
         return self._device_gallery
@@ -162,7 +194,15 @@ class RetrievalIndex:
         q = jnp.asarray(queries)
         k = min(k, len(self))
         gallery = self._gallery_on_device()
-        if self.mesh is not None:
+        if self.int8_gallery:
+            from multimodal_similarity_tpu.ops.chunked_topk import (
+                chunked_topk_quantized)
+            qg, scale, gsq = gallery
+            d, idx = chunked_topk_quantized(
+                q, qg, scale, gsq, k=k,
+                chunk=min(self.gallery_chunk, max(4096, len(self))),
+                metric=self.metric)
+        elif self.mesh is not None:
             from multimodal_similarity_tpu.parallel import (
                 sharded_retrieval_topk)
             d, idx = sharded_retrieval_topk(

@@ -202,3 +202,34 @@ def test_embedding_service_quantized_zero_rows_and_hot_swap(rng):
     after = svc.embed_quantized(q, s)
     assert float(np.max(np.abs(after - before))) > 1e-3
     np.testing.assert_allclose(after, svc.embed(events), atol=1e-6)
+
+
+def test_retrieval_index_int8_gallery(rng):
+    """int8 gallery: top-k matches the exact f32 index to high overlap on
+    l2-normalized embeddings (quantization error ~0.4% of row norm)."""
+    from multimodal_similarity_tpu.serving import RetrievalIndex
+
+    d = 64
+    gal = rng.randn(5000, d).astype(np.float32)
+    gal /= np.linalg.norm(gal, axis=1, keepdims=True)
+    queries = rng.randn(32, d).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    exact = RetrievalIndex(d)
+    exact.add(gal, metadata=list(range(5000)))
+    q8 = RetrievalIndex(d, int8_gallery=True)
+    q8.add(gal, metadata=list(range(5000)))
+
+    de, ie, _ = exact.query(queries, k=10)
+    dq, iq, meta = q8.query(queries, k=10)
+    overlap = np.mean([len(set(a) & set(b)) / 10.0
+                       for a, b in zip(ie, iq)])
+    assert overlap >= 0.95, overlap
+    # rank-1 distance error within the quantization bound
+    np.testing.assert_allclose(dq[:, 0], de[:, 0], atol=0.02)
+    assert meta[0][0] == int(iq[0][0])
+
+    # unsupported combinations fail loudly
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        RetrievalIndex(d, metric="l1", int8_gallery=True)
