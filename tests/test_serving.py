@@ -233,3 +233,35 @@ def test_retrieval_index_int8_gallery(rng):
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
         RetrievalIndex(d, metric="l1", int8_gallery=True)
+
+
+def test_chunked_topk_quantized_edges(rng):
+    """Multi-chunk boundaries, padding rows, and k > N behave like the
+    exact scan: padding never wins, overflow slots carry +inf / -1."""
+    from multimodal_similarity_tpu.ops.chunked_topk import (
+        chunked_topk, chunked_topk_quantized)
+
+    d = 16
+    gal = rng.randn(37, d).astype(np.float32)   # 3 chunks of 16 (pad 11)
+    gal /= np.linalg.norm(gal, axis=1, keepdims=True)
+    amax = np.maximum(np.max(np.abs(gal), axis=1, keepdims=True), 1e-12)
+    scale = (amax / 127.0).astype(np.float32)
+    qg = np.clip(np.rint(gal / scale), -127, 127).astype(np.int8)
+    gsq = (scale.reshape(-1) ** 2) * np.sum(qg.astype(np.float32) ** 2,
+                                            axis=1)
+    queries = rng.randn(4, d).astype(np.float32)
+
+    d_q, i_q = chunked_topk_quantized(
+        jnp.asarray(queries), jnp.asarray(qg), jnp.asarray(scale),
+        jnp.asarray(gsq), k=40, chunk=16)
+    d_e, i_e = chunked_topk(jnp.asarray(queries),
+                            jnp.asarray(gal), k=40, chunk=16)
+    d_q, i_q = np.asarray(d_q), np.asarray(i_q)
+    # overflow slots (k=40 > N=37) are +inf / -1, exactly like the exact scan
+    assert np.all(i_q[:, 37:] == -1) and np.all(d_q[:, 37:] > 1e29)
+    # every real slot holds a real gallery row (padding rows never win)
+    assert np.all((i_q[:, :37] >= 0) & (i_q[:, :37] < 37))
+    # the full ordering matches the exact scan to quantization tolerance
+    assert np.mean(i_q[:, :10] == np.asarray(i_e)[:, :10]) > 0.9
+    np.testing.assert_allclose(d_q[:, :37],
+                               np.asarray(d_e)[:, :37], atol=0.02)
