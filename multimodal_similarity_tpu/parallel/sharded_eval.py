@@ -53,3 +53,52 @@ def sharded_retrieval_topk(mesh: Mesh, queries, gallery, k: int = 32,
         check_vma=False,
     )
     return fn(queries, gallery, gallery_idx)
+
+
+def sharded_retrieval_topk_quantized(mesh: Mesh, queries, q_gallery,
+                                     scale, gsq, k: int = 32,
+                                     metric: str = "euclidean"):
+    """Sharded top-k over an int8-quantized gallery (rows g = s * qg).
+
+    Same candidate-merge scheme as :func:`sharded_retrieval_topk` with the
+    shard-local distances computed via the exact scale-factored identity
+    (ops/chunked_topk.chunked_topk_quantized) — each chip stores a quarter
+    of the f32 shard bytes.  Euclidean metrics only.  Padding rows must
+    carry gsq ~ +inf so they never win a local top-k.
+    """
+    if metric not in ("euclidean", "squaredeuclidean"):
+        raise NotImplementedError(
+            f"int8 gallery supports euclidean metrics, not {metric!r}")
+    n = q_gallery.shape[0]
+    n_dev = mesh.devices.size
+    if n % n_dev:
+        raise ValueError(f"gallery size {n} not divisible by mesh {n_dev}")
+    gallery_idx = jnp.arange(n, dtype=jnp.int32)
+
+    def local(q, qg_s, s_s, gsq_s, idx_s):
+        qf = q.astype(jnp.float32)
+        xsq = jnp.sum(qf * qf, axis=1, keepdims=True)
+        inner = jax.lax.dot_general(
+            qf.astype(jnp.bfloat16), qg_s.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        d = jnp.maximum(
+            xsq + gsq_s.reshape(-1)[None, :]
+            - 2.0 * s_s.reshape(-1)[None, :] * inner, 0.0)
+        if metric == "euclidean":
+            d = jnp.sqrt(d)
+        kk = min(k, qg_s.shape[0])
+        neg_vals, loc = jax.lax.top_k(-d, kk)
+        cand_d = -neg_vals
+        cand_i = jnp.take(idx_s, loc)
+        all_d = jax.lax.all_gather(cand_d, "data", axis=1, tiled=True)
+        all_i = jax.lax.all_gather(cand_i, "data", axis=1, tiled=True)
+        neg_best, best_loc = jax.lax.top_k(-all_d, min(k, all_d.shape[1]))
+        return -neg_best, jnp.take_along_axis(all_i, best_loc, axis=1)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P("data"), P("data")),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(queries, q_gallery, scale, gsq, gallery_idx)

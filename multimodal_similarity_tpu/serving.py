@@ -104,10 +104,6 @@ class RetrievalIndex:
         # top-k overlap vs the exact index is pinned in
         # tests/test_serving.py.  Euclidean metrics only.
         self.int8_gallery = int8_gallery
-        if int8_gallery and mesh is not None:
-            raise NotImplementedError(
-                "int8_gallery + sharded mesh gallery not implemented; "
-                "shard an f32 gallery or use int8 on one chip")
         if int8_gallery and metric not in ("euclidean",
                                            "squaredeuclidean"):
             raise NotImplementedError(
@@ -152,13 +148,8 @@ class RetrievalIndex:
     def _gallery_on_device(self):
         if self._device_gallery is None:
             gallery = self._gallery_host()
-            if self.mesh is not None:
-                n_dev = self.mesh.devices.size
-                pad = (-len(self)) % n_dev
-                if pad:
-                    gallery = np.concatenate(
-                        [gallery,
-                         np.full((pad, self.emb_dim), 1e15, np.float32)])
+            if self.mesh is not None and not self.int8_gallery:
+                gallery = self._pad_for_mesh(gallery, fill=1e15)
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 self._device_gallery = jax.device_put(
                     gallery, NamedSharding(self.mesh, P("data", None)))
@@ -171,15 +162,42 @@ class RetrievalIndex:
                              127).astype(np.int8)
                 # exact per-row squared norms of the QUANTIZED rows,
                 # precomputed once so queries touch only the int8 matmul
-                gsq = (scale.reshape(-1) ** 2) * np.sum(
-                    qg.astype(np.float32) ** 2, axis=1)
-                self._device_gallery = (jax.device_put(qg),
-                                        jax.device_put(scale),
-                                        jax.device_put(
-                                            gsq.astype(np.float32)))
+                gsq = ((scale.reshape(-1) ** 2) * np.sum(
+                    qg.astype(np.float32) ** 2, axis=1)).astype(np.float32)
+                if self.mesh is not None:
+                    from jax.sharding import (
+                        NamedSharding, PartitionSpec as P)
+                    # pad to a device multiple; padding rows carry
+                    # gsq ~ +inf so they never win a local top-k
+                    n_pad = (-len(self)) % self.mesh.devices.size
+                    if n_pad:
+                        qg = np.concatenate(
+                            [qg, np.zeros((n_pad, self.emb_dim), np.int8)])
+                        scale = np.concatenate(
+                            [scale, np.ones((n_pad, 1), np.float32)])
+                        gsq = np.concatenate(
+                            [gsq, np.full((n_pad,), 1e30, np.float32)])
+                    row_s = NamedSharding(self.mesh, P("data"))
+                    self._device_gallery = (
+                        jax.device_put(qg, NamedSharding(self.mesh,
+                                                         P("data", None))),
+                        jax.device_put(scale.reshape(-1), row_s),
+                        jax.device_put(gsq, row_s))
+                else:
+                    self._device_gallery = (jax.device_put(qg),
+                                            jax.device_put(scale),
+                                            jax.device_put(gsq))
             else:
                 self._device_gallery = jnp.asarray(gallery)
         return self._device_gallery
+
+    def _pad_for_mesh(self, gallery: np.ndarray,
+                      fill: float) -> np.ndarray:
+        pad = (-len(self)) % self.mesh.devices.size
+        if pad:
+            gallery = np.concatenate(
+                [gallery, np.full((pad, self.emb_dim), fill, np.float32)])
+        return gallery
 
     def query(self, queries: np.ndarray, k: int = 10
               ) -> Tuple[np.ndarray, np.ndarray, list]:
@@ -194,7 +212,13 @@ class RetrievalIndex:
         q = jnp.asarray(queries)
         k = min(k, len(self))
         gallery = self._gallery_on_device()
-        if self.int8_gallery:
+        if self.int8_gallery and self.mesh is not None:
+            from multimodal_similarity_tpu.parallel.sharded_eval import (
+                sharded_retrieval_topk_quantized)
+            qg, scale, gsq = gallery
+            d, idx = sharded_retrieval_topk_quantized(
+                self.mesh, q, qg, scale, gsq, k=k, metric=self.metric)
+        elif self.int8_gallery:
             from multimodal_similarity_tpu.ops.chunked_topk import (
                 chunked_topk_quantized)
             qg, scale, gsq = gallery

@@ -265,3 +265,30 @@ def test_chunked_topk_quantized_edges(rng):
     assert np.mean(i_q[:, :10] == np.asarray(i_e)[:, :10]) > 0.9
     np.testing.assert_allclose(d_q[:, :37],
                                np.asarray(d_e)[:, :37], atol=0.02)
+
+
+def test_retrieval_index_int8_gallery_sharded(rng):
+    """int8 + mesh: quantized shards, local scale-factored distances, ICI
+    candidate merge — matches the exact sharded index to high overlap,
+    including a gallery size NOT divisible by the mesh (padding rows must
+    never win)."""
+    from multimodal_similarity_tpu.serving import RetrievalIndex
+
+    mesh = create_mesh(8)
+    d = 32
+    gal = rng.randn(1003, d).astype(np.float32)   # pad 5 rows to 8 devices
+    gal /= np.linalg.norm(gal, axis=1, keepdims=True)
+    queries = rng.randn(16, d).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    exact = RetrievalIndex(d, mesh=mesh)
+    exact.add(gal)
+    q8 = RetrievalIndex(d, mesh=mesh, int8_gallery=True)
+    q8.add(gal)
+    de, ie, _ = exact.query(queries, k=10)
+    dq, iq, _ = q8.query(queries, k=10)
+    assert np.all((iq >= 0) & (iq < 1003))        # padding never surfaces
+    overlap = np.mean([len(set(a) & set(b)) / 10.0
+                       for a, b in zip(ie, iq)])
+    assert overlap >= 0.95, overlap
+    np.testing.assert_allclose(dq[:, 0], de[:, 0], atol=0.02)
