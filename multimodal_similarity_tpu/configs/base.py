@@ -180,6 +180,28 @@ class TrainConfig(BaseConfig):
     coordinator_address: str = ""
     num_processes: int = 0
     process_id: int = -1
+    # framework extension: device-resident int8 epoch feature cache
+    # (data/device_cache.py).  Event windows upload ONCE; from epoch 2 the
+    # per-epoch TSN re-sampling (the reference re-runs it on host every
+    # epoch, utils.py:386-399) is an on-device gather and the link carries
+    # only the tiny index/label/mask plan.  Falls back to the streaming
+    # feed (with a notice) when the estimated cache exceeds
+    # --device_cache_gb of HBM.
+    device_cache: bool = False
+    device_cache_gb: float = 6.0
+    # framework extension: tensor parallelism.  --model_parallel N builds
+    # a (devices/N) x N dp x tp mesh and column-shards the encoder weight
+    # matrices over the "model" axis (parallel/tensor_parallel.py); XLA
+    # SPMD inserts the ICI collectives.  For wide configs (emb_dim >=
+    # 1024, 1536-channel conv embeds) whose per-chip weights/activations
+    # outgrow pure data parallelism.
+    model_parallel: int = 0
+    # framework extension: per-step hang watchdog (utils/watchdog.py).
+    # --watchdog_secs N arms a deadline around every step dispatch +
+    # readback; on expiry it dumps all thread tracebacks and requests a
+    # preemption-style stop so the run checkpoints instead of hanging
+    # silently (SURVEY.md §5 failure detection).  0 disables.
+    watchdog_secs: float = 0.0
     # framework extension: capture a jax.profiler device-timeline trace
     # (TensorBoard/Perfetto-viewable) of a short window of steady-state
     # steps — the compile step is skipped so the trace shows the real
@@ -228,6 +250,10 @@ class TrainConfig(BaseConfig):
         p.add_argument("--coordinator_address", type=str, default="")
         p.add_argument("--num_processes", type=int, default=0)
         p.add_argument("--process_id", type=int, default=-1)
+        p.add_argument("--device_cache", action="store_true")
+        p.add_argument("--device_cache_gb", type=float, default=6.0)
+        p.add_argument("--model_parallel", type=int, default=0)
+        p.add_argument("--watchdog_secs", type=float, default=0.0)
         p.add_argument("--profile_dir", type=str, default="")
         p.add_argument("--profile_steps", type=int, default=5)
         p.add_argument("--alpha", type=float, default=0.2)

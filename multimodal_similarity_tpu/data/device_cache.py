@@ -1,0 +1,431 @@
+"""Device-resident int8 epoch feature cache.
+
+The repo's own measurements (RESULTS.md "honest hierarchy") make the
+host->device feature feed the governing cost of disk-fed training: the
+same event windows cross the wire EVERY epoch even though, at the
+reference operating point (45-frame capped windows, data_io.py:73-106 /
+preprocess/label_transfer.py:5), the whole train set fits in HBM as int8.
+This module converts that recurring cost into a one-time charge:
+
+1. Build (epoch 1): load each session's capped event windows ONCE, pad
+   them to a common frame count, quantize to int8 with the exact feed
+   scheme (data/device_feed.quantize_features — scales are per
+   (event, frame[, channel]), so frame selection commutes with
+   quantization bit-exactly), and upload them sharded over the "data"
+   mesh axis when a mesh is present.
+2. Epoch >= 2: TSN segment re-sampling — the device twin of the host
+   sampler the reference re-runs per epoch (utils.py:386-399, here
+   data/tsn.tsn_sample_offsets) — becomes an on-device gather driven by
+   a per-batch PRNG key.  The link carries only the tiny index/label/mask
+   plan; features never leave HBM again.
+
+On a mesh the gather runs inside ``shard_map`` with a SHARD-ALIGNED epoch
+plan: sessions are assigned to shards at build time (the same round-robin
+as multihost host_local_sessions), each batch row block references only
+events resident on its own device, and the per-device gather is purely
+local — no collective touches the cached features.  This mirrors the
+multihost feeding contract (each host feeds only its local rows), so the
+downstream fused steps consume cache batches and streamed batches
+identically.
+
+When the estimated cache exceeds the HBM budget the builder returns None
+and callers fall back to the streaming feed (and say so) — the cache is
+an optimization, never a correctness gate.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from multimodal_similarity_tpu.data.honda import (
+    LABEL_TRANSFER,
+    MAX_LENGTH,
+    MIN_LENGTH,
+    MIN_LENGTH_BACKGROUND,
+)
+
+
+def _session_event_lengths(label_path: str) -> List[int]:
+    """Per-event capped frame counts for one session, applying the exact
+    slicing rules of load_data_and_label (data/datasets.py:176-187) —
+    lets the HBM estimate be computed from the label pickles alone,
+    without touching the (much larger) feature arrays."""
+    with open(label_path, "rb") as f:
+        label = pickle.load(f)
+    lengths = []
+    for i in range(len(label["G"])):
+        length = label["s"][i + 1] - label["s"][i]
+        if length > MIN_LENGTH:
+            if label["G"][i] == 0 and length < MIN_LENGTH_BACKGROUND:
+                continue
+            lengths.append(int(min(length, MAX_LENGTH)))
+    return lengths
+
+
+def estimate_cache_bytes(dataset: Sequence[Sequence[str]],
+                         max_frames: int = MAX_LENGTH) -> int:
+    """Estimated device bytes for caching every modality of ``dataset``
+    (int8 frames + f32 scales), computed from label pickles + npy headers
+    only (no feature data is read)."""
+    total = 0
+    num_modalities = len(dataset[0]) - 1
+    for row in dataset:
+        n_events = len(_session_event_lengths(row[-1]))
+        for m in range(num_modalities):
+            feats = np.load(row[m], mmap_mode="r")
+            frame_elems = int(np.prod(feats.shape[1:]))
+            # scale granularity (device_feed.quantize_features): per
+            # (event, frame, channel) for conv maps, per (event, frame)
+            # for flat features
+            scale_elems = feats.shape[-1] if feats.ndim >= 3 else 1
+            total += n_events * max_frames * (frame_elems + 4 * scale_elems)
+    return total
+
+
+class DeviceFeatureCache:
+    """Int8 event windows resident in HBM, re-sampled on device per epoch.
+
+    Build with :meth:`build` (returns None over budget).  Iterate with
+    :meth:`epoch_batches`, which yields batches shaped exactly like the
+    int8 streaming feed (``{"events": {"q", "scale"}, "labels", "mask",
+    "num_events"}``, plus ``events2``/``events3`` for extra modalities),
+    already device-resident and mesh-sharded.
+    """
+
+    def __init__(self, *, n_seg: int, sess_per_batch: int, event_budget: int,
+                 seed: int, mesh=None):
+        self.n_seg = n_seg
+        self.sess_per_batch = sess_per_batch
+        self.event_budget = event_budget
+        self.mesh = mesh
+        self.n_shards = int(mesh.shape["data"]) if mesh is not None else 1
+        if event_budget % self.n_shards:
+            raise ValueError(
+                f"event_budget {event_budget} not divisible by "
+                f"{self.n_shards} mesh shards")
+        self.rng = np.random.RandomState(seed)
+        import jax
+        self._key = jax.random.PRNGKey(seed + 0x5EED)
+        # per shard: list of per-session event-index arrays (global ids)
+        self._shard_sessions: List[List[np.ndarray]] = [
+            [] for _ in range(self.n_shards)]
+        self._labels: List[np.ndarray] = []      # host labels per session
+        self._gather = None
+
+    # -- construction -------------------------------------------------------
+
+    @classmethod
+    def build(cls, dataset: Sequence[Sequence[str]], *, n_seg: int,
+              sess_per_batch: int, event_budget: int, seed: int,
+              mesh=None, transfer: bool = True,
+              max_frames: int = MAX_LENGTH,
+              budget_bytes: Optional[int] = None,
+              verbose: bool = True) -> Optional["DeviceFeatureCache"]:
+        """Load + quantize + upload every session of ``dataset``.
+
+        Returns None (with a notice) when the estimate exceeds
+        ``budget_bytes`` — callers keep the streaming feed.
+        """
+        est = estimate_cache_bytes(dataset, max_frames)
+        if budget_bytes is not None and est > budget_bytes:
+            if verbose:
+                print(f"[device_cache] estimated {est / 1e9:.2f} GB exceeds "
+                      f"budget {budget_bytes / 1e9:.2f} GB; falling back to "
+                      f"the streaming feed")
+            return None
+        if verbose:
+            print(f"[device_cache] caching {len(dataset)} sessions "
+                  f"(~{est / 1e9:.2f} GB int8) on device")
+        self = cls(n_seg=n_seg, sess_per_batch=sess_per_batch,
+                   event_budget=event_budget, seed=seed, mesh=mesh)
+        self.max_frames = max_frames
+        num_modalities = len(dataset[0]) - 1
+
+        # sessions round-robin over shards (multihost host_local_sessions
+        # order), so each shard's plan mirrors a per-host loader
+        per_shard_rows: List[List[Sequence[str]]] = [
+            [] for _ in range(self.n_shards)]
+        for i, row in enumerate(dataset):
+            per_shard_rows[i % self.n_shards].append(row)
+        if any(not rows for rows in per_shard_rows):
+            if verbose:
+                print(f"[device_cache] {len(dataset)} sessions < "
+                      f"{self.n_shards} shards; falling back to the "
+                      f"streaming feed")
+            return None
+        # the loader clamps sess_per_batch to the dataset size; here the
+        # clamp is per shard so thin shards still form one batch per epoch
+        self.sess_per_batch = min(sess_per_batch,
+                                  min(len(r) for r in per_shard_rows))
+
+        # host-side staging: per shard, per modality, [n_events, T, ...]
+        shard_q: List[List[List[np.ndarray]]] = [
+            [[] for _ in range(num_modalities)] for _ in range(self.n_shards)]
+        shard_scale: List[List[List[np.ndarray]]] = [
+            [[] for _ in range(num_modalities)] for _ in range(self.n_shards)]
+        shard_len: List[List[np.ndarray]] = [[] for _ in range(self.n_shards)]
+        shard_lab: List[List[np.ndarray]] = [[] for _ in range(self.n_shards)]
+
+        from multimodal_similarity_tpu.data.datasets import (
+            load_data_and_label)
+        from multimodal_similarity_tpu.data.device_feed import (
+            quantize_features)
+
+        def window_prepare(window: np.ndarray) -> np.ndarray:
+            out = np.zeros((1, max_frames) + window.shape[1:], np.float32)
+            out[0, : min(window.shape[0], max_frames)] = window[:max_frames]
+            return out
+
+        for shard, rows in enumerate(per_shard_rows):
+            for row in rows:
+                lab0 = None
+                seq_len = None
+                for m in range(num_modalities):
+                    eve, lab, bounds = load_data_and_label(
+                        row[m], row[-1], window_prepare, transfer)
+                    q, scale = quantize_features(eve)
+                    shard_q[shard][m].append(q)
+                    shard_scale[shard][m].append(scale)
+                    if m == 0:
+                        lab0 = lab.reshape(-1)
+                        seq_len = np.asarray(
+                            [min(e - s, max_frames) for s, e in bounds],
+                            np.int32)
+                shard_len[shard].append(seq_len)
+                shard_lab[shard].append(lab0)
+
+        # pack shards to a common length (pad rows are never selected by
+        # the plan; their seq_len of n_seg keeps the sampler in range)
+        counts = [sum(a.shape[0] for a in shard_lab[s])
+                  for s in range(self.n_shards)]
+        n_max = max(counts)
+        self.shard_rows = n_max
+        q_mods, scale_mods, len_parts = [], [], []
+        for s in range(self.n_shards):
+            pad = n_max - counts[s]
+            lens = np.concatenate(shard_len[s])
+            if pad:
+                lens = np.concatenate(
+                    [lens, np.full(pad, n_seg, np.int32)])
+            len_parts.append(lens)
+            base = 0
+            for arr in shard_lab[s]:
+                # global event ids: shard s owns rows [s*n_max, (s+1)*n_max)
+                idx = np.arange(base, base + arr.shape[0], dtype=np.int32) \
+                    + s * n_max
+                self._shard_sessions[s].append(idx)
+                self._labels.append(arr)
+                base += arr.shape[0]
+        for m in range(num_modalities):
+            q_parts, s_parts = [], []
+            for s in range(self.n_shards):
+                q = np.concatenate(shard_q[s][m])
+                sc = np.concatenate(shard_scale[s][m])
+                pad = n_max - q.shape[0]
+                if pad:
+                    q = np.concatenate(
+                        [q, np.zeros((pad,) + q.shape[1:], np.int8)])
+                    sc = np.concatenate(
+                        [sc, np.ones((pad,) + sc.shape[1:], np.float32)])
+                q_parts.append(q)
+                s_parts.append(sc)
+            q_mods.append(np.concatenate(q_parts))
+            scale_mods.append(np.concatenate(s_parts))
+        self.num_modalities = num_modalities
+
+        # flat host label table aligned with global event ids
+        label_table = np.zeros(self.n_shards * n_max, np.int32)
+        flat_i = 0
+        for s in range(self.n_shards):
+            for idx in self._shard_sessions[s]:
+                label_table[idx] = self._labels[flat_i]
+                flat_i += 1
+        self.label_table = label_table
+
+        self._upload(q_mods, scale_mods, np.concatenate(len_parts))
+        self._build_gather()
+        return self
+
+    def _upload(self, q_mods, scale_mods, seq_len):
+        import jax
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            row_sharded = lambda a: jax.device_put(  # noqa: E731
+                a, NamedSharding(self.mesh,
+                                 P("data", *([None] * (a.ndim - 1)))))
+        else:
+            row_sharded = jax.device_put
+        self.q = [row_sharded(q) for q in q_mods]
+        self.scale = [row_sharded(s) for s in scale_mods]
+        self.seq_len = row_sharded(seq_len)
+        self.device_bytes = int(
+            sum(q.nbytes for q in q_mods)
+            + sum(s.nbytes for s in scale_mods) + seq_len.nbytes)
+
+    # -- device gather -------------------------------------------------------
+
+    def _build_gather(self):
+        import jax
+        import jax.numpy as jnp
+
+        from multimodal_similarity_tpu.data.tsn import tsn_sample_offsets
+
+        n_seg = self.n_seg
+        t = self.max_frames
+        n_mod = self.num_modalities
+
+        def local_gather(key, indices, seq_len, *mods):
+            """One shard: indices are LOCAL row ids into this shard's
+            [rows, T, ...] blocks; everything stays on-device and local."""
+            out = []
+            lens = jnp.take(seq_len, indices, axis=0)
+            for m in range(n_mod):
+                q, scale = mods[2 * m], mods[2 * m + 1]
+                # modalities draw independent offsets, matching the
+                # streamed loader (each prepare call advances the rng)
+                offs = tsn_sample_offsets(
+                    jax.random.fold_in(key, m), lens, n_seg)    # [B, S]
+                flat = indices[:, None] * t + offs              # [B, S]
+                qf = q.reshape((q.shape[0] * t,) + q.shape[2:])
+                sf = scale.reshape((scale.shape[0] * t,) + scale.shape[2:])
+                out.append({
+                    "q": jnp.take(qf, flat.reshape(-1), axis=0).reshape(
+                        (indices.shape[0], n_seg) + q.shape[2:]),
+                    "scale": jnp.take(sf, flat.reshape(-1), axis=0).reshape(
+                        (indices.shape[0], n_seg) + scale.shape[2:]),
+                })
+            return tuple(out)
+
+        if self.mesh is None:
+            self._gather = jax.jit(local_gather)
+            return
+
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        row_spec = lambda a: P("data", *([None] * (a.ndim - 1)))  # noqa: E731
+        mod_specs = []
+        for m in range(n_mod):
+            mod_specs.extend([row_spec(self.q[m]), row_spec(self.scale[m])])
+        out_specs = tuple(
+            {"q": row_spec(self.q[m]), "scale": row_spec(self.scale[m])}
+            for m in range(n_mod))
+
+        def body(key, indices, seq_len, *mods):
+            # distinct offsets per shard: fold the shard id into the key
+            k = jax.random.fold_in(key, jax.lax.axis_index("data"))
+            return local_gather(k, indices[0], seq_len, *mods)
+
+        def sharded(key, indices, seq_len, *mods):
+            # indices [n_shards, B/n] sharded on the shard axis -> each
+            # device sees its own local-row block; outputs re-join as the
+            # batch axis.  The gather itself is purely shard-local: no
+            # collective ever touches the cached features.
+            fn = shard_map(
+                body, mesh=self.mesh,
+                in_specs=(P(), P("data", None), P("data"),
+                          *mod_specs),
+                out_specs=out_specs)
+            return fn(key, indices, seq_len, *mods)
+
+        self._gather = jax.jit(sharded)
+
+    # -- epoch plan -----------------------------------------------------------
+
+    @property
+    def batches_per_epoch(self) -> int:
+        return min(len(sess) // self.sess_per_batch
+                   for sess in self._shard_sessions)
+
+    def _plan_epoch(self):
+        """Host-side index plan mirroring SessionBatchLoader semantics per
+        shard (shuffle session order, group sess_per_batch, permute the
+        group's events, subsample-or-pad to the per-shard budget)."""
+        bpe = self.batches_per_epoch
+        per_shard = self.event_budget // self.n_shards
+        plans = []  # [batch][shard] -> (local_idx, labels, mask)
+        shard_groups = []
+        for sess in self._shard_sessions:
+            order = self.rng.permutation(len(sess))
+            groups = [
+                [sess[i] for i in order[g * self.sess_per_batch:
+                                        (g + 1) * self.sess_per_batch]]
+                for g in range(bpe)]
+            shard_groups.append(groups)
+        for b in range(bpe):
+            rows = []
+            for s in range(self.n_shards):
+                idx = np.concatenate(shard_groups[s][b])
+                n = idx.shape[0]
+                if n > per_shard:
+                    take = self.rng.permutation(n)[:per_shard]
+                else:
+                    take = self.rng.permutation(n)
+                idx = idx[take]
+                labels = self.label_table[idx]
+                mask = np.ones(idx.shape[0], np.float32)
+                pad = per_shard - idx.shape[0]
+                if pad:
+                    # pad rows gather shard-local row 0 but are masked out
+                    idx = np.concatenate(
+                        [idx, np.full(pad, s * self.shard_rows, np.int32)])
+                    labels = np.concatenate([labels,
+                                             np.zeros(pad, np.int32)])
+                    mask = np.concatenate([mask, np.zeros(pad, np.float32)])
+                rows.append((idx, labels, mask))
+            plans.append(rows)
+        return plans
+
+    def epoch_batches(self):
+        """Yield one epoch of device-resident batches.
+
+        Host->device traffic per batch: the [budget] int32 index plan plus
+        labels/mask — a few KB.  Features are gathered from the resident
+        int8 cache with fresh TSN offsets per batch (epoch re-sampling)."""
+        import jax
+        import jax.numpy as jnp
+
+        per_shard = self.event_budget // self.n_shards
+        for rows in self._plan_epoch():
+            self._key, key = jax.random.split(self._key)
+            # local row ids within each shard, stacked [n_shards, B/n]
+            local = np.stack([r[0] % self.shard_rows for r in rows])
+            labels = np.concatenate([r[1] for r in rows])
+            mask = np.concatenate([r[2] for r in rows])
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                shard2 = NamedSharding(self.mesh, P("data", None))
+                repl = NamedSharding(self.mesh, P())
+                local_dev = jax.device_put(local, shard2)
+                labels_dev = jax.device_put(labels, repl)
+                mask_dev = jax.device_put(mask, repl)
+            else:
+                local_dev = jnp.asarray(local[0])
+                labels_dev = jnp.asarray(labels)
+                mask_dev = jnp.asarray(mask)
+            mods = []
+            for m in range(self.num_modalities):
+                mods.extend([self.q[m], self.scale[m]])
+            gathered = self._gather(key, local_dev, self.seq_len, *mods)
+            batch: Dict[str, object] = {
+                "labels": labels_dev,
+                "mask": mask_dev,
+                "num_events": int(mask.sum()),
+                "global_indices": np.concatenate([r[0] for r in rows]),
+                "tsn_key": key,
+            }
+            for m, g in enumerate(gathered):
+                batch["events" if m == 0 else f"events{m + 1}"] = g
+            yield batch
+
+
+def cache_budget_bytes(gb: float) -> int:
+    return int(gb * 1e9)

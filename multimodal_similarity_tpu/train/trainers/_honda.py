@@ -140,6 +140,22 @@ class HondaExperiment:
         # built on this scaffolding (restored in close())
         from multimodal_similarity_tpu.utils.preemption import PreemptionGuard
         self._guard = PreemptionGuard().install()
+        self._pid, self._pcount = (session_shard if session_shard is not None
+                                   else (0, 1))
+        # --watchdog_secs: per-step hang detection (SURVEY.md §5 failure
+        # detection).  Heartbeat model: exp.log's scalar readback beats the
+        # timer, so the armed window covers step dispatch + device
+        # execution + readback + the loader wait.  On expiry: dump every
+        # thread's traceback (the wedged RPC / stuck loader is visible in
+        # it) and request a preemption-style stop so the loop checkpoints
+        # the exact step at its next boundary — if the step eventually
+        # returns, no work is lost; if it never returns, the traceback is
+        # the diagnostic the reference could never produce.  Set the
+        # timeout above the first step's compile time.
+        from multimodal_similarity_tpu.utils.watchdog import (
+            install_hang_watchdog)
+        self.watchdog = install_hang_watchdog(
+            cfg.name, getattr(cfg, "watchdog_secs", 0.0), self._guard)
 
     def next_key(self):
         self.rng, key = jax.random.split(self.rng)
@@ -147,22 +163,28 @@ class HondaExperiment:
 
     def log(self, step: int, scalars, echo: str = ""):
         self.profiler.update(step)
+        if self.watchdog is not None:
+            self.watchdog.beat()  # progress: reset the hang deadline
         self.logger.log(step, {k: float(v) for k, v in scalars.items()})
         if echo and not self.cfg.silent_mode:
             print(echo)
 
     def preempted(self, state) -> bool:
-        """Poll at step boundaries: on a preemption signal, checkpoint the
-        exact step so --model_path resumes with zero lost work, report,
-        and tell the caller to leave its loop (utils/preemption.py)."""
-        if not self._guard.should_stop:
-            return False
+        """Poll at step boundaries: on a preemption signal (or a fired
+        watchdog), checkpoint the exact step so --model_path resumes with
+        zero lost work, report, and tell the caller to leave its loop
+        (utils/preemption.py).  The decision is COLLECTIVE on multi-process
+        runs (sync_should_stop) and only process 0 claims the checkpoint."""
         from multimodal_similarity_tpu.utils.preemption import (
-            report_preemption)
-        report_preemption(self.cfg.name, state, self.ckpt)
+            report_preemption, sync_should_stop)
+        if not sync_should_stop(self._guard, self._pcount):
+            return False
+        report_preemption(self.cfg.name, state, self.ckpt, self._pid)
         return True
 
     def close(self):
+        if self.watchdog is not None:
+            self.watchdog.cancel()
         self._guard.restore()
         self.profiler.close()
         self.logger.close()

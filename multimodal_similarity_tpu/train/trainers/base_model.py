@@ -195,6 +195,33 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                          "path (--triplet_select facenet); host "
                          "miners slice raw numpy features")
 
+    # --device_cache: upload the train set ONCE as int8 windows; every
+    # epoch's TSN re-sampling becomes an on-device gather and the link
+    # carries only the tiny index/label/mask plan (data/device_cache.py).
+    # Falls back to the streaming feed when the estimate exceeds
+    # --device_cache_gb.
+    cache = None
+    if cfg.device_cache:
+        if cfg.triplet_select != "facenet":
+            raise ValueError("--device_cache requires --triplet_select "
+                             "facenet (the device-fed fused step)")
+        if cfg.bf16_features:
+            raise ValueError("--device_cache stores int8; it excludes "
+                             "--bf16_features")
+        if pcount > 1:
+            raise NotImplementedError(
+                "--device_cache is single-process (the cache shards over "
+                "the local mesh; per-host caches are future work)")
+        from multimodal_similarity_tpu.data.device_cache import (
+            DeviceFeatureCache, cache_budget_bytes)
+        cache = DeviceFeatureCache.build(
+            local_set, n_seg=cfg.num_seg, sess_per_batch=cfg.sess_per_batch,
+            event_budget=event_budget, seed=cfg.seed, mesh=mesh,
+            budget_bytes=cache_budget_bytes(cfg.device_cache_gb),
+            verbose=not cfg.silent_mode)
+        if cache is not None:
+            batch_per_epoch = cache.batches_per_epoch
+
     # fused-step path: events/labels/mask are device_put (with the bf16
     # cast host-side) on a background thread one batch ahead, so the
     # ~GB-scale feature upload overlaps the previous step instead of
@@ -223,6 +250,13 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                 if not produced:  # empty epoch: let the consumer stop
                     return
 
+        if cache is not None:
+            # device-resident cache: batches are gathered in HBM; no
+            # host->device feature traffic after the one-time upload
+            def cached_epochs():
+                while True:
+                    yield from cache.epoch_batches()
+            return cached_epochs()
         if cfg.triplet_select != "facenet":
             return epochs()  # host miners need host-resident arrays
         from multimodal_similarity_tpu.data import (
@@ -256,6 +290,10 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
         PreemptionGuard, report_preemption, sync_should_stop)
     stream = continuous_batches()
     guard = PreemptionGuard().install()
+    # --watchdog_secs: hang detection; fires -> guard stop -> the loop's
+    # existing preemption epilogue checkpoints the exact step
+    from multimodal_similarity_tpu.utils.watchdog import install_hang_watchdog
+    watchdog = install_hang_watchdog(cfg.name, cfg.watchdog_secs, guard)
     stopping = False
     try:
         while epoch < cfg.max_epochs:
@@ -324,6 +362,8 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                                          jnp.float32(lr))
                 profiler.update(int(state.step))
                 aux = {k: float(v) for k, v in aux.items()}
+                if watchdog is not None:
+                    watchdog.beat()  # scalars read back: step completed
                 aux["train_time"] = time.time() - t0
                 aux["learning_rate"] = lr
                 if not cfg.silent_mode:
@@ -375,6 +415,8 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
     finally:
         # cancel the prefetch worker (it runs one batch ahead)
         # and flush any open trace/logs even when a step raises
+        if watchdog is not None:
+            watchdog.cancel()
         guard.restore()
         stream.close()
         profiler.close()

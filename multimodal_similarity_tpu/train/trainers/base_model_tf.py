@@ -120,59 +120,68 @@ def train(cfg: TrainConfig, event_per_batch: int = 64,
 
     metrics = {}
     from multimodal_similarity_tpu.utils.preemption import PreemptionGuard
+    from multimodal_similarity_tpu.utils.watchdog import install_hang_watchdog
     guard = PreemptionGuard().install()
+    watchdog = install_hang_watchdog(cfg.name, cfg.watchdog_secs, guard)
     epoch = epoch_of_step(int(state.step), batch_per_epoch)
-    while epoch < cfg.max_epochs:
-        lr = learning_rate_schedule(epoch, cfg.learning_rate,
-                                    cfg.static_epochs, cfg.max_epochs)
-        step_at_epoch_start = int(state.step)
-        for batch in loader.epoch():
-            frames = jnp.asarray(reshape_frames(batch["features"]))
-            state, aux = step_fn(
-                state, frames, jnp.asarray(batch["seq_len"]),
-                jnp.asarray(batch["labels"]), jnp.asarray(batch["mask"]),
-                jax.random.fold_in(jax.random.PRNGKey(cfg.seed),
-                                   int(state.step)),
-                jnp.float32(lr))
-            logger.log(int(state.step),
-                       {k: float(v) for k, v in aux.items()})
-            if not cfg.silent_mode:
-                print(f"[{cfg.name}] epoch {epoch + 1} "
-                      f"step {int(state.step)} "
-                      f"loss {float(aux['loss']):.4f}")
+    # try/finally matches every other trainer: an exception mid-training
+    # must restore the process-global SIGTERM handler and flush the logs
+    try:
+        while epoch < cfg.max_epochs:
+            lr = learning_rate_schedule(epoch, cfg.learning_rate,
+                                        cfg.static_epochs, cfg.max_epochs)
+            step_at_epoch_start = int(state.step)
+            for batch in loader.epoch():
+                frames = jnp.asarray(reshape_frames(batch["features"]))
+                state, aux = step_fn(
+                    state, frames, jnp.asarray(batch["seq_len"]),
+                    jnp.asarray(batch["labels"]), jnp.asarray(batch["mask"]),
+                    jax.random.fold_in(jax.random.PRNGKey(cfg.seed),
+                                       int(state.step)),
+                    jnp.float32(lr))
+                logger.log(int(state.step),
+                           {k: float(v) for k, v in aux.items()})
+                if watchdog is not None:
+                    watchdog.beat()  # scalars read back: step completed
+                if not cfg.silent_mode:
+                    print(f"[{cfg.name}] epoch {epoch + 1} "
+                          f"step {int(state.step)} "
+                          f"loss {float(aux['loss']):.4f}")
+                if guard.should_stop:
+                    break
             if guard.should_stop:
+                # preemption (SIGTERM grace window): checkpoint the exact
+                # step and exit cleanly; --model_path resumes from here
+                from multimodal_similarity_tpu.utils.preemption import (
+                    report_preemption)
+                report_preemption(cfg.name, state, ckpt)
                 break
-        if guard.should_stop:
-            # preemption (SIGTERM grace window): checkpoint the exact
-            # step and exit cleanly; --model_path resumes from here
-            from multimodal_similarity_tpu.utils.preemption import (
-                report_preemption)
-            report_preemption(cfg.name, state, ckpt)
-            break
-        if int(state.step) == step_at_epoch_start:
-            print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")
-            break
-        if val_paths:
-            val_loader = EventTFRecordLoader(
-                val_paths, feat, flat_dim, event_per_batch, max_time,
-                shuffle=False)
-            embs, labs = [], []
-            for vb in val_loader.epoch():
-                n = int(vb["num_events"])
-                e = embed(state.params,
-                          jnp.asarray(reshape_frames(vb["features"])),
-                          jnp.asarray(vb["seq_len"]))
-                embs.append(np.asarray(e)[:n])
-                labs.append(vb["labels"][:n])
-            mAP, mPrec, recalls = retrieval_metrics_device(
-                np.concatenate(embs), np.concatenate(labs))
-            metrics = {"val_mAP": mAP, "val_recall@1": recalls[1]}
-            logger.log(int(state.step), metrics)
-        ckpt.save(state, int(state.step))
-        epoch = epoch_of_step(int(state.step), batch_per_epoch)
-
-    guard.restore()
-    logger.close()
+            if int(state.step) == step_at_epoch_start:
+                print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")
+                break
+            if val_paths:
+                val_loader = EventTFRecordLoader(
+                    val_paths, feat, flat_dim, event_per_batch, max_time,
+                    shuffle=False)
+                embs, labs = [], []
+                for vb in val_loader.epoch():
+                    n = int(vb["num_events"])
+                    e = embed(state.params,
+                              jnp.asarray(reshape_frames(vb["features"])),
+                              jnp.asarray(vb["seq_len"]))
+                    embs.append(np.asarray(e)[:n])
+                    labs.append(vb["labels"][:n])
+                mAP, mPrec, recalls = retrieval_metrics_device(
+                    np.concatenate(embs), np.concatenate(labs))
+                metrics = {"val_mAP": mAP, "val_recall@1": recalls[1]}
+                logger.log(int(state.step), metrics)
+            ckpt.save(state, int(state.step))
+            epoch = epoch_of_step(int(state.step), batch_per_epoch)
+    finally:
+        if watchdog is not None:
+            watchdog.cancel()
+        guard.restore()
+        logger.close()
     return state, metrics, result_dir
 
 

@@ -29,8 +29,10 @@ a shell pipeline and signalling the shell orphans the trainer instead of
 stopping it (use ``timeout``/``exec`` or signal the python pid);
 (2) a preemption landing while the main thread is stuck in a very long
 device RPC cannot run any Python handler until the call returns — that
-failure mode is a hang, which is the watchdog's jurisdiction
-(utils/watchdog.py), not the guard's.  ``should_stop`` additionally
+failure mode is a hang, which is the watchdog's jurisdiction: every loop
+trainer wires one via ``--watchdog_secs``
+(utils/watchdog.install_hang_watchdog; a fired watchdog requests a stop
+on this guard, so the two compose).  ``should_stop`` additionally
 re-asserts the OS disposition at every poll, so anything that replaces
 the handler from native code is overridden within one step.
 """
@@ -81,8 +83,13 @@ class PreemptionGuard:
     #: seconds a first SIGTERM gets to reach a checkpoint before a repeat
     #: escalates to termination — supervisors commonly deliver duplicates
     #: within milliseconds (process group + child), which must NOT kill
-    #: the run before any step-boundary poll could respond
-    ESCALATE_AFTER_S = 5.0
+    #: the run before any step-boundary poll could respond.  Sized to a
+    #: real preemption grace window (tens of seconds): a long compile,
+    #: validation pass, or slow step must be allowed to reach its next
+    #: step-boundary poll even if the supervisor re-delivers SIGTERM
+    #: periodically in the meantime.  Class attribute — override per
+    #: guard instance when a platform's grace window is known.
+    ESCALATE_AFTER_S = 45.0
 
     def _handle(self, signum, frame) -> None:
         import time
@@ -116,6 +123,14 @@ class PreemptionGuard:
                 threading.current_thread() is threading.main_thread():
             for sig in self._signals:
                 try:
+                    # don't clobber another live guard's handler (nested
+                    # guards: a library caller wrapping a trainer that
+                    # installs its own) — only re-assert over native/SIG_DFL
+                    # dispositions
+                    cur = signal.getsignal(sig)
+                    if isinstance(getattr(cur, "__self__", None),
+                                  PreemptionGuard):
+                        continue
                     signal.signal(sig, self._handle)
                 except (ValueError, OSError):  # pragma: no cover
                     pass

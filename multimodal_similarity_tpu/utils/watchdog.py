@@ -73,6 +73,19 @@ class StepWatchdog:
     def step(self):
         return _StepScope(self)
 
+    # -- heartbeat API (trainer integration, --watchdog_secs) --------------
+    def beat(self) -> None:
+        """Reset the deadline: the consumer made progress.  The trainers
+        call this from exp.log after every step's scalar readback, so the
+        armed window covers dispatch + device execution + readback + the
+        loader wait — everything between heartbeats."""
+        self._disarm()
+        self._arm()
+
+    def cancel(self) -> None:
+        """Disarm without re-arming (shutdown path)."""
+        self._disarm()
+
 
 class _StepScope:
     def __init__(self, wd: StepWatchdog):
@@ -85,3 +98,32 @@ class _StepScope:
     def __exit__(self, *exc):
         self.wd._disarm()
         return False
+
+
+def install_hang_watchdog(name: str, secs: float,
+                          guard) -> Optional[StepWatchdog]:
+    """--watchdog_secs wiring shared by every loop trainer.
+
+    Returns an ARMED heartbeat watchdog (or None when disabled): call
+    ``.beat()`` after each step's scalar readback and ``.cancel()`` on
+    shutdown.  On expiry it dumps every thread's traceback to stderr and
+    requests a preemption-style stop on ``guard``
+    (utils/preemption.PreemptionGuard), so the trainer's existing
+    step-boundary poll checkpoints the exact step and exits — if the
+    wedged step eventually returns, no work is lost; if it never returns,
+    the thread dump is the diagnostic.  Size ``secs`` above the first
+    step's compile time.
+    """
+    if not secs or secs <= 0:
+        return None
+
+    def _on_hang() -> None:
+        sys.stderr.write(
+            f"[{name}] watchdog: no step completed in {secs}s — "
+            f"requesting checkpoint-and-stop; thread dump follows\n")
+        faulthandler.dump_traceback(file=sys.stderr)
+        guard.request_stop()
+
+    wd = StepWatchdog(secs, on_timeout=_on_hang)
+    wd.beat()  # arm: the clock starts now
+    return wd

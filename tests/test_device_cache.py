@@ -1,0 +1,236 @@
+"""Device-resident int8 epoch feature cache (data/device_cache.py).
+
+Pins the contract the trainers rely on: cached batches are BIT-IDENTICAL
+to what the int8 streaming feed would upload for the same frame selection
+(quantization commutes with frame selection because scales are per
+(event, frame[, channel])), the epoch plan mirrors SessionBatchLoader
+semantics, the mesh path gathers shard-locally, and an over-budget build
+falls back to None.
+"""
+
+import numpy as np
+import pytest
+
+from multimodal_similarity_tpu.configs import TrainConfig
+from multimodal_similarity_tpu.data import generate_synthetic_honda
+from multimodal_similarity_tpu.data.datasets import (
+    load_data_and_label, prepare_dataset, prepare_multimodal_dataset)
+from multimodal_similarity_tpu.data.device_cache import (
+    DeviceFeatureCache, estimate_cache_bytes)
+from multimodal_similarity_tpu.data.device_feed import quantize_features
+
+N_SEG = 3
+T_CAP = 45
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("honda_dc"))
+    generate_synthetic_honda(
+        root, n_sessions=9, frames_per_session=260,
+        modal_dims={"resnet": (2, 2, 8), "sensors": (8,), "segment": (16,)},
+        class_scale=1.0, noise_scale=1.0, seed=3,
+        splits=(0.95, 0.04))
+    return root
+
+
+def _window_prepare(window):
+    out = np.zeros((1, T_CAP) + window.shape[1:], np.float32)
+    out[0, : min(window.shape[0], T_CAP)] = window[:T_CAP]
+    return out
+
+
+def _load_all_windows(dataset, modality_col):
+    """[N, T, ...] windows + per-event seq_len, in cache packing order
+    (dataset order, which is shard round-robin order for n_shards=1)."""
+    wins, lens, labs = [], [], []
+    for row in dataset:
+        eve, lab, bounds = load_data_and_label(
+            row[modality_col], row[-1], _window_prepare, True)
+        wins.append(eve)
+        labs.append(lab.reshape(-1))
+        lens.extend(min(e - s, T_CAP) for s, e in bounds)
+    return (np.concatenate(wins), np.asarray(lens, np.int32),
+            np.concatenate(labs))
+
+
+def _sample_offsets(key, lens, m):
+    import jax
+
+    from multimodal_similarity_tpu.data.tsn import tsn_sample_offsets
+    return np.asarray(tsn_sample_offsets(
+        jax.random.fold_in(key, m), np.asarray(lens), N_SEG))
+
+
+def test_cache_bit_identical_to_streamed_int8(synth_root):
+    """The gathered batch must equal quantize_features applied to the SAME
+    host-sliced frames — i.e. exactly the bytes the int8 streaming feed
+    (device_feed.make_batch_placer int8_keys) would have uploaded."""
+    cfg = TrainConfig(DATA_ROOT=synth_root, feat="sensors").resolve()
+    dataset = prepare_dataset(cfg.feature_root, cfg.train_session,
+                              "sensors", cfg.label_root, "goal")
+    cache = DeviceFeatureCache.build(
+        dataset, n_seg=N_SEG, sess_per_batch=2, event_budget=24, seed=7)
+    assert cache is not None
+    windows, lens, labs = _load_all_windows(dataset, 0)
+    assert cache.shard_rows == windows.shape[0]
+
+    batches = list(cache.epoch_batches())
+    assert len(batches) == cache.batches_per_epoch > 0
+    for batch in batches:
+        idx = batch["global_indices"]
+        offs = _sample_offsets(batch["tsn_key"], lens[idx], m=0)  # [B, S]
+        frames = windows[idx[:, None], offs]                     # [B, S, D]
+        q_exp, s_exp = quantize_features(frames)
+        np.testing.assert_array_equal(
+            np.asarray(batch["events"]["q"]), q_exp)
+        np.testing.assert_array_equal(
+            np.asarray(batch["events"]["scale"]), s_exp)
+        # labels ride the plan, aligned with the gathered rows
+        np.testing.assert_array_equal(np.asarray(batch["labels"]),
+                                      labs[idx] * (batch["mask"] > 0))
+
+
+def test_cache_plan_mirrors_loader_semantics(synth_root):
+    cfg = TrainConfig(DATA_ROOT=synth_root, feat="sensors").resolve()
+    dataset = prepare_dataset(cfg.feature_root, cfg.train_session,
+                              "sensors", cfg.label_root, "goal")
+    budget = 16
+    cache = DeviceFeatureCache.build(
+        dataset, n_seg=N_SEG, sess_per_batch=3, event_budget=budget, seed=1)
+    assert cache.batches_per_epoch == len(dataset) // 3
+    seen = []
+    for batch in cache.epoch_batches():
+        mask = np.asarray(batch["mask"])
+        assert mask.shape == (budget,)
+        n = int(mask.sum())
+        assert batch["num_events"] == n
+        # real rows first per shard block; over-budget groups subsample
+        assert np.all(mask[:n] == 1.0) and np.all(mask[n:] == 0.0)
+        idx = batch["global_indices"][:n]
+        assert len(set(idx.tolist())) == n  # no duplicate real events
+        seen.extend(idx.tolist())
+    # a second epoch draws a different plan (rng advances)
+    second = [b["global_indices"][: int(np.asarray(b["mask"]).sum())]
+              for b in cache.epoch_batches()]
+    assert any(not np.array_equal(a, b)
+               for a, b in zip(np.array_split(np.asarray(seen), len(second)),
+                               second))
+
+
+def test_cache_multimodal_modalities_draw_independent_offsets(synth_root):
+    cfg = TrainConfig(DATA_ROOT=synth_root,
+                      feat=["sensors", "segment"]).resolve()
+    dataset = prepare_multimodal_dataset(
+        cfg.feature_root, cfg.train_session, ["sensors", "segment"],
+        cfg.label_root, "goal")
+    cache = DeviceFeatureCache.build(
+        dataset, n_seg=N_SEG, sess_per_batch=2, event_budget=16, seed=2)
+    win0, lens, _ = _load_all_windows(dataset, 0)
+    win1, _, _ = _load_all_windows(dataset, 1)
+    batch = next(cache.epoch_batches())
+    idx = batch["global_indices"]
+    for m, (wins, key_name) in enumerate(
+            [(win0, "events"), (win1, "events2")]):
+        offs = _sample_offsets(batch["tsn_key"], lens[idx], m=m)
+        q_exp, s_exp = quantize_features(wins[idx[:, None], offs])
+        np.testing.assert_array_equal(
+            np.asarray(batch[key_name]["q"]), q_exp)
+        np.testing.assert_array_equal(
+            np.asarray(batch[key_name]["scale"]), s_exp)
+
+
+def test_cache_mesh_shard_local_gather(synth_root):
+    """8-shard mesh: sessions round-robin over shards, every batch row
+    block gathers only shard-resident events, bits equal to the host
+    reconstruction under the same fold chain."""
+    import jax
+
+    from multimodal_similarity_tpu.parallel import create_mesh
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = create_mesh(8)
+    cfg = TrainConfig(DATA_ROOT=synth_root, feat="sensors").resolve()
+    dataset = prepare_dataset(cfg.feature_root, cfg.train_session,
+                              "sensors", cfg.label_root, "goal")
+    assert len(dataset) >= 8
+    cache = DeviceFeatureCache.build(
+        dataset, n_seg=N_SEG, sess_per_batch=1, event_budget=32, seed=5,
+        mesh=mesh)
+    assert cache is not None and cache.n_shards == 8
+
+    # reconstruct per-shard window tables in shard packing order
+    per_shard_rows = [[] for _ in range(8)]
+    for i, row in enumerate(dataset):
+        per_shard_rows[i % 8].append(row)
+    shard_windows, shard_lens = [], []
+    for rows in per_shard_rows:
+        w, l, _ = _load_all_windows(rows, 0)
+        shard_windows.append(w)
+        shard_lens.append(l)
+
+    batch = next(cache.epoch_batches())
+    per = 32 // 8
+    ev = np.asarray(batch["events"]["q"])
+    sc = np.asarray(batch["events"]["scale"])
+    for s in range(8):
+        rows = slice(s * per, (s + 1) * per)
+        gidx = batch["global_indices"][rows]
+        local = gidx % cache.shard_rows
+        assert np.all(gidx // cache.shard_rows == s)  # shard-local plan
+        lens = shard_lens[s][local]
+        k = jax.random.fold_in(batch["tsn_key"], s)
+        offs = _sample_offsets(k, lens, m=0)
+        frames = shard_windows[s][local[:, None], offs]
+        q_exp, s_exp = quantize_features(frames)
+        np.testing.assert_array_equal(ev[rows], q_exp)
+        np.testing.assert_array_equal(sc[rows], s_exp)
+
+
+def test_cache_budget_fallback(synth_root):
+    cfg = TrainConfig(DATA_ROOT=synth_root, feat="sensors").resolve()
+    dataset = prepare_dataset(cfg.feature_root, cfg.train_session,
+                              "sensors", cfg.label_root, "goal")
+    est = estimate_cache_bytes(dataset)
+    assert est > 0
+    assert DeviceFeatureCache.build(
+        dataset, n_seg=N_SEG, sess_per_batch=2, event_budget=16, seed=0,
+        budget_bytes=est // 2, verbose=False) is None
+    # estimate counts every modality
+    mm = prepare_multimodal_dataset(
+        cfg.feature_root, cfg.train_session, ["sensors", "segment"],
+        cfg.label_root, "goal")
+    assert estimate_cache_bytes(mm) > est
+
+
+def test_base_model_trainer_with_device_cache(synth_root, tmp_path):
+    """--device_cache end-to-end: base_model trains over the cached feed
+    (8 virtual devices -> dp mesh + shard-local gather) and reaches a
+    finite validated state; epoch 2 reuses the resident cache."""
+    from multimodal_similarity_tpu.train.trainers import base_model
+    cfg = TrainConfig(
+        DATA_ROOT=synth_root, name="dc", network="rtsn", feat="sensors",
+        n_input=8, emb_dim=16, num_seg=N_SEG, sess_per_batch=2,
+        max_epochs=2, triplet_per_batch=16, learning_rate=0.01,
+        keep_prob=0.9, silent_mode=True, triplet_select="facenet",
+        device_cache=True).resolve()
+    state, metrics, _ = base_model.train(
+        cfg, event_budget=32, result_dir=str(tmp_path / "dc"))
+    assert int(state.step) >= 2
+    assert np.isfinite(metrics["val_mAP"])
+
+
+def test_base_model_device_cache_budget_fallback(synth_root, tmp_path):
+    """An over-budget cache falls back to the streaming feed and still
+    trains (the cache is an optimization, never a correctness gate)."""
+    from multimodal_similarity_tpu.train.trainers import base_model
+    cfg = TrainConfig(
+        DATA_ROOT=synth_root, name="dcf", network="rtsn", feat="sensors",
+        n_input=8, emb_dim=16, num_seg=N_SEG, sess_per_batch=2,
+        max_epochs=1, triplet_per_batch=16, learning_rate=0.01,
+        keep_prob=0.9, silent_mode=True, triplet_select="facenet",
+        device_cache=True, device_cache_gb=1e-9).resolve()
+    state, metrics, _ = base_model.train(
+        cfg, event_budget=32, result_dir=str(tmp_path / "dcf"))
+    assert int(state.step) >= 1
+    assert np.isfinite(metrics["val_mAP"])

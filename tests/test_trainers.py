@@ -391,3 +391,21 @@ def test_int8_rejected_by_unsupported_trainers(synth_root, tmp_path):
         pddm_model.train(_cfg(synth_root, int8_features=True),
                          event_budget=48,
                          result_dir=str(tmp_path / "no8"))
+
+
+def test_watchdog_stops_and_checkpoints_stalled_run(synth_root, tmp_path):
+    """--watchdog_secs end-to-end: an (artificially tiny) deadline fires
+    during the first step's compile, requests a preemption-style stop,
+    and the trainer checkpoints the exact step instead of running on
+    (VERDICT r3 #4: hang detection wired into the HondaExperiment loop)."""
+    import glob
+
+    from multimodal_similarity_tpu.train.trainers import base_model_batchhard
+    cfg = _cfg(synth_root, max_epochs=50, watchdog_secs=0.01)
+    rd = str(tmp_path / "wd")
+    state, metrics, _ = base_model_batchhard.train(
+        cfg, event_budget=48, result_dir=rd)
+    # stopped at the first step boundary, far short of 50 epochs
+    assert int(state.step) <= 2
+    ckpts = glob.glob(rd + "/t.ckpt-*")
+    assert ckpts, "preemption epilogue must checkpoint the exact step"

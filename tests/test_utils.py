@@ -193,3 +193,44 @@ def test_sync_should_stop_throttles_collective(monkeypatch):
     n = len(calls)
     assert _pre.sync_should_stop(g, 1, step=3)
     assert len(calls) == n
+
+
+def test_install_hang_watchdog_fires_stop_and_dumps(capfd):
+    """--watchdog_secs wiring: a stalled step fires the watchdog, which
+    dumps tracebacks and requests a preemption-style stop on the guard
+    (the trainer's step-boundary poll then checkpoints and exits)."""
+    import time
+
+    from multimodal_similarity_tpu.utils.preemption import PreemptionGuard
+    from multimodal_similarity_tpu.utils.watchdog import install_hang_watchdog
+
+    assert install_hang_watchdog("t", 0.0, None) is None  # disabled
+    guard = PreemptionGuard()
+    wd = install_hang_watchdog("t", 0.08, guard)
+    try:
+        # heartbeats hold the deadline off
+        for _ in range(3):
+            time.sleep(0.03)
+            wd.beat()
+        assert not guard.should_stop
+        time.sleep(0.2)  # artificial stall: no heartbeat
+        assert guard.should_stop
+        assert wd.fired == 1
+        err = capfd.readouterr().err
+        assert "watchdog" in err and "thread dump" in err
+        assert "Current thread" in err or "Thread" in err  # faulthandler
+    finally:
+        wd.cancel()
+
+
+def test_watchdog_beat_keeps_single_timer():
+    from multimodal_similarity_tpu.utils import StepWatchdog
+
+    fired = []
+    wd = StepWatchdog(timeout=0.05, on_timeout=lambda: fired.append(1))
+    for _ in range(5):
+        wd.beat()
+    import time
+    time.sleep(0.15)
+    wd.cancel()
+    assert fired == [1]  # stale timers from earlier beats never fire
