@@ -418,6 +418,10 @@ class DeviceFeatureCache:
             batch: Dict[str, object] = {
                 "labels": labels_dev,
                 "mask": mask_dev,
+                # host copies for trainers whose sampling policy runs on
+                # the plan (e.g. batch-hard's class-balanced selection)
+                "labels_host": labels,
+                "mask_host": mask,
                 "num_events": int(mask.sum()),
                 "global_indices": np.concatenate([r[0] for r in rows]),
                 "tsn_key": key,

@@ -18,6 +18,29 @@ import jax.numpy as jnp
 _POS_INF = 1e30
 
 
+def split_bf16_inner(q: jnp.ndarray, g16: jnp.ndarray) -> jnp.ndarray:
+    """f32-accurate [Q, d] x [C, d]^T contraction against a bf16 gallery.
+
+    int8 gallery rows are EXACTLY representable in bf16 (integers up to
+    127 fit its 8 mantissa bits), so the only rounding in a bf16 MXU
+    contraction would be the query cast — enough to flip near-tie
+    rankings.  Splitting the f32 query into bf16 hi + lo parts
+    (q = hi + lo, |lo| <= 2^-8 |q|) and summing two bf16 matmuls in f32
+    carries ~16 query mantissa bits: the query-side error drops below the
+    int8 quantization error by ~2^8, restoring the documented contract
+    that row quantization is the only meaningful approximation.  Costs a
+    second matmul on an op bound by the int8 gallery HBM read.
+    """
+    qhi = q.astype(jnp.bfloat16)
+    qlo = (q - qhi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def dot(a):
+        return jax.lax.dot_general(a, g16, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    return dot(qhi) + dot(qlo)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "chunk", "metric"))
 def chunked_topk(queries: jnp.ndarray, gallery: jnp.ndarray, k: int = 32,
                  chunk: int = 4096, metric: str = "euclidean"):
@@ -65,9 +88,11 @@ def chunked_topk_quantized(queries: jnp.ndarray, q_gallery: jnp.ndarray,
     """Streaming top-k over an int8-quantized gallery (rows g = s * qg).
 
     The gallery HBM read is a quarter of f32; distances use the exact
-    identity d^2(x, g) = |x|^2 + s^2 |qg|^2 - 2 s (x . qg), so the only
-    approximation is the row quantization itself (|d - d_exact| bounded by
-    the per-row scale — see serving.RetrievalIndex(int8_gallery=True)).
+    identity d^2(x, g) = |x|^2 + s^2 |qg|^2 - 2 s (x . qg), with the
+    contraction computed by the split-bf16 scheme (split_bf16_inner) so
+    the only meaningful approximation is the row quantization itself
+    (|d - d_exact| bounded by the per-row scale — see
+    serving.RetrievalIndex(int8_gallery=True)).
     Euclidean metrics only: l1 has no scale-factoring identity.
     """
     if metric not in ("euclidean", "squaredeuclidean"):
@@ -75,7 +100,6 @@ def chunked_topk_quantized(queries: jnp.ndarray, q_gallery: jnp.ndarray,
             f"int8 gallery supports euclidean metrics, not {metric!r}")
     q = queries.astype(jnp.float32)
     xsq = jnp.sum(q * q, axis=1, keepdims=True)              # [Q, 1]
-    qb = q.astype(jnp.bfloat16)
     n = q_gallery.shape[0]
     pad = (-n) % chunk
     qg = jnp.pad(q_gallery, ((0, pad), (0, 0)))
@@ -95,9 +119,7 @@ def chunked_topk_quantized(queries: jnp.ndarray, q_gallery: jnp.ndarray,
     def body(carry, inputs):
         best_d, best_i = carry
         qg_c, s_c, gsq_c, v_c, i_c = inputs
-        g16 = qg_c.astype(jnp.bfloat16)
-        inner = jax.lax.dot_general(qb, g16, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
+        inner = split_bf16_inner(q, qg_c.astype(jnp.bfloat16))
         d = jnp.maximum(xsq + gsq_c[None, :] - 2.0 * s_c[None, :] * inner,
                         0.0)
         if metric == "euclidean":

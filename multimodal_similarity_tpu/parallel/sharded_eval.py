@@ -78,9 +78,9 @@ def sharded_retrieval_topk_quantized(mesh: Mesh, queries, q_gallery,
     def local(q, qg_s, s_s, gsq_s, idx_s):
         qf = q.astype(jnp.float32)
         xsq = jnp.sum(qf * qf, axis=1, keepdims=True)
-        inner = jax.lax.dot_general(
-            qf.astype(jnp.bfloat16), qg_s.astype(jnp.bfloat16),
-            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        from multimodal_similarity_tpu.ops.chunked_topk import (
+            split_bf16_inner)
+        inner = split_bf16_inner(qf, qg_s.astype(jnp.bfloat16))
         d = jnp.maximum(
             xsq + gsq_s.reshape(-1)[None, :]
             - 2.0 * s_s.reshape(-1)[None, :] * inner, 0.0)

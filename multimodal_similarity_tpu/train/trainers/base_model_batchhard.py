@@ -141,6 +141,29 @@ def train(cfg: TrainConfig, loss_kind: str = "batchhard",
     import random as _random
     sel_rng = _random.Random(cfg.seed)
 
+    # --device_cache: windows resident in HBM as int8; the balanced
+    # selection runs on the plan's host labels and the [B] slice is a
+    # device-side row take from the cached budget batch — no feature
+    # bytes cross the link after the one-time upload
+    cache = None
+    if cfg.device_cache:
+        if cfg.bf16_features:
+            raise ValueError("--device_cache stores int8; it excludes "
+                             "--bf16_features")
+        from multimodal_similarity_tpu.data.device_cache import (
+            DeviceFeatureCache, cache_budget_bytes)
+        budget = event_budget or cfg.event_per_batch
+        n_dev = mesh.shape["data"] if mesh is not None else 1
+        budget = -(-budget // n_dev) * n_dev
+        cache = DeviceFeatureCache.build(
+            exp.train_set, n_seg=cfg.num_seg,
+            sess_per_batch=cfg.sess_per_batch, event_budget=budget,
+            seed=cfg.seed, mesh=mesh,
+            budget_bytes=cache_budget_bytes(cfg.device_cache_gb),
+            verbose=not cfg.silent_mode)
+        if cache is not None:
+            exp.batch_per_epoch = cache.batches_per_epoch
+
     def continuous_selected():
         def epochs():
             while True:
@@ -159,6 +182,34 @@ def train(cfg: TrainConfig, loss_kind: str = "batchhard",
                            "labels": b["labels"][idx]}
                 if not produced:
                     return
+
+        if cache is not None:
+            import jax as _jax
+            import jax.numpy as _jnp
+
+            from multimodal_similarity_tpu.train.steps import take_features
+
+            def cached_selected():
+                while True:
+                    for b in cache.epoch_batches():
+                        valid = np.where(b["mask_host"] > 0)[0]
+                        idx = select_batch_balanced(
+                            b["labels_host"][valid], batch_size, rng=sel_rng)
+                        if idx.size == 0:
+                            yield {"empty": True}
+                            continue
+                        rows = _jnp.asarray(valid[idx].astype(np.int32))
+                        events = take_features(b["events"], rows)
+                        labels = _jnp.asarray(b["labels_host"][valid[idx]])
+                        if mesh is not None:
+                            from jax.sharding import (
+                                NamedSharding, PartitionSpec as P)
+                            events = _jax.device_put(
+                                events, NamedSharding(mesh, P("data")))
+                            labels = _jax.device_put(
+                                labels, NamedSharding(mesh, P()))
+                        yield {"events": events, "labels": labels}
+            return cached_selected()
 
         from multimodal_similarity_tpu.data import (
             device_prefetch, feed_shardings)

@@ -547,6 +547,33 @@ def train(cfg: TrainConfig, hard_only: bool = False,
     # the boundary validation/dist_dict/checkpoint work overlaps the next
     # epoch's pipeline fill; the epoch loop slices batch_per_epoch batches
     # per epoch and the stream is closed on exit.
+    # --device_cache (requires --device_mining): all three modalities'
+    # windows upload once as int8; per-epoch TSN re-sampling is a
+    # shard-local on-device gather (data/device_cache.py), so from epoch 2
+    # the link carries only the index/label/mask plan
+    cache = None
+    if cfg.device_cache:
+        if not device_mining:
+            raise ValueError("--device_cache requires --device_mining "
+                             "(the fused device-fed step)")
+        if cfg.bf16_features:
+            raise ValueError("--device_cache stores int8; it excludes "
+                             "--bf16_features")
+        if pcount > 1:
+            raise NotImplementedError(
+                "--device_cache is single-process (per-host caches are "
+                "future work)")
+        from multimodal_similarity_tpu.data.device_cache import (
+            DeviceFeatureCache, cache_budget_bytes)
+        cache = DeviceFeatureCache.build(
+            exp.train_set, n_seg=cfg.num_seg,
+            sess_per_batch=cfg.sess_per_batch,
+            event_budget=event_budget or cfg.event_per_batch, seed=cfg.seed,
+            mesh=mesh, budget_bytes=cache_budget_bytes(cfg.device_cache_gb),
+            verbose=not cfg.silent_mode)
+        if cache is not None:
+            exp.batch_per_epoch = cache.batches_per_epoch
+
     def continuous_batches():
         def epochs():
             while True:
@@ -563,6 +590,13 @@ def train(cfg: TrainConfig, hard_only: bool = False,
                 if not produced:  # empty epoch: let the consumer stop
                     return
 
+        if cache is not None:
+            # device-resident cache: no host->device feature traffic
+            # after the one-time upload
+            def cached_epochs():
+                while True:
+                    yield from cache.epoch_batches()
+            return cached_epochs()
         if not device_mining:
             return epochs()  # host miners slice numpy arrays
         from multimodal_similarity_tpu.data import (

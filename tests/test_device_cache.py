@@ -203,6 +203,7 @@ def test_cache_budget_fallback(synth_root):
     assert estimate_cache_bytes(mm) > est
 
 
+@pytest.mark.slow
 def test_base_model_trainer_with_device_cache(synth_root, tmp_path):
     """--device_cache end-to-end: base_model trains over the cached feed
     (8 virtual devices -> dp mesh + shard-local gather) and reaches a
@@ -220,6 +221,7 @@ def test_base_model_trainer_with_device_cache(synth_root, tmp_path):
     assert np.isfinite(metrics["val_mAP"])
 
 
+@pytest.mark.slow
 def test_base_model_device_cache_budget_fallback(synth_root, tmp_path):
     """An over-budget cache falls back to the streaming feed and still
     trains (the cache is an optimization, never a correctness gate)."""
@@ -233,4 +235,41 @@ def test_base_model_device_cache_budget_fallback(synth_root, tmp_path):
     state, metrics, _ = base_model.train(
         cfg, event_budget=32, result_dir=str(tmp_path / "dcf"))
     assert int(state.step) >= 1
+    assert np.isfinite(metrics["val_mAP"])
+
+
+@pytest.mark.slow
+def test_flagship_fused_with_device_cache(synth_root, tmp_path):
+    """--device_cache on the flagship --device_mining path: all three
+    modalities gathered from the resident int8 cache into the fused step
+    (labeled mining + PDDM pseudo-sim + hard/structure mining)."""
+    from multimodal_similarity_tpu.train.trainers import multimodal_model
+    cfg = TrainConfig(
+        DATA_ROOT=synth_root, name="mmdc", network="convrtsn",
+        feat=["resnet", "sensors", "segment"], n_input=8, n_h=2, n_w=2,
+        n_C=4, emb_dim=16, num_seg=N_SEG, sess_per_batch=2, max_epochs=2,
+        triplet_per_batch=12, learning_rate=0.01, keep_prob=0.9,
+        lambda_multimodal=0.5, multimodal_epochs=0, label_num=4,
+        silent_mode=True, device_cache=True).resolve()
+    cfg.feat_dim["segment"] = (16,)
+    state, metrics, _ = multimodal_model.train(
+        cfg, device_mining=True, event_budget=32,
+        result_dir=str(tmp_path / "mmdc"))
+    assert int(state.step) >= 2
+    assert np.isfinite(metrics["val_mAP"])
+
+
+@pytest.mark.slow
+def test_batchhard_with_device_cache(synth_root, tmp_path):
+    """--device_cache on batch-hard: balanced selection runs on the plan's
+    host labels; the [B] slice is a device-side take from the cache."""
+    from multimodal_similarity_tpu.train.trainers import base_model_batchhard
+    cfg = TrainConfig(
+        DATA_ROOT=synth_root, name="bhdc", network="rtsn", feat="sensors",
+        n_input=8, emb_dim=16, num_seg=N_SEG, sess_per_batch=2,
+        max_epochs=2, batch_size=32, learning_rate=0.01, keep_prob=0.9,
+        silent_mode=True, device_cache=True).resolve()
+    state, metrics, _ = base_model_batchhard.train(
+        cfg, event_budget=32, result_dir=str(tmp_path / "bhdc"))
+    assert int(state.step) >= 2
     assert np.isfinite(metrics["val_mAP"])

@@ -117,6 +117,7 @@ def _fake_slim_dict(variables, prefix, rng, scale=0.02):
     return slim
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("which", ["inception_v1", "inception_resnet_v2"])
 def test_slim_graft_covers_every_parameter(which, rng):
     """Every flax parameter of both towers is reachable from a slim
@@ -226,6 +227,7 @@ def test_text_features_matches_reference_recipe():
     np.testing.assert_allclose(out[3:], 0.0)   # no known words -> zeros
 
 
+@pytest.mark.slow
 def test_frames_to_features_to_training(tmp_path, rng):
     """End-to-end: synthetic jpg frames -> InceptionV1 features ->
     base_model training on the extracted features."""
@@ -344,6 +346,7 @@ def _irv2_projection_map():
     return m
 
 
+@pytest.mark.slow
 def test_inception_resnet_v2_matches_keras_numerically():
     """Endpoint-wise output parity (<=1e-4 on unit-scale activations)
     between the flax tower and tf.keras InceptionResNetV2 carrying the SAME

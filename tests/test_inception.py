@@ -165,6 +165,7 @@ def test_graft_rejects_partial_and_misshaped(init_variables, rng):
         graft_slim_variables(init_variables, bad)
 
 
+@pytest.mark.slow
 def test_base_cub_trains_with_inception_tower(tmp_path, rng):
     """End-to-end base_CUB with the real tower (random init) on synthetic
     images: runs, updates BN stats, improves the metric loss."""

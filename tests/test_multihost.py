@@ -15,6 +15,8 @@ import textwrap
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 _WORKER = textwrap.dedent("""
     import sys
     import jax

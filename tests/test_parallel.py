@@ -166,12 +166,14 @@ def test_tp_param_sharding(rng):
     np.testing.assert_allclose(np.asarray(out["dense"]["kernel"]), 1.0)
 
 
+@pytest.mark.slow
 def test_graft_dryrun_2d_mesh():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)   # dp x tp path
     ge.dryrun_multichip(2)   # dp-only path
 
 
+@pytest.mark.slow
 def test_ring_batch_hard_loss_matches_dense(rng):
     """Differentiable ring loss == dense batch_hard oracle (value + grad)."""
     from multimodal_similarity_tpu.ops.losses import batch_hard
@@ -259,6 +261,7 @@ def test_flagship_fused_step_dp(rng):
     assert int(state2.step) == 1
 
 
+@pytest.mark.slow
 def test_ring_lifted_matches_dense(rng):
     """Ring lifted stats + loss + gradient on an 8-device mesh must match
     the dense single-chip oracle (VERDICT r2 missing #4: lifted's

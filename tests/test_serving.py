@@ -292,3 +292,51 @@ def test_retrieval_index_int8_gallery_sharded(rng):
                        for a, b in zip(ie, iq)])
     assert overlap >= 0.95, overlap
     np.testing.assert_allclose(dq[:, 0], de[:, 0], atol=0.02)
+
+
+def test_quantized_topk_query_precision_near_ties():
+    """The int8 top-k contraction must not lose near-tie rankings to
+    query rounding: int8 rows are exact in bf16 and the query rides the
+    split-bf16 scheme (ops/chunked_topk.split_bf16_inner), so distances
+    match the f32 computation on the SAME quantized rows to ~1e-5 and
+    the returned order is the f32 order."""
+    import jax.numpy as jnp
+
+    from multimodal_similarity_tpu.ops.chunked_topk import (
+        chunked_topk_quantized, split_bf16_inner)
+
+    rng = np.random.RandomState(11)
+    n, d = 512, 96
+    # integer-valued int8 gallery with many near-duplicate rows (ties
+    # broken only by the last few mantissa bits of the query product)
+    qg = rng.randint(-127, 128, size=(n, d)).astype(np.int8)
+    qg[1::2] = qg[::2]  # pairs of identical rows
+    qg[1::2, 0] += 1    # ... off by one quantum
+    scale = np.full((n,), 1.0 / 127.0, np.float32)
+    g = qg.astype(np.float32) * scale[:, None]
+    gsq = np.sum(g * g, axis=1).astype(np.float32)
+    q = rng.randn(8, d).astype(np.float32)
+
+    d_got, i_got = chunked_topk_quantized(
+        jnp.asarray(q), jnp.asarray(qg), jnp.asarray(scale),
+        jnp.asarray(gsq), k=16, chunk=128, metric="squaredeuclidean")
+    # f32 oracle on the same quantized rows
+    d_exact = ((q ** 2).sum(1, keepdims=True) + gsq[None, :]
+               - 2.0 * q @ g.T)
+    order = np.argsort(d_exact, axis=1)[:, :16]
+    np.testing.assert_allclose(
+        np.asarray(d_got),
+        np.take_along_axis(d_exact, np.asarray(i_got), axis=1),
+        rtol=0, atol=3e-4)
+    assert (np.asarray(i_got) == order).mean() > 0.98  # residual 1e-7 ties
+
+    # the split itself: ~f32-accurate vs a plain bf16-query contraction
+    inner_split = np.asarray(split_bf16_inner(
+        jnp.asarray(q), jnp.asarray(qg).astype(jnp.bfloat16)))
+    inner_f32 = q @ qg.astype(np.float32).T
+    assert np.max(np.abs(inner_split - inner_f32)) < 2e-2  # |rows| ~ 127
+    inner_bf16 = np.asarray(jnp.asarray(q).astype(jnp.bfloat16)
+                            @ jnp.asarray(qg).astype(jnp.bfloat16).T,
+                            dtype=np.float32)
+    assert (np.max(np.abs(inner_split - inner_f32))
+            < 0.02 * np.max(np.abs(inner_bf16 - inner_f32)))
