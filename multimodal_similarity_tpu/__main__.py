@@ -24,7 +24,7 @@ TRAINERS = [
 EVALS = [
     "evaluate_model", "evaluate_baseline", "evaluate_late_fusion",
     "evaluate_hallucination", "evaluate_pairsim", "check_inconsistent",
-    "analysis",
+    "analysis", "export_index",
 ]
 PREPROCESS = ["frames", "features", "annotations", "sensors",
               "segmentation"]

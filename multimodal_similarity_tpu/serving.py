@@ -119,7 +119,24 @@ class RetrievalIndex:
         # device-resident copy, uploaded once per add() generation — a
         # query must never re-ship the gallery over PCIe/ICI
         self._device_gallery = None
+        # quantized artifacts restored by load(): uploaded verbatim, so a
+        # reloaded int8 index serves BYTE-identical top-k without ever
+        # materializing the f32 gallery
+        self._quant = None
         self._meta: list = []
+
+    @staticmethod
+    def _quantize_rows(gallery: np.ndarray):
+        """Per-row scalar max-abs int8 quantization + exact quantized-row
+        squared norms (precomputed once so queries touch only the int8
+        matmul)."""
+        amax = np.maximum(np.max(np.abs(gallery), axis=1, keepdims=True),
+                          1e-12)
+        scale = (amax / 127.0).astype(np.float32)
+        qg = np.clip(np.rint(gallery / scale), -127, 127).astype(np.int8)
+        gsq = ((scale.reshape(-1) ** 2) * np.sum(
+            qg.astype(np.float32) ** 2, axis=1)).astype(np.float32)
+        return qg, scale, gsq
 
     def add(self, embeddings: np.ndarray, metadata: Optional[Sequence] = None):
         embeddings = np.asarray(embeddings, np.float32)
@@ -128,6 +145,15 @@ class RetrievalIndex:
                 f"metadata length {len(metadata)} != "
                 f"{embeddings.shape[0]} embeddings — metadata would "
                 f"silently misalign for every later row")
+        if self._quant is not None:
+            # extending a loaded int8 index: materialize the dequantized
+            # rows as the host gallery first (the artifacts are stale the
+            # moment new rows arrive; re-quantization is per-row, so the
+            # original rows re-quantize to the same bytes)
+            qg, scale, _ = self._quant
+            self._blocks = [np.asarray(qg, np.float32)
+                            * scale.reshape(-1, 1)]
+            self._quant = None
         self._blocks.append(embeddings)
         self._n += embeddings.shape[0]
         self._gallery = None
@@ -140,30 +166,115 @@ class RetrievalIndex:
 
     def _gallery_host(self) -> np.ndarray:
         if self._gallery is None:
+            if not self._blocks and self._quant is not None:
+                qg, scale, _ = self._quant
+                self._blocks = [np.asarray(qg, np.float32)
+                                * scale.reshape(-1, 1)]
             self._gallery = (self._blocks[0] if len(self._blocks) == 1
                              else np.concatenate(self._blocks))
             self._blocks = [self._gallery]
         return self._gallery
 
+    # -- persistence ---------------------------------------------------------
+
+    def save(self, path: str) -> str:
+        """Write the index to directory ``path`` (created if needed).
+
+        Layout: manifest.json (shape/metric/config), meta.pkl (metadata
+        list), and raw .npy arrays — gallery.npy for f32 indexes;
+        q.npy/scale.npy/gsq.npy for int8 indexes (a quarter of the f32
+        bytes, and reloaded VERBATIM so a restart serves byte-identical
+        top-k without re-embedding or re-quantizing).  .npy arrays load
+        back with mmap, so opening a large gallery is O(1).  The closest
+        reference analog is evaluate_model.py's results.pkl dump
+        (reference :127-134); the reference had no way to persist a
+        queryable gallery.
+        """
+        import json
+        import os
+        import pickle
+
+        if not len(self):
+            raise ValueError("refusing to save an empty gallery")
+        os.makedirs(path, exist_ok=True)
+        manifest = {
+            "format": "msim-retrieval-index", "version": 1,
+            "n": int(len(self)), "emb_dim": int(self.emb_dim),
+            "metric": self.metric, "int8_gallery": bool(self.int8_gallery),
+            "gallery_chunk": int(self.gallery_chunk),
+        }
+        if self.int8_gallery:
+            qg, scale, gsq = (self._quant if self._quant is not None
+                              else self._quantize_rows(self._gallery_host()))
+            np.save(os.path.join(path, "q.npy"), qg)
+            np.save(os.path.join(path, "scale.npy"), scale.reshape(-1))
+            np.save(os.path.join(path, "gsq.npy"), gsq)
+        else:
+            np.save(os.path.join(path, "gallery.npy"), self._gallery_host())
+        with open(os.path.join(path, "meta.pkl"), "wb") as f:
+            pickle.dump(self._meta, f)
+        tmp = os.path.join(path, "manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        # manifest lands last + atomically: a crashed save never yields a
+        # directory that load() would accept
+        os.replace(tmp, os.path.join(path, "manifest.json"))
+        return path
+
+    @classmethod
+    def load(cls, path: str, mesh=None,
+             gallery_chunk: Optional[int] = None) -> "RetrievalIndex":
+        """Reconstruct a saved index; serves top-k identical to the saved
+        instance without re-embedding (int8 artifacts upload verbatim).
+        ``mesh`` re-shards the gallery at load time — an index saved on
+        one topology serves on another."""
+        import json
+        import os
+        import pickle
+
+        with open(os.path.join(path, "manifest.json")) as f:
+            manifest = json.load(f)
+        if manifest.get("format") != "msim-retrieval-index":
+            raise ValueError(f"{path!r} is not a saved RetrievalIndex")
+        self = cls(emb_dim=manifest["emb_dim"], metric=manifest["metric"],
+                   mesh=mesh,
+                   gallery_chunk=gallery_chunk or manifest["gallery_chunk"],
+                   int8_gallery=manifest["int8_gallery"])
+        if manifest["int8_gallery"]:
+            self._quant = (
+                np.load(os.path.join(path, "q.npy"), mmap_mode="r"),
+                np.load(os.path.join(path, "scale.npy"), mmap_mode="r"),
+                np.load(os.path.join(path, "gsq.npy"), mmap_mode="r"))
+            self._n = int(self._quant[0].shape[0])
+        else:
+            gallery = np.load(os.path.join(path, "gallery.npy"),
+                              mmap_mode="r")
+            self._blocks = [gallery]
+            self._n = int(gallery.shape[0])
+        if self._n != manifest["n"]:
+            raise ValueError(
+                f"manifest n={manifest['n']} != stored rows {self._n}")
+        with open(os.path.join(path, "meta.pkl"), "rb") as f:
+            self._meta = pickle.load(f)
+        return self
+
     def _gallery_on_device(self):
         if self._device_gallery is None:
-            gallery = self._gallery_host()
             if self.mesh is not None and not self.int8_gallery:
-                gallery = self._pad_for_mesh(gallery, fill=1e15)
+                gallery = self._pad_for_mesh(self._gallery_host(), fill=1e15)
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 self._device_gallery = jax.device_put(
                     gallery, NamedSharding(self.mesh, P("data", None)))
             elif self.int8_gallery:
-                # per-row scalar max-abs quantization (upload once)
-                amax = np.maximum(np.max(np.abs(gallery), axis=1,
-                                         keepdims=True), 1e-12)
-                scale = (amax / 127.0).astype(np.float32)
-                qg = np.clip(np.rint(gallery / scale), -127,
-                             127).astype(np.int8)
-                # exact per-row squared norms of the QUANTIZED rows,
-                # precomputed once so queries touch only the int8 matmul
-                gsq = ((scale.reshape(-1) ** 2) * np.sum(
-                    qg.astype(np.float32) ** 2, axis=1)).astype(np.float32)
+                # load()ed artifacts upload verbatim — the f32 gallery is
+                # never materialized on the reload path
+                qg, scale, gsq = (self._quant
+                                  if self._quant is not None
+                                  else self._quantize_rows(
+                                      self._gallery_host()))
+                # loaded artifacts store scale flat [N]; normalize shape
+                scale = np.asarray(scale, np.float32).reshape(-1, 1)
+                qg, gsq = np.asarray(qg), np.asarray(gsq, np.float32)
                 if self.mesh is not None:
                     from jax.sharding import (
                         NamedSharding, PartitionSpec as P)
@@ -188,7 +299,7 @@ class RetrievalIndex:
                                             jax.device_put(scale),
                                             jax.device_put(gsq))
             else:
-                self._device_gallery = jnp.asarray(gallery)
+                self._device_gallery = jnp.asarray(self._gallery_host())
         return self._device_gallery
 
     def _pad_for_mesh(self, gallery: np.ndarray,

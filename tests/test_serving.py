@@ -340,3 +340,118 @@ def test_quantized_topk_query_precision_near_ties():
                             dtype=np.float32)
     assert (np.max(np.abs(inner_split - inner_f32))
             < 0.02 * np.max(np.abs(inner_bf16 - inner_f32)))
+
+
+def test_retrieval_index_save_load_roundtrip_f32(tmp_path):
+    """Kill/reload must serve identical top-k without re-embedding."""
+    from multimodal_similarity_tpu.serving import RetrievalIndex
+
+    rng = np.random.RandomState(3)
+    g = rng.randn(200, 24).astype(np.float32)
+    idx = RetrievalIndex(emb_dim=24, metric="euclidean")
+    idx.add(g, metadata=[{"i": i} for i in range(200)])
+    q = rng.randn(5, 24).astype(np.float32)
+    d0, i0, m0 = idx.query(q, k=7)
+
+    path = idx.save(str(tmp_path / "ix"))
+    idx2 = RetrievalIndex.load(path)
+    assert len(idx2) == 200
+    d1, i1, m1 = idx2.query(q, k=7)
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(d0, d1, rtol=0, atol=0)
+    assert m0 == m1
+
+
+def test_retrieval_index_save_load_roundtrip_int8(tmp_path):
+    """int8 artifacts reload VERBATIM: top-k is byte-identical and the
+    f32 gallery is never rebuilt on the load path."""
+    from multimodal_similarity_tpu.serving import RetrievalIndex
+
+    rng = np.random.RandomState(4)
+    g = rng.randn(300, 32).astype(np.float32)
+    idx = RetrievalIndex(emb_dim=32, metric="squaredeuclidean",
+                         int8_gallery=True)
+    idx.add(g, metadata=list(range(300)))
+    q = rng.randn(4, 32).astype(np.float32)
+    d0, i0, _ = idx.query(q, k=9)
+
+    path = idx.save(str(tmp_path / "ix8"))
+    idx2 = RetrievalIndex.load(path)
+    d1, i1, m1 = idx2.query(q, k=9)
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_array_equal(d0, d1)  # byte-identical artifacts
+    assert m1[0][0] == int(i1[0][0])
+    # the reload path never materialized the f32 gallery
+    assert idx2._gallery is None and not idx2._blocks
+
+
+def test_retrieval_index_load_onto_mesh(tmp_path):
+    """An index saved single-chip reloads sharded over a mesh and agrees
+    with the single-chip answers (re-sharding at load time)."""
+    import jax
+
+    from multimodal_similarity_tpu.parallel import create_mesh
+    from multimodal_similarity_tpu.serving import RetrievalIndex
+    if jax.device_count() < 8:
+        import pytest
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.RandomState(5)
+    g = rng.randn(160, 16).astype(np.float32)
+    idx = RetrievalIndex(emb_dim=16, int8_gallery=True)
+    idx.add(g)
+    q = rng.randn(3, 16).astype(np.float32)
+    d0, i0, _ = idx.query(q, k=5)
+    path = idx.save(str(tmp_path / "ixm"))
+    idx2 = RetrievalIndex.load(path, mesh=create_mesh(8))
+    d1, i1, _ = idx2.query(q, k=5)
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(d0, d1, atol=1e-5)
+
+
+def test_retrieval_index_add_after_load(tmp_path):
+    from multimodal_similarity_tpu.serving import RetrievalIndex
+
+    rng = np.random.RandomState(6)
+    g = rng.randn(50, 8).astype(np.float32)
+    idx = RetrievalIndex(emb_dim=8, int8_gallery=True)
+    idx.add(g)
+    path = idx.save(str(tmp_path / "ixa"))
+    idx2 = RetrievalIndex.load(path)
+    extra = rng.randn(10, 8).astype(np.float32)
+    idx2.add(extra, metadata=[f"new{i}" for i in range(10)])
+    assert len(idx2) == 60
+    # a query exactly at a new row must retrieve it first
+    d, i, m = idx2.query(extra[0], k=1)
+    assert i[0][0] == 50 and m[0][0] == "new0"
+
+
+def test_export_index_cli(tmp_path):
+    """checkpoint + dataset -> saved index -> reload serves metadata-rich
+    top-k with no model (the trainer->serving export workflow)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_similarity_tpu.data import generate_synthetic_honda
+    from multimodal_similarity_tpu.eval import export_index
+    from multimodal_similarity_tpu.models import build_encoder
+    from multimodal_similarity_tpu.serving import RetrievalIndex
+    from multimodal_similarity_tpu.train.checkpoints import save_pytree
+
+    root = str(tmp_path / "honda")
+    generate_synthetic_honda(root, n_sessions=4, frames_per_session=200,
+                             modal_dims={"sensors": (8,)}, seed=1)
+    model = build_encoder("rtsn", num_seg=3, emb_dim=16, n_input=8)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((2, 3, 8)))["params"]
+    ckpt = str(tmp_path / "m.ckpt")
+    save_pytree(ckpt, {"params": params})
+
+    out = str(tmp_path / "ix")
+    export_index.main([
+        "--index_dir", out, "--int8_gallery", "--index_split", "test",
+        "--DATA_ROOT", root, "--model_path", ckpt, "--feat", "sensors",
+        "--network", "rtsn", "--emb_dim", "16", "--n_input", "8"])
+    idx = RetrievalIndex.load(out)
+    assert len(idx) > 0 and idx.int8_gallery
+    d, i, m = idx.query(np.ones(16, np.float32), k=3)
+    assert {"session", "label", "start", "end"} <= set(m[0][0])
