@@ -28,12 +28,15 @@ def generate_synthetic_honda(
     noise_scale: float = 1.0,
     seed: int = 0,
     splits: Tuple[float, float] = (0.6, 0.2),
+    length_range: Tuple[int, int] = (4, 60),
 ) -> Dict[str, list]:
     """Create a synthetic dataset under ``data_root``.
 
     modal_dims -- per-frame feature shape per modality, e.g.
         {'resnet': (4, 4, 32), 'sensors': (8,), 'segment': (357,)}.
     splits -- (train_frac, val_frac); remainder is test.
+    length_range -- half-open randint bounds for event lengths in frames
+        (benchmarks use short events to bound disk size at video dims).
     Returns {'train': [...], 'val': [...], 'test': [...], 'all': [...]}.
     """
     if modal_dims is None:
@@ -55,7 +58,7 @@ def generate_synthetic_honda(
         raw_labels = []
         t = 0
         while t < frames_per_session:
-            length = int(rng.randint(4, 60))
+            length = int(rng.randint(*length_range))
             length = min(length, frames_per_session - t)
             is_bg = rng.rand() < 0.4
             raw = 0 if is_bg else int(rng.randint(1, n_raw_classes))

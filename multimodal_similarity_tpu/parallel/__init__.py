@@ -32,8 +32,11 @@ from multimodal_similarity_tpu.parallel.sharded_eval import (
     sharded_retrieval_topk,
 )
 from multimodal_similarity_tpu.parallel.tensor_parallel import (
+    auto_mesh_tp,
     create_2d_mesh,
     shard_params_tp,
+    shard_state_tp,
+    tp_sharded_leaves,
 )
 
 __all__ = [
@@ -51,5 +54,8 @@ __all__ = [
     "make_global_batch",
     "host_local_sessions",
     "shard_params_tp",
+    "shard_state_tp",
+    "tp_sharded_leaves",
+    "auto_mesh_tp",
     "create_2d_mesh",
 ]

@@ -48,3 +48,57 @@ def create_2d_mesh(n_devices: int, model_parallel: int = 2,
     devices = np.asarray(jax.devices()[:n_devices]).reshape(
         n_devices // model_parallel, model_parallel)
     return Mesh(devices, axis_names)
+
+
+def shard_state_tp(state, mesh: Mesh, axis: str = "model"):
+    """Place an entire TrainState with column (trailing-dim) sharding over
+    ``axis``: parameters AND their optimizer moments (same shapes -> same
+    specs), scalars replicated.  The jitted steps take the state with
+    in_shardings=None, so XLA SPMD propagates these placements through the
+    whole step — each wide matmul runs column-parallel and the optimizer
+    update stays shard-local (zero collectives on the update itself)."""
+
+    def put(path, leaf):
+        if not hasattr(leaf, "ndim") or leaf.ndim == 0:
+            return jax.device_put(leaf, NamedSharding(mesh, P()))
+        return jax.device_put(
+            leaf, NamedSharding(mesh, tp_spec_for(path, leaf, mesh, axis)))
+
+    return jax.tree_util.tree_map_with_path(put, state)
+
+
+def tp_sharded_leaves(params, mesh: Mesh, axis: str = "model"):
+    """[(path, spec)] of the leaves :func:`shard_params_tp` would split —
+    the trainer-surface assertion that --model_parallel actually sharded
+    the wide kernels (an all-replicated "tp" run is a silent no-op)."""
+    out = []
+
+    def visit(path, leaf):
+        spec = tp_spec_for(path, leaf, mesh, axis)
+        if any(s == axis for s in spec):
+            out.append((jax.tree_util.keystr(path), spec))
+        return leaf
+
+    jax.tree_util.tree_map_with_path(visit, params)
+    return out
+
+
+def auto_mesh_tp(batch_axis_size: int, model_parallel: int,
+                 verbose: bool = True):
+    """(mesh, rounded_batch_axis_size) for --model_parallel N: a 2-D
+    (devices/N) x N dp x tp mesh over every visible device, with the
+    batch axis rounded up to a data-axis multiple.  N must divide the
+    device count; N == device_count is pure tensor parallelism (data
+    axis of size 1)."""
+    n_devices = jax.device_count()
+    if model_parallel > n_devices or n_devices % model_parallel:
+        raise ValueError(
+            f"--model_parallel {model_parallel} does not divide the "
+            f"{n_devices} visible devices")
+    data = n_devices // model_parallel
+    rounded = -(-batch_axis_size // data) * data
+    if verbose:
+        print(f"[parallel] dp x tp mesh {data} x {model_parallel}"
+              + (f"; batch axis {batch_axis_size} -> {rounded}"
+                 if rounded != batch_axis_size else ""))
+    return create_2d_mesh(n_devices, model_parallel), rounded

@@ -92,9 +92,24 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
     # multiple so multi-device runs never silently fall back to one chip
     mesh = None
     if cfg.triplet_select == "facenet":
-        from multimodal_similarity_tpu.parallel import auto_mesh
-        mesh, event_budget = auto_mesh(event_budget,
-                                       verbose=not cfg.silent_mode)
+        if cfg.model_parallel > 1:
+            # dp x tp: batch on "data", wide weight-matrix columns on
+            # "model" (parallel/tensor_parallel.py); XLA SPMD inserts the
+            # ICI collectives where activations rejoin
+            if cfg.multihost:
+                raise NotImplementedError(
+                    "--model_parallel is single-process for now")
+            from multimodal_similarity_tpu.parallel import auto_mesh_tp
+            mesh, event_budget = auto_mesh_tp(
+                event_budget, cfg.model_parallel,
+                verbose=not cfg.silent_mode)
+        else:
+            from multimodal_similarity_tpu.parallel import auto_mesh
+            mesh, event_budget = auto_mesh(event_budget,
+                                           verbose=not cfg.silent_mode)
+    elif cfg.model_parallel > 1:
+        raise ValueError("--model_parallel requires --triplet_select "
+                         "facenet (the jitted device step)")
     if cfg.multihost and mesh is None:
         raise RuntimeError("--multihost needs >= 2 devices across processes")
 
@@ -157,7 +172,28 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
     # (the event budget was already rounded up to a device multiple above)
     if mesh is not None:
         from multimodal_similarity_tpu.parallel import make_dp_triplet_step
-        if pcount == 1:
+        if cfg.model_parallel > 1:
+            # column-shard params + optimizer moments over "model"; the
+            # step takes the state with in_shardings=None, so SPMD runs
+            # every wide matmul column-parallel from these placements.
+            # Assert something actually sharded: a config whose dims
+            # don't divide would otherwise run an all-replicated "tp"
+            # no-op silently.
+            from multimodal_similarity_tpu.parallel import (
+                shard_state_tp, tp_sharded_leaves)
+            sharded = tp_sharded_leaves(state.params, mesh)
+            if not sharded:
+                raise ValueError(
+                    f"--model_parallel {cfg.model_parallel}: no parameter "
+                    f"has a trailing dim divisible by {cfg.model_parallel} "
+                    f"(emb_dim {cfg.emb_dim}); tensor parallelism would "
+                    "be a silent no-op")
+            state = shard_state_tp(state, mesh)
+            if not cfg.silent_mode:
+                print(f"[{cfg.name}] tensor-parallel: {len(sharded)} "
+                      f"weight tensors column-sharded over "
+                      f"{cfg.model_parallel} chips")
+        elif pcount == 1:
             state = jax.device_put(state, jax.sharding.NamedSharding(
                 mesh, jax.sharding.PartitionSpec()))
         # multihost: the state stays an uncommitted host-local value
@@ -171,6 +207,8 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
         if not cfg.silent_mode:
             print(f"[{cfg.name}] data-parallel over "
                   f"{mesh.shape['data']} devices"
+                  + (f" x {cfg.model_parallel} model-parallel"
+                     if cfg.model_parallel > 1 else "")
                   + (f" on {pcount} hosts" if pcount > 1 else ""))
     elif cfg.triplet_select == "facenet":
         step_fn = make_triplet_train_step(

@@ -452,11 +452,25 @@ def train(cfg: TrainConfig, hard_only: bool = False,
     # a device multiple — batches are fixed-shape + mask-padded anyway)
     mesh = None
     if device_mining:
-        from multimodal_similarity_tpu.parallel import auto_mesh
-        mesh, rounded = auto_mesh(event_budget or cfg.event_per_batch,
-                                  verbose=not cfg.silent_mode)
-        if mesh is not None:
-            event_budget = rounded
+        if cfg.model_parallel > 1:
+            # dp x tp mesh: event batch on "data", the core encoder's wide
+            # weight-matrix columns on "model" (state sharded below)
+            if cfg.multihost:
+                raise NotImplementedError(
+                    "--model_parallel is single-process for now")
+            from multimodal_similarity_tpu.parallel import auto_mesh_tp
+            mesh, event_budget = auto_mesh_tp(
+                event_budget or cfg.event_per_batch, cfg.model_parallel,
+                verbose=not cfg.silent_mode)
+        else:
+            from multimodal_similarity_tpu.parallel import auto_mesh
+            mesh, rounded = auto_mesh(event_budget or cfg.event_per_batch,
+                                      verbose=not cfg.silent_mode)
+            if mesh is not None:
+                event_budget = rounded
+    elif cfg.model_parallel > 1:
+        raise ValueError("--model_parallel requires --device_mining "
+                         "(the fused jitted step)")
     if cfg.multihost and mesh is None:
         raise RuntimeError("--multihost needs >= 2 devices across processes")
     exp = HondaExperiment(cfg, modalities=modalities,
@@ -510,7 +524,18 @@ def train(cfg: TrainConfig, hard_only: bool = False,
     if cfg.model_path:
         state = load_pytree(cfg.model_path, state)
     if mesh is not None:
-        if pcount == 1:
+        if cfg.model_parallel > 1:
+            from multimodal_similarity_tpu.parallel import (
+                shard_state_tp, tp_sharded_leaves)
+            sharded = tp_sharded_leaves(state.params, mesh)
+            if not sharded:
+                raise ValueError(
+                    f"--model_parallel {cfg.model_parallel}: no parameter "
+                    f"has a trailing dim divisible by "
+                    f"{cfg.model_parallel}; tensor parallelism would be "
+                    "a silent no-op")
+            state = shard_state_tp(state, mesh)
+        elif pcount == 1:
             state = jax.device_put(state, jax.sharding.NamedSharding(
                 mesh, jax.sharding.PartitionSpec()))
         # multihost: the state stays an uncommitted host-local value
@@ -519,6 +544,8 @@ def train(cfg: TrainConfig, hard_only: bool = False,
         if not cfg.silent_mode:
             print(f"[{cfg.name}] data-parallel fused step over "
                   f"{mesh.shape['data']} devices"
+                  + (f" x {cfg.model_parallel} model-parallel"
+                     if cfg.model_parallel > 1 else "")
                   + (f" on {pcount} hosts" if pcount > 1 else ""))
 
     embed_fn = make_embed_fn(core, cfg.normalized)
