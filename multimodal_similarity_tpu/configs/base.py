@@ -243,17 +243,36 @@ class TrainConfig(BaseConfig):
         p.add_argument("--n_input", type=int, default=1536)
         p.add_argument("--triplet_select", type=str, default="random")
         p.add_argument("--multimodal_select", type=str, default="random")
-        p.add_argument("--device_mining", action="store_true")
-        p.add_argument("--bf16_features", action="store_true")
-        p.add_argument("--int8_features", action="store_true")
+        p.add_argument(
+            "--device_mining", action="store_true",
+            help="flagship: fuse mining+PDDM+losses into one device "
+                 "program; scales the PDDM pass O(H*N) where the default "
+                 "host-mining mode materializes the [N, N] similarity "
+                 "matrix (parity mode; fine at event_per_batch<=1000)")
+        p.add_argument("--bf16_features", action="store_true",
+                       help="ship event features as bfloat16 (half the "
+                            "wire and HBM-read bytes)")
+        p.add_argument("--int8_features", action="store_true",
+                       help="ship event features quantized int8 (quarter "
+                            "of f32 wire bytes; device-fed paths only)")
         p.add_argument("--multihost", action="store_true")
         p.add_argument("--coordinator_address", type=str, default="")
         p.add_argument("--num_processes", type=int, default=0)
         p.add_argument("--process_id", type=int, default=-1)
-        p.add_argument("--device_cache", action="store_true")
-        p.add_argument("--device_cache_gb", type=float, default=6.0)
-        p.add_argument("--model_parallel", type=int, default=0)
-        p.add_argument("--watchdog_secs", type=float, default=0.0)
+        p.add_argument("--device_cache", action="store_true",
+                       help="upload the train set once as int8 windows; "
+                            "epochs >= 2 re-sample TSN segments on device "
+                            "(no per-epoch feature upload)")
+        p.add_argument("--device_cache_gb", type=float, default=6.0,
+                       help="HBM budget for --device_cache; estimates "
+                            "above it fall back to the streaming feed")
+        p.add_argument("--model_parallel", type=int, default=0,
+                       help="tensor parallelism: column-shard wide weight "
+                            "matrices over N chips (dp x tp mesh)")
+        p.add_argument("--watchdog_secs", type=float, default=0.0,
+                       help="per-step hang watchdog: dump tracebacks and "
+                            "checkpoint-and-stop when no step completes "
+                            "within this many seconds (0 = off)")
         p.add_argument("--profile_dir", type=str, default="")
         p.add_argument("--profile_steps", type=int, default=5)
         p.add_argument("--alpha", type=float, default=0.2)

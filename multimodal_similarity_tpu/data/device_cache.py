@@ -220,19 +220,24 @@ class DeviceFeatureCache:
                 self._shard_sessions[s].append(idx)
                 self._labels.append(arr)
                 base += arr.shape[0]
+        # trim the frame axis to the dataset's true longest window: a
+        # short-event corpus must not pay MAX_LENGTH-frame HBM padding
+        # (frames past each event's seq_len are never gathered)
+        t_eff = max(self.n_seg, max(int(lens.max()) for lens in len_parts))
+        self.max_frames = t_eff
         for m in range(num_modalities):
             q_parts, s_parts = [], []
             for s in range(self.n_shards):
-                q = np.concatenate(shard_q[s][m])
-                sc = np.concatenate(shard_scale[s][m])
+                q = np.concatenate(shard_q[s][m])[:, :t_eff]
+                sc = np.concatenate(shard_scale[s][m])[:, :t_eff]
                 pad = n_max - q.shape[0]
                 if pad:
                     q = np.concatenate(
                         [q, np.zeros((pad,) + q.shape[1:], np.int8)])
                     sc = np.concatenate(
                         [sc, np.ones((pad,) + sc.shape[1:], np.float32)])
-                q_parts.append(q)
-                s_parts.append(sc)
+                q_parts.append(np.ascontiguousarray(q))
+                s_parts.append(np.ascontiguousarray(sc))
             q_mods.append(np.concatenate(q_parts))
             scale_mods.append(np.concatenate(s_parts))
         self.num_modalities = num_modalities
