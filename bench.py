@@ -478,6 +478,9 @@ def main():
         build_optimizer("ADAM", 0.01))
 
     def run_epoch():
+        # no per-epoch readback: the caller syncs once at the end — the
+        # tunnel's ~30 ms round trip must amortize over the whole window
+        # exactly as in every other throughput section
         nonlocal dc_state
         n_ev, out = 0, None
         for b in dcache.epoch_batches():
@@ -485,12 +488,16 @@ def main():
                                  b["mask"], key, lr)
             n_ev += b["num_events"]
             out = aux["loss"]
-        float(out)
-        return n_ev
+        return n_ev, out
 
-    run_epoch()  # epoch 1: compile + warm
+    _, out = run_epoch()  # epoch 1: compile + warm
+    float(out)
     t0 = time.time()
-    ev = sum(run_epoch() for _ in range(8))  # epochs >= 2: steady state
+    ev = 0
+    for _ in range(8):  # epochs >= 2: steady state
+        n, out = run_epoch()
+        ev += n
+    float(out)
     cached_eps = ev / (time.time() - t0)
     _mark(f"cached epochs {cached_eps:.0f} ev/s")
 

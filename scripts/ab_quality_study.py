@@ -12,11 +12,14 @@ Run on the chip:
 """
 
 import json
+import os
 import sys
 import tempfile
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -30,10 +33,12 @@ def main():
     from multimodal_similarity_tpu.train.trainers import base_model
 
     root = tempfile.mkdtemp(prefix="ab_quality_")
+    # 8 sessions -> 4 train / 2 val: enough val events that every class
+    # has same-class partners (a 1-session val set can NaN the mAP)
     generate_synthetic_honda(
-        root, n_sessions=6, frames_per_session=300,
+        root, n_sessions=8, frames_per_session=500,
         modal_dims={"resnet": (2, 2, 24)},
-        class_scale=1.0, noise_scale=noise, seed=7)
+        class_scale=1.0, noise_scale=noise, seed=7, splits=(0.5, 0.25))
 
     results = {}
     for mode in modes:

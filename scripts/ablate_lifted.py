@@ -10,11 +10,14 @@ dominates.
 Run on the chip:  python scripts/ablate_lifted.py [N] [D]
 """
 
+import os
 import sys
 import time
 import types
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _load_ablated(module_name: str, path: str):
