@@ -501,6 +501,42 @@ def main():
     cached_eps = ev / (time.time() - t0)
     _mark(f"cached epochs {cached_eps:.0f} ev/s")
 
+    # fused single-dispatch variant (train/cached_steps.py): the TSN
+    # gather runs INSIDE the train program, so a batch costs one packed
+    # upload + one dispatch — the same shape as the on-device-data step
+    _mark("fused cached step")
+    from multimodal_similarity_tpu.train.cached_steps import (
+        make_cached_triplet_step)
+
+    fc_state = TrainState.create(
+        model.init(jax.random.PRNGKey(5),
+                   jnp.zeros((2, n_seg, 8, 8, 1536)))["params"],
+        build_optimizer("ADAM", 0.01))
+    fused_cached = make_cached_triplet_step(
+        model, dcache, triplet_per_batch=100, alpha=0.2)
+    operands = dcache.step_operands()
+
+    def run_epoch_fused():
+        nonlocal fc_state
+        n_ev, out = 0, None
+        for plan in dcache.epoch_plans():
+            fc_state, aux = fused_cached(fc_state, plan["packed"],
+                                         key, lr, *operands)
+            n_ev += plan["num_events"]
+            out = aux["loss"]
+        return n_ev, out
+
+    _, out = run_epoch_fused()
+    float(out)
+    t0 = time.time()
+    ev_f = 0
+    for _ in range(8):
+        n, out = run_epoch_fused()
+        ev_f += n
+    float(out)
+    cached_fused_eps = ev_f / (time.time() - t0)
+    _mark(f"fused cached epochs {cached_fused_eps:.0f} ev/s")
+
     # comparator: same step, same B, data already on device (no gather)
     ref_b = next(dcache.epoch_batches())
     n_real = int(ref_b["num_events"])
@@ -558,8 +594,13 @@ def main():
             # uploaded once as int8; epochs >= 2 gather from HBM and the
             # link carries only the index/label/mask plan
             "fused_step_cached_epoch_events_per_sec": round(cached_eps, 2),
+            # single-dispatch variant: gather fused INTO the train program
+            "fused_step_cached_fused_gather_events_per_sec": round(
+                cached_fused_eps, 2),
             "cached_epoch_vs_on_device_same_batch": round(
                 cached_eps / ondev_small_eps, 3),
+            "cached_fused_vs_on_device_same_batch": round(
+                cached_fused_eps / ondev_small_eps, 3),
             "device_cache_detail": {
                 "events": int(dcache.shard_rows),
                 "batch_events": int(n_real),

@@ -318,6 +318,7 @@ class DeviceFeatureCache:
             return tuple(out), lab, mask
 
         if self.mesh is None:
+            self.gather_fn = local_gather  # un-jitted: fusable into steps
             self._gather = jax.jit(local_gather)
             return
 
@@ -361,7 +362,34 @@ class DeviceFeatureCache:
                 check_vma=False)
             return fn(key, packed, seq_len, labels, *mods)
 
+        self.gather_fn = sharded   # un-jitted: fusable into jitted steps
         self._gather = jax.jit(sharded)
+
+    def step_operands(self):
+        """The device-resident operands a fused step needs to gather from
+        this cache (pass them as ARGUMENTS to the jitted step — closing
+        over them would embed multi-hundred-MB constants in the
+        executable): (seq_len, label_table, *mod arrays)."""
+        mods = []
+        for m in range(self.num_modalities):
+            mods.extend([self.q[m], self.scale[m]])
+        return (self.seq_len, self.label_dev, *mods)
+
+    def epoch_plans(self):
+        """One epoch of host-side (packed, key) pairs for fused-gather
+        steps (train/cached_steps.py): ``packed`` [n_shards, per + 1]
+        int32 is the ONLY per-batch upload; ``n_real`` is the host-known
+        real-event count for logging."""
+        import jax
+
+        for rows in self._plan_epoch():
+            self._key, key = jax.random.split(self._key)
+            packed = np.stack([
+                np.concatenate([r[0] % self.shard_rows,
+                                [int(r[2].sum())]]).astype(np.int32)
+                for r in rows])
+            yield {"packed": packed, "key": key,
+                   "num_events": int(sum(int(r[2].sum()) for r in rows))}
 
     # -- epoch plan -----------------------------------------------------------
 

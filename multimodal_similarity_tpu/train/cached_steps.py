@@ -1,0 +1,117 @@
+"""Train steps that gather from the device-resident feature cache
+INSIDE the jitted program.
+
+The two-call cached path (data/device_cache.epoch_batches -> step) pays
+a second program dispatch and an intermediate gathered batch per step;
+on a high-latency link the dispatch alone is the difference between the
+cached feed and the no-feed ceiling.  These steps take the cache's
+resident operands as arguments (never closed over — a closed-over array
+would embed hundreds of MB of constants in the executable) plus the
+per-batch packed index plan, and run TSN gather -> embed -> mine ->
+re-forward -> update as ONE program: a batch costs one small upload and
+one dispatch, exactly like the on-device-data step.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_similarity_tpu.ops.losses import triplet_loss_masked
+from multimodal_similarity_tpu.ops.mining import (
+    mine_semihard_triplets_from_embeddings)
+from multimodal_similarity_tpu.train.state import l2_regularization
+from multimodal_similarity_tpu.train.steps import (
+    dequant_features, jit_step, l2_normalize, take_features)
+
+
+def make_cached_triplet_step(
+    model,
+    cache,
+    *,
+    triplet_per_batch: int,
+    alpha: float = 0.2,
+    num_negative: int = 3,
+    metric: str = "squaredeuclidean",
+    normalized: bool = True,
+    lambda_l2: float = 0.0,
+) -> Callable:
+    """Fused gather+train step over a DeviceFeatureCache.
+
+    Returns step(state, packed, key, learning_rate, *cache.step_operands())
+    -> (state, aux).  ``packed`` is the [n_shards, per + 1] int32 plan
+    from cache.epoch_plans(); the TSN offsets derive from ``key`` with
+    the same fold structure as cache.epoch_batches, so the two paths
+    select identical frames under identical keys (pinned in
+    tests/test_device_cache.py).
+    """
+    mesh = cache.mesh
+    gather_fn = cache.gather_fn
+
+    def step(state, packed, key, learning_rate, seq_len, label_table,
+             *mods):
+        # split exactly like the two-call path (gather key, then the
+        # step's own mine/dropout split), so this fused program is
+        # numerically comparable to cache._gather + the plain step under
+        # the same key — the parity test's oracle
+        k_gather, k_rest = jax.random.split(key)
+        k_mine, k_drop = jax.random.split(k_rest)
+        if mesh is None:
+            packed_local = packed[0] if packed.ndim == 2 else packed
+            gathered, labels, mask = gather_fn(
+                k_gather, packed_local, seq_len, label_table, *mods)
+        else:
+            gathered, labels, mask = gather_fn(
+                k_gather, packed, seq_len, label_table, *mods)
+        events = gathered[0]
+
+        def loss_fn(params):
+            emb_mine = model.apply({"params": params},
+                                   dequant_features(events))
+            if normalized:
+                emb_mine = l2_normalize(emb_mine)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                emb_mine = jax.lax.with_sharding_constraint(
+                    emb_mine, NamedSharding(mesh, P()))
+            emb_mine = jax.lax.stop_gradient(emb_mine)
+            mined = mine_semihard_triplets_from_embeddings(
+                emb_mine, labels, k_mine, triplet_per_batch, alpha=alpha,
+                num_negative=num_negative, valid=mask, metric=metric)
+
+            tri_idx = jnp.concatenate(
+                [mined.anchor, mined.positive, mined.negative])
+            tri_events = dequant_features(take_features(events, tri_idx))
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                tri_events = jax.lax.with_sharding_constraint(
+                    tri_events, NamedSharding(mesh, P("data")))
+            tri_emb = model.apply({"params": params}, tri_events,
+                                  train=True, rngs={"dropout": k_drop})
+            if normalized:
+                tri_emb = l2_normalize(tri_emb)
+            t = mined.anchor.shape[0]
+            a, p, n = tri_emb[:t], tri_emb[t:2 * t], tri_emb[2 * t:]
+            loss = triplet_loss_masked(a, p, n, mined.mask, alpha)
+            if lambda_l2:
+                loss = loss + lambda_l2 * l2_regularization(params)
+            return loss, {"loss": loss, "triplet_num": jnp.sum(mined.mask),
+                          "active_count": mined.active_count}
+
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        state = state.apply_gradients(grads, learning_rate=learning_rate)
+        return state, aux
+
+    if mesh is None:
+        return jit_step(step)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    repl = NamedSharding(mesh, P())
+    packed_s = NamedSharding(mesh, P("data", None))
+    row = lambda a: NamedSharding(  # noqa: E731
+        mesh, P("data", *([None] * (a.ndim - 1))))
+    operand_s = tuple(row(a) for a in cache.step_operands())
+    return jit_step(step, in_shardings=(None, packed_s, repl, repl,
+                                        *operand_s))

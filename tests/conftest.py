@@ -25,9 +25,14 @@ import jax
 
 if not _keep_tpu:
     jax.config.update("jax_platforms", "cpu")
-# persistent compile cache: repeat suite runs skip most XLA compiles
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NO persistent compile cache for the CPU suite: XLA:CPU AOT cache
+# entries pin the compile host's CPU feature set, and this container can
+# migrate between hosts — loading a mismatched entry warns "could lead
+# to execution errors such as SIGILL" and, observed round 4, actually
+# aborts the process mid-suite (always in a large dp x tp program).
+# Recompiling is slower but deterministic; the TPU-side cache
+# (/tmp/jax_cache, used by bench/scripts) is unaffected because TPU
+# executables are not host-CPU-feature-sensitive.
 
 import numpy as np
 import pytest

@@ -273,3 +273,140 @@ def test_batchhard_with_device_cache(synth_root, tmp_path):
         cfg, event_budget=32, result_dir=str(tmp_path / "bhdc"))
     assert int(state.step) >= 2
     assert np.isfinite(metrics["val_mAP"])
+
+
+@pytest.mark.slow
+def test_device_cache_composes_with_model_parallel(synth_root, tmp_path):
+    """--device_cache + --model_parallel 2: cache rows shard over the
+    4-wide data axis of the dp x tp mesh, weights column-shard over
+    "model", and the trainer runs end-to-end."""
+    import jax
+
+    from multimodal_similarity_tpu.train.trainers import base_model
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = TrainConfig(
+        DATA_ROOT=synth_root, name="dctp", network="rtsn", feat="sensors",
+        n_input=8, emb_dim=32, num_seg=N_SEG, sess_per_batch=2,
+        max_epochs=1, triplet_per_batch=16, learning_rate=0.01,
+        keep_prob=0.9, silent_mode=True, triplet_select="facenet",
+        device_cache=True, model_parallel=2).resolve()
+    state, metrics, _ = base_model.train(
+        cfg, event_budget=32, result_dir=str(tmp_path / "dctp"))
+    assert int(state.step) >= 1
+    assert np.isfinite(metrics["val_mAP"])
+    specs = {ax for p in jax.tree_util.tree_leaves(state.params)
+             if hasattr(p, "sharding")
+             for part in p.sharding.spec if part
+             for ax in (part if isinstance(part, tuple) else (part,))}
+    assert "model" in specs
+
+
+@pytest.mark.slow
+def test_lifted_trainer_with_device_cache(synth_root, tmp_path):
+    """base_model_lifted delegates to the batch-hard loop, so
+    --device_cache carries over; pin that it actually trains."""
+    from multimodal_similarity_tpu.train.trainers import base_model_lifted
+    cfg = TrainConfig(
+        DATA_ROOT=synth_root, name="lidc", network="rtsn", feat="sensors",
+        n_input=8, emb_dim=16, num_seg=N_SEG, sess_per_batch=2,
+        max_epochs=1, batch_size=32, learning_rate=0.01, keep_prob=0.9,
+        silent_mode=True, device_cache=True).resolve()
+    state, metrics, _ = base_model_lifted.train(
+        cfg, event_budget=32, result_dir=str(tmp_path / "lidc"))
+    assert int(state.step) >= 1
+    assert np.isfinite(metrics["val_mAP"])
+
+
+def test_fused_cached_step_matches_two_call_path(synth_root, tmp_path):
+    """The single-dispatch fused gather+train step must match the
+    two-call path (cache._gather -> plain fused step) bit-for-bit under
+    the same key: same frames, same mining draw, same loss."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_similarity_tpu.models import build_encoder
+    from multimodal_similarity_tpu.train.cached_steps import (
+        make_cached_triplet_step)
+    from multimodal_similarity_tpu.train.state import (
+        TrainState, build_optimizer)
+    from multimodal_similarity_tpu.train.steps import (
+        make_triplet_train_step)
+
+    cfg = TrainConfig(DATA_ROOT=synth_root, feat="sensors").resolve()
+    dataset = prepare_dataset(cfg.feature_root, cfg.train_session,
+                              "sensors", cfg.label_root, "goal")
+    cache = DeviceFeatureCache.build(
+        dataset, n_seg=N_SEG, sess_per_batch=2, event_budget=24, seed=9)
+    model = build_encoder("rtsn", num_seg=N_SEG, emb_dim=16, n_input=8,
+                          keep_prob=0.9)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((2, N_SEG, 8)))["params"]
+
+    def fresh_state():
+        import numpy as _np
+        p = jax.tree.map(lambda a: _np.array(a), params)
+        return TrainState.create(p, build_optimizer("ADAM", 0.01))
+
+    fused = make_cached_triplet_step(model, cache, triplet_per_batch=8,
+                                     alpha=0.2)
+    plan = next(cache.epoch_plans())
+    key = jax.random.PRNGKey(77)
+    s1, aux1 = fused(fresh_state(), plan["packed"], key, jnp.float32(0.01),
+                     *cache.step_operands())
+
+    # oracle: the tested two-call path under the split the fused step uses
+    k_gather, k_rest = jax.random.split(key)
+    gathered, labels, mask = cache._gather(
+        k_gather, jnp.asarray(plan["packed"][0]), *cache.step_operands())
+    plain = make_triplet_train_step(model, triplet_per_batch=8, alpha=0.2)
+    s2, aux2 = plain(fresh_state(), gathered[0], labels, mask, k_rest,
+                     jnp.float32(0.01))
+
+    assert float(aux1["loss"]) == float(aux2["loss"])
+    assert float(aux1["triplet_num"]) == float(aux2["triplet_num"])
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_fused_cached_step_on_mesh(synth_root, tmp_path):
+    """shard_map gather inside the jitted dp step: one dispatch per batch
+    on an 8-device mesh, matching the two-call mesh path."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_similarity_tpu.models import build_encoder
+    from multimodal_similarity_tpu.parallel import create_mesh
+    from multimodal_similarity_tpu.train.cached_steps import (
+        make_cached_triplet_step)
+    from multimodal_similarity_tpu.train.state import (
+        TrainState, build_optimizer)
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = create_mesh(8)
+    cfg = TrainConfig(DATA_ROOT=synth_root, feat="sensors").resolve()
+    dataset = prepare_dataset(cfg.feature_root, cfg.train_session,
+                              "sensors", cfg.label_root, "goal")
+    cache = DeviceFeatureCache.build(
+        dataset, n_seg=N_SEG, sess_per_batch=1, event_budget=32, seed=4,
+        mesh=mesh)
+    model = build_encoder("rtsn", num_seg=N_SEG, emb_dim=16, n_input=8,
+                          keep_prob=0.9)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((2, N_SEG, 8)))["params"]
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    state = jax.device_put(
+        TrainState.create(params, build_optimizer("ADAM", 0.01)),
+        NamedSharding(mesh, P()))
+    fused = make_cached_triplet_step(model, cache, triplet_per_batch=8,
+                                     alpha=0.2)
+    losses = []
+    for plan in cache.epoch_plans():
+        state, aux = fused(state, plan["packed"],
+                           jax.random.PRNGKey(int(state.step)),
+                           jnp.float32(0.01), *cache.step_operands())
+        losses.append(float(aux["loss"]))
+    assert losses and all(np.isfinite(l) for l in losses)
+    assert int(state.step) == len(losses)
