@@ -259,6 +259,16 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
             verbose=not cfg.silent_mode)
         if cache is not None:
             batch_per_epoch = cache.batches_per_epoch
+            # single-dispatch path: the TSN gather runs INSIDE the train
+            # program; a batch costs one packed KB-scale upload
+            from multimodal_similarity_tpu.train.cached_steps import (
+                make_cached_triplet_step)
+            cached_step = make_cached_triplet_step(
+                model, cache, triplet_per_batch=cfg.triplet_per_batch,
+                alpha=cfg.alpha, num_negative=cfg.num_negative,
+                metric=cfg.metric, normalized=cfg.normalized,
+                lambda_l2=cfg.lambda_l2)
+            cache_ops = cache.step_operands()
 
     # fused-step path: events/labels/mask are device_put (with the bf16
     # cast host-side) on a background thread one batch ahead, so the
@@ -289,11 +299,11 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                     return
 
         if cache is not None:
-            # device-resident cache: batches are gathered in HBM; no
-            # host->device feature traffic after the one-time upload
+            # device-resident cache: host side carries only the packed
+            # index plan; the fused step gathers + trains in one program
             def cached_epochs():
                 while True:
-                    yield from cache.epoch_batches()
+                    yield from cache.epoch_plans()
             return cached_epochs()
         if cfg.triplet_select != "facenet":
             return epochs()  # host miners need host-resident arrays
@@ -341,7 +351,11 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
             for batch in itertools.islice(stream, batch_per_epoch):
                 t0 = time.time()
                 rng, key = jax.random.split(rng)
-                if cfg.triplet_select == "facenet":
+                if cfg.triplet_select == "facenet" and cache is not None:
+                    # fused gather+train: one program, one packed upload
+                    state, aux = cached_step(state, batch["packed"], key,
+                                             jnp.float32(lr), *cache_ops)
+                elif cfg.triplet_select == "facenet":
                     # events/labels/mask arrive device-resident (and bf16-cast
                     # when requested) from the prefetch thread
                     if mesh is not None:
