@@ -167,7 +167,8 @@ def build_models(cfg: TrainConfig, sensors_dim: int = 8,
 
 def make_mm_fused_step(core, sensors_enc, sensors_pddm, segment_enc,
                        segment_pddm, cfg: TrainConfig, mesh=None,
-                       hard_only: bool = False, gather_smalls: bool = False):
+                       hard_only: bool = False, gather_smalls: bool = False,
+                       cache=None):
     """Fully-fused flagship step: ONE jitted program per batch.
 
     Inside the program: eval-mode core embed -> device semi-hard mining of
@@ -185,6 +186,13 @@ def make_mm_fused_step(core, sensors_enc, sensors_pddm, segment_enc,
     parameters are replicated, and the gradients psum.  The tiny 32-d
     sensors/segment towers + PDDM scoring are replicated — they are ~1%%
     of step FLOPs at reference dims.
+
+    With ``cache`` (a data/device_cache.DeviceFeatureCache over all three
+    modalities) the step ALSO subsumes the per-epoch TSN gather: its
+    signature becomes ``(state, packed, class_margins, use_multimodal,
+    key, learning_rate, *cache.step_operands())`` and a batch costs one
+    KB-scale packed upload + one dispatch — the cached twin of the
+    on-device-data step (same pattern as train/cached_steps.py).
     """
     from multimodal_similarity_tpu.models import score_rows
     from multimodal_similarity_tpu.ops.mining import (
@@ -318,6 +326,39 @@ def make_mm_fused_step(core, sensors_enc, sensors_pddm, segment_enc,
             state.params)
         state = state.apply_gradients(grads, learning_rate=learning_rate)
         return state, aux
+
+    if cache is not None:
+        # fused gather+train: TSN-select all three modalities from the
+        # device-resident int8 cache INSIDE this program, then run the
+        # identical mine->re-forward->update body.  Key split mirrors
+        # train/cached_steps.py: (gather, rest) so the body's own 3-way
+        # split stays comparable to the two-call path under k_rest.
+        gather_fn = cache.gather_fn
+
+        def cached(state, packed, class_margins, use_multimodal, key,
+                   learning_rate, seq_len, label_table, *mods):
+            k_gather, k_rest = jax.random.split(key)
+            if mesh is None:
+                packed_local = packed[0] if packed.ndim == 2 else packed
+                gathered, labels, mask = gather_fn(
+                    k_gather, packed_local, seq_len, label_table, *mods)
+            else:
+                gathered, labels, mask = gather_fn(
+                    k_gather, packed, seq_len, label_table, *mods)
+            events, eve_sensors, eve_segment = gathered
+            return step(state, events, eve_sensors, eve_segment, labels,
+                        mask, class_margins, use_multimodal, k_rest,
+                        learning_rate)
+
+        if mesh is None:
+            return jit_step(cached)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        packed_s = NamedSharding(mesh, P("data", None))
+        row = lambda a: NamedSharding(  # noqa: E731
+            mesh, P("data", *([None] * (a.ndim - 1))))
+        operand_s = tuple(row(a) for a in cache.step_operands())
+        return jit_step(cached, in_shardings=(
+            None, packed_s, repl_s, repl_s, repl_s, repl_s, *operand_s))
 
     if mesh is None:
         return jit_step(step)
@@ -600,6 +641,12 @@ def train(cfg: TrainConfig, hard_only: bool = False,
             verbose=not cfg.silent_mode)
         if cache is not None:
             exp.batch_per_epoch = cache.batches_per_epoch
+            # single-dispatch path: rebuild the fused step with the TSN
+            # gather INSIDE it; a batch costs one packed KB-scale upload
+            fused_step = make_mm_fused_step(
+                core, sensors_enc, sensors_pddm, segment_enc, segment_pddm,
+                cfg, mesh=mesh, hard_only=hard_only, cache=cache)
+            cache_ops = cache.step_operands()
 
     def continuous_batches():
         def epochs():
@@ -618,11 +665,11 @@ def train(cfg: TrainConfig, hard_only: bool = False,
                     return
 
         if cache is not None:
-            # device-resident cache: no host->device feature traffic
-            # after the one-time upload
+            # device-resident cache: host side carries only the packed
+            # index plan; the fused step gathers + trains in one program
             def cached_epochs():
                 while True:
-                    yield from cache.epoch_batches()
+                    yield from cache.epoch_plans()
             return cached_epochs()
         if not device_mining:
             return epochs()  # host miners slice numpy arrays
@@ -682,12 +729,19 @@ def train(cfg: TrainConfig, hard_only: bool = False,
                                       for c in range(n_classes)], jnp.float32)
                     use_mm = jnp.float32(
                         1.0 if epoch >= cfg.multimodal_epochs else 0.0)
-                    # batch tensors arrive device-resident from the prefetch
-                    # thread (bf16-cast host-side when --bf16_features)
-                    state, aux = fused_step(
-                        state, batch["events"], batch["events2"],
-                        batch["events3"], batch["labels"], batch["mask"],
-                        cm, use_mm, exp.next_key(), jnp.float32(lr))
+                    if cache is not None:
+                        # fused gather+train: one program, one packed upload
+                        state, aux = fused_step(
+                            state, batch["packed"], cm, use_mm,
+                            exp.next_key(), jnp.float32(lr), *cache_ops)
+                    else:
+                        # batch tensors arrive device-resident from the
+                        # prefetch thread (bf16-cast host-side when
+                        # --bf16_features)
+                        state, aux = fused_step(
+                            state, batch["events"], batch["events2"],
+                            batch["events3"], batch["labels"], batch["mask"],
+                            cm, use_mm, exp.next_key(), jnp.float32(lr))
                     exp.log(int(state.step),
                             {**{k: float(v) for k, v in aux.items()},
                              "learning_rate": lr},

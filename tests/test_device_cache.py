@@ -371,6 +371,82 @@ def test_fused_cached_step_matches_two_call_path(synth_root, tmp_path):
                                    rtol=1e-6, atol=1e-7)
 
 
+def test_flagship_cached_fused_step_matches_two_call_path(synth_root):
+    """The flagship single-dispatch gather+mine+train step (make_mm_fused_step
+    with cache=) must match the two-call path (cache._gather -> plain fused
+    step) bit-for-bit under the same key: same frames for all three
+    modalities, same mining draws, same three-loss update."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_similarity_tpu.train.state import (
+        TrainState, build_optimizer)
+    from multimodal_similarity_tpu.train.trainers.multimodal_model import (
+        build_models, make_mm_fused_step)
+
+    cfg = TrainConfig(
+        DATA_ROOT=synth_root, name="mmpar", network="convrtsn",
+        feat=["resnet", "sensors", "segment"], n_input=8, n_h=2, n_w=2,
+        n_C=4, emb_dim=16, num_seg=N_SEG, sess_per_batch=2,
+        triplet_per_batch=12, keep_prob=0.9, lambda_multimodal=0.5,
+        label_num=4, silent_mode=True).resolve()
+    dataset = prepare_multimodal_dataset(
+        cfg.feature_root, cfg.train_session,
+        ["resnet", "sensors", "segment"], cfg.label_root, "goal")
+    cache = DeviceFeatureCache.build(
+        dataset, n_seg=N_SEG, sess_per_batch=2, event_budget=24, seed=11)
+    assert cache is not None and cache.num_modalities == 3
+
+    core, s_enc, s_pddm, g_enc, g_pddm = build_models(
+        cfg, sensors_dim=8, segment_dim=16)
+    e32 = jnp.zeros((2, 32), jnp.float32)
+    params = {
+        "modality_core": core.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((2, N_SEG, 2, 2, 8)))["params"],
+        "modality_sensors": {
+            "encoder": s_enc.init(jax.random.PRNGKey(1),
+                                  jnp.zeros((2, N_SEG, 8)))["params"],
+            "pddm": s_pddm.init(jax.random.PRNGKey(2), e32, e32,
+                                method="score")["params"]},
+        "modality_segment": {
+            "encoder": g_enc.init(jax.random.PRNGKey(3),
+                                  jnp.zeros((2, N_SEG, 16)))["params"],
+            "pddm": g_pddm.init(jax.random.PRNGKey(4), e32, e32,
+                                method="score")["params"]},
+    }
+
+    def fresh_state():
+        p = jax.tree.map(lambda a: np.array(a), params)
+        return TrainState.create(p, build_optimizer("ADAM", 0.01))
+
+    cm = jnp.zeros(8, jnp.float32)
+    use_mm = jnp.float32(1.0)
+    plan = next(cache.epoch_plans())
+    key = jax.random.PRNGKey(33)
+
+    fused = make_mm_fused_step(core, s_enc, s_pddm, g_enc, g_pddm, cfg,
+                               cache=cache)
+    s1, aux1 = fused(fresh_state(), plan["packed"], cm, use_mm, key,
+                     jnp.float32(0.01), *cache.step_operands())
+
+    # oracle: the tested two-call path under the split the fused step uses
+    k_gather, k_rest = jax.random.split(key)
+    gathered, labels, mask = cache._gather(
+        k_gather, jnp.asarray(plan["packed"][0]), *cache.step_operands())
+    plain = make_mm_fused_step(core, s_enc, s_pddm, g_enc, g_pddm, cfg)
+    s2, aux2 = plain(fresh_state(), gathered[0], gathered[1], gathered[2],
+                     labels, mask, cm, use_mm, k_rest, jnp.float32(0.01))
+
+    assert float(aux1["loss"]) == float(aux2["loss"])
+    for k in ("triplet_count", "hard_count", "struct_count"):
+        assert float(aux1[k]) == float(aux2[k]), k
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_fused_cached_step_on_mesh(synth_root, tmp_path):
     """shard_map gather inside the jitted dp step: one dispatch per batch
     on an 8-device mesh, matching the two-call mesh path."""
