@@ -379,7 +379,10 @@ class DeviceFeatureCache:
         """One epoch of host-side (packed, key) pairs for fused-gather
         steps (train/cached_steps.py): ``packed`` [n_shards, per + 1]
         int32 is the ONLY per-batch upload; ``n_real`` is the host-known
-        real-event count for logging."""
+        real-event count for logging.  ``labels_host``/``mask_host`` are
+        the plan's labels in gathered-batch order, for trainers whose
+        sampling policy runs on the plan (batch-hard's balanced
+        selection)."""
         import jax
 
         for rows in self._plan_epoch():
@@ -389,6 +392,8 @@ class DeviceFeatureCache:
                                 [int(r[2].sum())]]).astype(np.int32)
                 for r in rows])
             yield {"packed": packed, "key": key,
+                   "labels_host": np.concatenate([r[1] for r in rows]),
+                   "mask_host": np.concatenate([r[2] for r in rows]),
                    "num_events": int(sum(int(r[2].sum()) for r in rows))}
 
     # -- epoch plan -----------------------------------------------------------

@@ -32,7 +32,7 @@ from multimodal_similarity_tpu.train.trainers._honda import HondaExperiment
 
 
 def make_balanced_batch_step(model, cfg: TrainConfig, loss_kind: str,
-                             mesh=None):
+                             mesh=None, cache=None):
     """step(state, events [B], labels [B], key, lr) for batch-structured
     losses over a class-balanced batch.
 
@@ -42,7 +42,14 @@ def make_balanced_batch_step(model, cfg: TrainConfig, loss_kind: str,
     and forwards it over ICI, so the full value matrix never exists on
     any chip: batch-hard via parallel/ring_mining.py (masked max/min),
     lifted via parallel/ring_lifted.py (online logsumexp with a rotating
-    column-gradient buffer in the backward ring)."""
+    column-gradient buffer in the backward ring).
+
+    With ``cache`` (data/device_cache.DeviceFeatureCache) the step also
+    subsumes the TSN gather + the balanced row take: its signature becomes
+    ``(state, packed, rows, labels, key, lr, *cache.step_operands())``
+    where ``rows`` indexes the balanced selection into the gathered budget
+    batch — one KB-scale upload + one dispatch per batch (the cached twin
+    of train/cached_steps.py)."""
     margin = "soft" if (loss_kind == "batchhard" and not cfg.no_soft) \
         else cfg.alpha
     if mesh is not None:
@@ -91,6 +98,41 @@ def make_balanced_batch_step(model, cfg: TrainConfig, loss_kind: str,
             state.params)
         state = state.apply_gradients(grads, learning_rate=learning_rate)
         return state, aux
+
+    if cache is not None:
+        # fused gather+take+train: TSN-select the budget batch from the
+        # device-resident int8 cache, row-take the balanced selection, and
+        # run the identical loss body — all INSIDE one jitted program.
+        gather_fn = cache.gather_fn
+        from multimodal_similarity_tpu.train.steps import take_features
+
+        def cached(state, packed, rows, labels, key, learning_rate,
+                   seq_len, label_table, *mods):
+            k_gather, k_drop = jax.random.split(key)
+            if mesh is None:
+                packed_local = packed[0] if packed.ndim == 2 else packed
+                gathered, _, _ = gather_fn(k_gather, packed_local, seq_len,
+                                           label_table, *mods)
+            else:
+                gathered, _, _ = gather_fn(k_gather, packed, seq_len,
+                                           label_table, *mods)
+            events = take_features(gathered[0], rows)
+            if mesh is not None:
+                events = jax.tree.map(
+                    lambda a: jax.lax.with_sharding_constraint(
+                        a, NamedSharding(
+                            mesh, P("data", *([None] * (a.ndim - 1))))),
+                    events)
+            return step(state, events, labels, k_drop, learning_rate)
+
+        if mesh is None:
+            return jit_step(cached)
+        packed_s = NamedSharding(mesh, P("data", None))
+        row = lambda a: NamedSharding(  # noqa: E731
+            mesh, P("data", *([None] * (a.ndim - 1))))
+        operand_s = tuple(row(a) for a in cache.step_operands())
+        return jit_step(cached, in_shardings=(
+            None, packed_s, repl_s, repl_s, repl_s, repl_s, *operand_s))
 
     if mesh is None:
         return jit_step(step)
@@ -163,6 +205,11 @@ def train(cfg: TrainConfig, loss_kind: str = "batchhard",
             verbose=not cfg.silent_mode)
         if cache is not None:
             exp.batch_per_epoch = cache.batches_per_epoch
+            # single-dispatch path: TSN gather + balanced row take run
+            # INSIDE the train program; a batch costs one packed upload
+            step_fn = make_balanced_batch_step(model, cfg, loss_kind,
+                                               mesh=mesh, cache=cache)
+            cache_ops = cache.step_operands()
 
     def continuous_selected():
         def epochs():
@@ -184,31 +231,22 @@ def train(cfg: TrainConfig, loss_kind: str = "batchhard",
                     return
 
         if cache is not None:
-            import jax as _jax
-            import jax.numpy as _jnp
-
-            from multimodal_similarity_tpu.train.steps import take_features
-
+            # balanced selection runs on the PLAN's host labels; the fused
+            # step gathers + row-takes + trains in one program, so the
+            # link carries only the packed plan + the [B] selection
             def cached_selected():
                 while True:
-                    for b in cache.epoch_batches():
-                        valid = np.where(b["mask_host"] > 0)[0]
+                    for plan in cache.epoch_plans():
+                        valid = np.where(plan["mask_host"] > 0)[0]
                         idx = select_batch_balanced(
-                            b["labels_host"][valid], batch_size, rng=sel_rng)
+                            plan["labels_host"][valid], batch_size,
+                            rng=sel_rng)
                         if idx.size == 0:
                             yield {"empty": True}
                             continue
-                        rows = _jnp.asarray(valid[idx].astype(np.int32))
-                        events = take_features(b["events"], rows)
-                        labels = _jnp.asarray(b["labels_host"][valid[idx]])
-                        if mesh is not None:
-                            from jax.sharding import (
-                                NamedSharding, PartitionSpec as P)
-                            events = _jax.device_put(
-                                events, NamedSharding(mesh, P("data")))
-                            labels = _jax.device_put(
-                                labels, NamedSharding(mesh, P()))
-                        yield {"events": events, "labels": labels}
+                        rows = valid[idx].astype(np.int32)
+                        yield {"packed": plan["packed"], "rows": rows,
+                               "labels": plan["labels_host"][rows]}
             return cached_selected()
 
         from multimodal_similarity_tpu.data import (
@@ -232,11 +270,18 @@ def train(cfg: TrainConfig, loss_kind: str = "batchhard",
                                         cfg.static_epochs, cfg.max_epochs)
             step_at_epoch_start = int(state.step)
             for batch in itertools.islice(stream, exp.batch_per_epoch):
-                if "events" not in batch:
+                if "empty" in batch:
                     continue  # no balanced batch in this loader draw
-                state, aux = step_fn(
-                    state, batch["events"], batch["labels"], exp.next_key(),
-                    jnp.float32(lr))
+                if cache is not None:
+                    # fused gather+take+train: one packed upload, one dispatch
+                    state, aux = step_fn(
+                        state, batch["packed"], jnp.asarray(batch["rows"]),
+                        jnp.asarray(batch["labels"]), exp.next_key(),
+                        jnp.float32(lr), *cache_ops)
+                else:
+                    state, aux = step_fn(
+                        state, batch["events"], batch["labels"],
+                        exp.next_key(), jnp.float32(lr))
                 exp.log(int(state.step),
                         {**{k: float(v) for k, v in aux.items()},
                          "learning_rate": lr},

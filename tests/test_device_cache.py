@@ -447,6 +447,67 @@ def test_flagship_cached_fused_step_matches_two_call_path(synth_root):
                                    rtol=1e-6, atol=1e-7)
 
 
+def test_batchhard_cached_fused_step_matches_two_call_path(synth_root):
+    """The batch-hard single-dispatch gather+take+train step must match
+    the two-call path (cache._gather -> host row take -> plain balanced
+    step) bit-for-bit under the same key."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_similarity_tpu.models import build_encoder
+    from multimodal_similarity_tpu.ops.mining import select_batch_balanced
+    from multimodal_similarity_tpu.train.state import (
+        TrainState, build_optimizer)
+    from multimodal_similarity_tpu.train.steps import take_features
+    from multimodal_similarity_tpu.train.trainers.base_model_batchhard import (
+        make_balanced_batch_step)
+
+    cfg = TrainConfig(DATA_ROOT=synth_root, feat="sensors",
+                      network="rtsn", n_input=8, emb_dim=16, num_seg=N_SEG,
+                      keep_prob=0.9, silent_mode=True).resolve()
+    dataset = prepare_dataset(cfg.feature_root, cfg.train_session,
+                              "sensors", cfg.label_root, "goal")
+    cache = DeviceFeatureCache.build(
+        dataset, n_seg=N_SEG, sess_per_batch=2, event_budget=24, seed=21)
+    model = build_encoder("rtsn", num_seg=N_SEG, emb_dim=16, n_input=8,
+                          keep_prob=0.9)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((2, N_SEG, 8)))["params"]
+
+    def fresh_state():
+        p = jax.tree.map(lambda a: np.array(a), params)
+        return TrainState.create(p, build_optimizer("ADAM", 0.01))
+
+    import random as _random
+    plan = next(cache.epoch_plans())
+    valid = np.where(plan["mask_host"] > 0)[0]
+    idx = select_batch_balanced(plan["labels_host"][valid], 16,
+                                rng=_random.Random(5))
+    rows = valid[idx].astype(np.int32)
+    labels = jnp.asarray(plan["labels_host"][rows])
+    key = jax.random.PRNGKey(99)
+
+    fused = make_balanced_batch_step(model, cfg, "batchhard", cache=cache)
+    s1, aux1 = fused(fresh_state(), plan["packed"], jnp.asarray(rows),
+                     labels, key, jnp.float32(0.01), *cache.step_operands())
+
+    # oracle: the tested two-call path under the split the fused step uses
+    k_gather, k_drop = jax.random.split(key)
+    gathered, _, _ = cache._gather(
+        k_gather, jnp.asarray(plan["packed"][0]), *cache.step_operands())
+    events = take_features(gathered[0], jnp.asarray(rows))
+    plain = make_balanced_batch_step(model, cfg, "batchhard")
+    s2, aux2 = plain(fresh_state(), events, labels, k_drop,
+                     jnp.float32(0.01))
+
+    assert float(aux1["loss"]) == float(aux2["loss"])
+    assert float(aux1["active_count"]) == float(aux2["active_count"])
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_fused_cached_step_on_mesh(synth_root, tmp_path):
     """shard_map gather inside the jitted dp step: one dispatch per batch
     on an 8-device mesh, matching the two-call mesh path."""
