@@ -196,6 +196,16 @@ class TrainConfig(BaseConfig):
     # 1024, 1536-channel conv embeds) whose per-chip weights/activations
     # outgrow pure data parallelism.
     model_parallel: int = 0
+    # framework extension: deferred step-metrics readback
+    # (utils/logging.DeferredStepLogs).  float() on a step's loss blocks
+    # until the device returns it; on a co-located host that costs
+    # microseconds, but over a remote-coordinator link it serializes
+    # dispatch (step N+1 cannot be enqueued until step N's scalars
+    # round-trip).  The loop trainers therefore QUEUE each step's device
+    # scalars and read them back every N steps — every step's values are
+    # still logged exactly, just N steps later.  1 = synchronous
+    # (per-step readback, the pre-round-4 behavior).
+    log_flush_every: int = 32
     # framework extension: per-step hang watchdog (utils/watchdog.py).
     # --watchdog_secs N arms a deadline around every step dispatch +
     # readback; on expiry it dumps all thread tracebacks and requests a
@@ -269,6 +279,11 @@ class TrainConfig(BaseConfig):
         p.add_argument("--model_parallel", type=int, default=0,
                        help="tensor parallelism: column-shard wide weight "
                             "matrices over N chips (dp x tp mesh)")
+        p.add_argument("--log_flush_every", type=int, default=32,
+                       help="read step metrics back from the device every "
+                            "N steps instead of every step (keeps dispatch "
+                            "pipelined on high-latency links; every step "
+                            "is still logged; 1 = synchronous)")
         p.add_argument("--watchdog_secs", type=float, default=0.0,
                        help="per-step hang watchdog: dump tracebacks and "
                             "checkpoint-and-stop when no step completes "

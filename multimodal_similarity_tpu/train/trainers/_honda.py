@@ -156,18 +156,53 @@ class HondaExperiment:
             install_hang_watchdog)
         self.watchdog = install_hang_watchdog(
             cfg.name, getattr(cfg, "watchdog_secs", 0.0), self._guard)
+        self._deferred = None  # lazy DeferredStepLogs (log_deferred)
 
     def next_key(self):
         self.rng, key = jax.random.split(self.rng)
         return key
 
     def log(self, step: int, scalars, echo: str = ""):
+        self.flush_logs()  # keep the JSONL stream step-ordered
         self.profiler.update(step)
         if self.watchdog is not None:
             self.watchdog.beat()  # progress: reset the hang deadline
         self.logger.log(step, {k: float(v) for k, v in scalars.items()})
         if echo and not self.cfg.silent_mode:
             print(echo)
+
+    def log_deferred(self, step: int, device_scalars, host_scalars=None,
+                     echo_fn=None):
+        """exp.log WITHOUT the per-step device->host readback.
+
+        Queues the step's device scalars (utils/logging.DeferredStepLogs)
+        so the loop can enqueue the next step immediately — on a
+        high-latency link the synchronous float() otherwise costs one RTT
+        per step on top of compute.  Every step is still logged exactly.
+
+        Watchdog interaction: beats fire on every append (host dispatch
+        progress) AND the periodic flush blocks until the queued steps
+        really finished — a wedged device stalls that flush, the beats
+        stop, and the watchdog fires.  Hang-detection latency therefore
+        grows by up to --log_flush_every dispatch intervals.
+        """
+        self.profiler.update(step)
+        if self._deferred is None:
+            from multimodal_similarity_tpu.utils.logging import (
+                DeferredStepLogs)
+            self._deferred = DeferredStepLogs(
+                self.logger, flush_every=getattr(
+                    self.cfg, "log_flush_every", 32),
+                echo=not self.cfg.silent_mode)
+        self._deferred.append(step, device_scalars, host_scalars, echo_fn)
+        if self.watchdog is not None:
+            self.watchdog.beat()
+
+    def flush_logs(self):
+        """Block until every queued step's scalars are logged (epoch
+        boundaries, validation, preemption, close)."""
+        if self._deferred is not None:
+            self._deferred.flush()
 
     def preempted(self, state) -> bool:
         """Poll at step boundaries: on a preemption signal (or a fired
@@ -179,10 +214,13 @@ class HondaExperiment:
             report_preemption, sync_should_stop)
         if not sync_should_stop(self._guard, self._pcount):
             return False
+        self.flush_logs()  # queued steps are part of the saved run
         report_preemption(self.cfg.name, state, self.ckpt, self._pid)
         return True
 
     def close(self):
+        if self._deferred is not None:
+            self._deferred.close()  # best-effort on the crash path
         if self.watchdog is not None:
             self.watchdog.cancel()
         self._guard.restore()

@@ -329,7 +329,16 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
     # host-side miners draw from a config-seeded stream, independent of
     # process-global RNG state (keeps host-vs-device A/B runs repeatable)
     mine_rng = random.Random(cfg.seed)
-    epoch = epoch_of_step(int(state.step), batch_per_epoch)
+    # host-side step counter + deferred metrics readback: a per-step
+    # float()/int(state.step) blocks until the device returns the step,
+    # which on a high-latency link serializes dispatch (one RTT per step
+    # on top of compute).  Scalars queue in DeferredStepLogs and read
+    # back every --log_flush_every steps; every step is still logged.
+    step_host = int(state.step)
+    epoch = epoch_of_step(step_host, batch_per_epoch)
+    from multimodal_similarity_tpu.utils.logging import DeferredStepLogs
+    deferred = DeferredStepLogs(logger, flush_every=cfg.log_flush_every,
+                                echo=not cfg.silent_mode)
     from multimodal_similarity_tpu.utils.profiling import StepWindowProfiler
     profiler = StepWindowProfiler(cfg.profile_dir if pid == 0 else "",
                                   num_steps=cfg.profile_steps)
@@ -347,7 +356,7 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
         while epoch < cfg.max_epochs:
             lr = learning_rate_schedule(epoch, cfg.learning_rate,
                                         cfg.static_epochs, cfg.max_epochs)
-            step_at_epoch_start = int(state.step)
+            step_at_epoch_start = step_host
             for batch in itertools.islice(stream, batch_per_epoch):
                 t0 = time.time()
                 rng, key = jax.random.split(rng)
@@ -412,25 +421,32 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                     state, aux = step_fn(state, events, jnp.asarray(tri),
                                          jnp.asarray(tri_mask), key,
                                          jnp.float32(lr))
-                profiler.update(int(state.step))
-                aux = {k: float(v) for k, v in aux.items()}
+                step_host += 1
+                profiler.update(step_host)
+                # train_time is the host dispatch interval: with deferred
+                # readback the loop no longer waits for the device, so
+                # per-step device time shows up in the flush cadence
+                deferred.append(
+                    step_host, aux,
+                    {"train_time": time.time() - t0, "learning_rate": lr},
+                    echo_fn=lambda sc, e=epoch, s=step_host: (
+                        f"[{cfg.name}] epoch {e + 1} step {s} "
+                        f"loss {sc['loss']:.4f} "
+                        f"triplets {sc['triplet_num']:.0f} "
+                        f"({sc['train_time']:.2f}s)"))
                 if watchdog is not None:
-                    watchdog.beat()  # scalars read back: step completed
-                aux["train_time"] = time.time() - t0
-                aux["learning_rate"] = lr
-                if not cfg.silent_mode:
-                    print(f"[{cfg.name}] epoch {epoch + 1} step {int(state.step)} "
-                          f"loss {aux['loss']:.4f} triplets {aux['triplet_num']:.0f} "
-                          f"({aux['train_time']:.2f}s)")
-                logger.log(int(state.step), aux)
+                    # dispatch progress; a wedged device stalls the
+                    # periodic flush, the beats stop, the watchdog fires
+                    watchdog.beat()
                 # collective: a SIGTERM on ANY host stops every host at
                 # this same step boundary (a lone exiter would leave its
                 # peers blocked in the next collective)
                 stopping = sync_should_stop(guard, pcount,
-                                            step=int(state.step))
+                                            step=step_host)
                 if stopping:
                     break
 
+            deferred.flush()  # epoch boundary: sync queued step metrics
             # epoch boundary: force a sync so a signal near epoch end
             # isn't deferred into the next epoch by the step throttle
             stopping = stopping or sync_should_stop(guard, pcount)
@@ -440,7 +456,7 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                 # from here (epoch_of_step re-derives the epoch)
                 report_preemption(cfg.name, state, ckpt, pid)
                 break
-            if int(state.step) == step_at_epoch_start:
+            if step_host == step_at_epoch_start:
                 print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")
                 break
             val_params = state.params
@@ -451,7 +467,7 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                     lambda a: np.asarray(jax.device_get(a)), state.params)
             metrics, val_emb = validate(embed_fn, val_params, val_feats,
                                         val_labels)
-            logger.log(int(state.step), metrics)
+            logger.log(step_host, metrics)
             if pid == 0:
                 # per-epoch embedding-projector refresh (base_model.py:316-320)
                 write_projector_embedding(result_dir, np.asarray(val_emb))
@@ -461,12 +477,13 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                       f"val mAP {metrics['val_mAP']:.4f} "
                       f"R@1 {metrics['val_recall@1']:.4f}")
             if pid == 0:
-                ckpt.save(state, int(state.step))
-            epoch = epoch_of_step(int(state.step), batch_per_epoch)
+                ckpt.save(state, step_host)
+            epoch = epoch_of_step(step_host, batch_per_epoch)
 
     finally:
         # cancel the prefetch worker (it runs one batch ahead)
         # and flush any open trace/logs even when a step raises
+        deferred.close()  # best-effort on the crash path
         if watchdog is not None:
             watchdog.cancel()
         guard.restore()

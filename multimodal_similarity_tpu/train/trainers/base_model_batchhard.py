@@ -264,11 +264,16 @@ def train(cfg: TrainConfig, loss_kind: str = "batchhard",
     import itertools
     stream = continuous_selected()
     try:
-        epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
+        # host-side step counter: the loop never calls int(state.step)
+        # per step (that blocks on the WHOLE step result and serializes
+        # dispatch); metrics ride exp.log_deferred and read back every
+        # --log_flush_every steps
+        step_host = int(state.step)
+        epoch = epoch_of_step(step_host, exp.batch_per_epoch)
         while epoch < cfg.max_epochs:
             lr = learning_rate_schedule(epoch, cfg.learning_rate,
                                         cfg.static_epochs, cfg.max_epochs)
-            step_at_epoch_start = int(state.step)
+            step_at_epoch_start = step_host
             for batch in itertools.islice(stream, exp.batch_per_epoch):
                 if "empty" in batch:
                     continue  # no balanced batch in this loader draw
@@ -282,25 +287,27 @@ def train(cfg: TrainConfig, loss_kind: str = "batchhard",
                     state, aux = step_fn(
                         state, batch["events"], batch["labels"],
                         exp.next_key(), jnp.float32(lr))
-                exp.log(int(state.step),
-                        {**{k: float(v) for k, v in aux.items()},
-                         "learning_rate": lr},
-                        f"[{cfg.name}] epoch {epoch + 1} step {int(state.step)} "
-                        f"loss {float(aux['loss']):.4f}")
+                step_host += 1
+                exp.log_deferred(
+                    step_host, aux, {"learning_rate": lr},
+                    echo_fn=lambda sc, e=epoch, s=step_host: (
+                        f"[{cfg.name}] epoch {e + 1} step {s} "
+                        f"loss {sc['loss']:.4f}"))
                 if exp._guard.should_stop:
                     break
+            exp.flush_logs()  # epoch boundary: sync queued step metrics
             if exp.preempted(state):
                 break
-            if int(state.step) == step_at_epoch_start:
+            if step_host == step_at_epoch_start:
                 print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")
                 break
             metrics, _ = validate(embed_fn, state.params, exp.val_feats,
                                   exp.val_labels)
-            exp.log(int(state.step), metrics,
+            exp.log(step_host, metrics,
                     f"[{cfg.name}] epoch {epoch + 1} val mAP "
                     f"{metrics['val_mAP']:.4f}")
-            exp.ckpt.save(state, int(state.step))
-            epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
+            exp.ckpt.save(state, step_host)
+            epoch = epoch_of_step(step_host, exp.batch_per_epoch)
 
     finally:
         # cancel the prefetch worker (it runs one batch ahead)

@@ -697,7 +697,10 @@ def train(cfg: TrainConfig, hard_only: bool = False,
     # mul selectors a RandomState — independent of process-global RNG state
     mine_rng = random.Random(cfg.seed)
     mul_rng = np.random.RandomState(cfg.seed)
-    epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
+    # host-side step counter: the loop never calls int(state.step) per
+    # step (that blocks on the whole step result and serializes dispatch)
+    step_host = int(state.step)
+    epoch = epoch_of_step(step_host, exp.batch_per_epoch)
     # --profile_dir tracing is owned by exp.profiler (updated in exp.log)
     import itertools
     from multimodal_similarity_tpu.utils.preemption import (
@@ -710,25 +713,27 @@ def train(cfg: TrainConfig, hard_only: bool = False,
             lr = learning_rate_schedule(epoch, cfg.learning_rate,
                                         cfg.static_epochs, cfg.max_epochs,
                                         decay_base=0.01)
-            step_at_epoch_start = int(state.step)
+            step_at_epoch_start = step_host
+            if device_mining:
+                # per-epoch constants of the fused step, hoisted out of
+                # the batch loop (dist_dict only changes at validation).
+                # Size the margin table by the full label dictionary, not
+                # just the classes seen in validation: under jit an
+                # out-of-range label would clamp to the last index and
+                # silently borrow another class's margin (the host path
+                # raises KeyError for the same input).
+                from multimodal_similarity_tpu.data import LABEL_TRANSFER
+                # training batches always carry transferred labels
+                # (SessionBatchLoader default), whose space is the
+                # LABEL_TRANSFER range
+                label_space = max(LABEL_TRANSFER.values())
+                n_classes = max(max(dist_dict.keys()), label_space) + 1
+                cm = jnp.asarray([dist_dict.get(c, [0.0])[-1]
+                                  for c in range(n_classes)], jnp.float32)
+                use_mm = jnp.float32(
+                    1.0 if epoch >= cfg.multimodal_epochs else 0.0)
             for batch in itertools.islice(stream, exp.batch_per_epoch):
                 if device_mining:
-                    # fully fused: one jitted program per batch, zero host hops.
-                    # Size the margin table by the full label dictionary, not
-                    # just the classes seen in validation: under jit an
-                    # out-of-range label would clamp to the last index and
-                    # silently borrow another class's margin (the host path
-                    # raises KeyError for the same input).
-                    from multimodal_similarity_tpu.data import LABEL_TRANSFER
-                    # training batches always carry transferred labels
-                    # (SessionBatchLoader default), whose space is the
-                    # LABEL_TRANSFER range
-                    label_space = max(LABEL_TRANSFER.values())
-                    n_classes = max(max(dist_dict.keys()), label_space) + 1
-                    cm = jnp.asarray([dist_dict.get(c, [0.0])[-1]
-                                      for c in range(n_classes)], jnp.float32)
-                    use_mm = jnp.float32(
-                        1.0 if epoch >= cfg.multimodal_epochs else 0.0)
                     if cache is not None:
                         # fused gather+train: one program, one packed upload
                         state, aux = fused_step(
@@ -742,20 +747,19 @@ def train(cfg: TrainConfig, hard_only: bool = False,
                             state, batch["events"], batch["events2"],
                             batch["events3"], batch["labels"], batch["mask"],
                             cm, use_mm, exp.next_key(), jnp.float32(lr))
-                    exp.log(int(state.step),
-                            {**{k: float(v) for k, v in aux.items()},
-                             "learning_rate": lr},
-                            f"[{cfg.name}] epoch {epoch + 1} "
-                            f"step {int(state.step)} "
-                            f"loss {float(aux['loss']):.4f} "
-                            f"tri/hard/struct "
-                            f"{float(aux['triplet_count']):.0f}/"
-                            f"{float(aux['hard_count']):.0f}/"
-                            f"{float(aux['struct_count']):.0f}")
+                    step_host += 1
+                    exp.log_deferred(
+                        step_host, aux, {"learning_rate": lr},
+                        echo_fn=lambda sc, e=epoch, s=step_host: (
+                            f"[{cfg.name}] epoch {e + 1} step {s} "
+                            f"loss {sc['loss']:.4f} tri/hard/struct "
+                            f"{sc['triplet_count']:.0f}/"
+                            f"{sc['hard_count']:.0f}/"
+                            f"{sc['struct_count']:.0f}"))
                     # the fused path is the only --multihost path: it must
                     # hit the same collective stop poll as the host path
                     stopping = sync_should_stop(guard, pcount,
-                                                step=int(state.step))
+                                                step=step_host)
                     if stopping:
                         break
                     continue
@@ -798,13 +802,14 @@ def train(cfg: TrainConfig, hard_only: bool = False,
                                      jnp.asarray(m_hard), jnp.asarray(m_struct),
                                      jnp.asarray(marg), exp.next_key(),
                                      jnp.float32(lr))
-                exp.log(int(state.step),
+                step_host += 1
+                exp.log(step_host,
                         {**{k: float(v) for k, v in aux.items()},
                          "active_count": active_count,
                          "triplet_count": triplet_count,
                          "hard_count": hard_count,
                          "struct_count": struct_count, "learning_rate": lr},
-                        f"[{cfg.name}] epoch {epoch + 1} step {int(state.step)} "
+                        f"[{cfg.name}] epoch {epoch + 1} step {step_host} "
                         f"loss {float(aux['loss']):.4f} "
                         f"tri/hard/struct {triplet_count}/{hard_count}/"
                         f"{struct_count}")
@@ -812,10 +817,11 @@ def train(cfg: TrainConfig, hard_only: bool = False,
                 # this same step boundary (a lone exiter would leave its
                 # peers blocked in the next collective)
                 stopping = sync_should_stop(guard, pcount,
-                                            step=int(state.step))
+                                            step=step_host)
                 if stopping:
                     break
 
+            exp.flush_logs()  # epoch boundary: sync queued step metrics
             # epoch boundary: force a sync so a signal near epoch end
             # isn't deferred into the next epoch by the step throttle
             stopping = stopping or sync_should_stop(guard, pcount)
@@ -824,7 +830,7 @@ def train(cfg: TrainConfig, hard_only: bool = False,
                 # step and exit cleanly; --model_path resumes from here
                 report_preemption(cfg.name, state, exp.ckpt, pid)
                 break
-            if int(state.step) == step_at_epoch_start:
+            if step_host == step_at_epoch_start:
                 print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")
                 break
             val_params = state.params
@@ -840,7 +846,7 @@ def train(cfg: TrainConfig, hard_only: bool = False,
                 val_emb, exp.val_labels.reshape(-1))
             metrics = {"val_mAP": mAP, "val_mPrec": mPrec,
                        "val_recall@1": recalls[1]}
-            exp.log(int(state.step), metrics,
+            exp.log(step_host, metrics,
                     f"[{cfg.name}] epoch {epoch + 1} val mAP {mAP:.4f}")
 
             # dist_dict update cadence (reference :566-573)
@@ -856,8 +862,8 @@ def train(cfg: TrainConfig, hard_only: bool = False,
                         pickle.dump(dist_dict, f)
 
             if pid == 0:
-                exp.ckpt.save(state, int(state.step))
-            epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
+                exp.ckpt.save(state, step_host)
+            epoch = epoch_of_step(step_host, exp.batch_per_epoch)
 
     finally:
         # cancel the prefetch worker (it runs one batch ahead)

@@ -29,8 +29,8 @@ class MetricsLogger:
                 self._tb = None
 
     def log(self, step: int, scalars: Dict[str, float],
-            prefix: str = "") -> None:
-        rec = {"step": int(step), "time": time.time()}
+            prefix: str = "", at: float = None) -> None:
+        rec = {"step": int(step), "time": at if at is not None else time.time()}
         for k, v in scalars.items():
             key = f"{prefix}{k}"
             if key in ("step", "time"):
@@ -47,6 +47,71 @@ class MetricsLogger:
         self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
+
+
+class DeferredStepLogs:
+    """Queue per-step device scalars; read them back every N steps.
+
+    ``float()`` on a jax scalar blocks until the device has finished the
+    step and the value has crossed the link.  On a co-located host that
+    costs microseconds; over a remote-coordinator / tunneled link it
+    serializes dispatch — step N+1 cannot be enqueued until step N's
+    scalars round-trip, so every step pays a link RTT on top of its
+    compute.  Queuing the (few-byte) device scalars and converting every
+    ``flush_every`` appends keeps JAX's async dispatch pipeline full
+    while still recording EVERY step's values exactly: the JSONL stream
+    is identical to the synchronous path except that records land up to
+    ``flush_every`` steps later (each record's ``time`` field is the
+    step's enqueue time, captured at append).
+
+    ``flush()`` is the synchronization point: it blocks until every
+    queued step has truly finished on the device, which is also why the
+    trainers' hang watchdog beats ride on it (a wedged device stalls the
+    flush, the beats stop, the watchdog fires — see
+    HondaExperiment.log_deferred).
+    """
+
+    def __init__(self, logger: MetricsLogger, flush_every: int = 32,
+                 echo: bool = True):
+        self.logger = logger
+        self.flush_every = max(int(flush_every), 1)
+        self.echo = echo
+        self._pending = []
+
+    def append(self, step: int, device_scalars, host_scalars=None,
+               echo_fn=None) -> bool:
+        """Queue one step's scalars; returns True when this append
+        triggered a (blocking) flush."""
+        self._pending.append(
+            (step, device_scalars, host_scalars, echo_fn, time.time()))
+        if len(self._pending) >= self.flush_every:
+            self.flush()
+            return True
+        return False
+
+    def flush(self) -> None:
+        pending, self._pending = self._pending, []
+        for step, dev, host, echo_fn, at in pending:
+            scalars = {k: float(v) for k, v in dev.items()}
+            if host:
+                scalars.update({k: float(v) for k, v in host.items()})
+            self.logger.log(step, scalars, at=at)
+            if echo_fn is not None and self.echo:
+                print(echo_fn(scalars))
+
+    def close(self) -> None:
+        """Best-effort flush for crash epilogues: when a step raised, the
+        queued device scalars are usually poisoned by the same error —
+        converting them would mask the original traceback, so failures
+        here are reported and swallowed."""
+        n = len(self._pending)
+        try:
+            self.flush()
+        except Exception as e:  # noqa: BLE001 — crash path must not mask
+            import sys
+            print(f"[logging] dropped up to {n} queued step records "
+                  f"after error: {e!r}", file=sys.stderr)
+            self._pending = []
 
 
 def write_projector_embedding(result_dir: str, embeddings,

@@ -35,6 +35,25 @@ def test_batchhard_trainer(synth_root, tmp_path):
     assert np.isfinite(metrics["val_mAP"])
 
 
+def test_deferred_logging_records_every_train_step(synth_root, tmp_path):
+    """The trainers' deferred metrics readback (--log_flush_every) must
+    not drop or reorder step records: metrics.jsonl carries one record
+    per optimizer step, in order, same as the synchronous path."""
+    import json
+
+    from multimodal_similarity_tpu.train.trainers import base_model_batchhard
+    cfg = _cfg(synth_root, log_flush_every=3, max_epochs=2)
+    state, metrics, rd = base_model_batchhard.train(
+        cfg, event_budget=48, result_dir=str(tmp_path / "dl"))
+    recs = [json.loads(l) for l in
+            open(rd + "/metrics.jsonl").read().strip().split("\n")]
+    train_steps = [r["step"] for r in recs if "loss" in r]
+    assert train_steps == list(range(1, int(state.step) + 1))
+    assert all("learning_rate" in r for r in recs if "loss" in r)
+    val_steps = [r["step"] for r in recs if "val_mAP" in r]
+    assert val_steps and val_steps[-1] == int(state.step)
+
+
 def test_lifted_trainer(synth_root, tmp_path):
     from multimodal_similarity_tpu.train.trainers import base_model_lifted
     cfg = _cfg(synth_root)

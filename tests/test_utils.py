@@ -21,6 +21,50 @@ def test_metrics_logger_jsonl(tmp_path):
     assert lines[1]["acc"] == 0.9
 
 
+def test_deferred_step_logs_records_every_step(tmp_path, capfd):
+    """DeferredStepLogs must produce the SAME JSONL stream as synchronous
+    logging — every step, in order, values exact, each record stamped
+    with its append (enqueue) time — while only touching device values at
+    flush boundaries."""
+    import jax.numpy as jnp
+
+    from multimodal_similarity_tpu.utils.logging import DeferredStepLogs
+
+    logger = MetricsLogger(str(tmp_path), use_tensorboard=False)
+    d = DeferredStepLogs(logger, flush_every=4, echo=True)
+    flushes = []
+    for s in range(1, 11):
+        flushed = d.append(s, {"loss": jnp.float32(s * 0.5)},
+                           {"learning_rate": 0.1},
+                           echo_fn=lambda sc, s=s: f"step {s} "
+                                                   f"loss {sc['loss']:.1f}")
+        flushes.append(flushed)
+    assert flushes == [False, False, False, True] * 2 + [False, False]
+    d.flush()  # tail: steps 9-10
+    logger.close()
+
+    lines = [json.loads(l) for l in
+             open(tmp_path / "metrics.jsonl").read().strip().split("\n")]
+    assert [r["step"] for r in lines] == list(range(1, 11))
+    assert all(r["loss"] == r["step"] * 0.5 for r in lines)
+    assert all(r["learning_rate"] == 0.1 for r in lines)
+    # append-time stamps are monotone in step order
+    assert all(lines[i]["time"] <= lines[i + 1]["time"] for i in range(9))
+    out = capfd.readouterr().out
+    assert out.count("loss") == 10  # deferred echo still prints per step
+
+
+def test_deferred_step_logs_flush_every_one_is_synchronous(tmp_path):
+    from multimodal_similarity_tpu.utils.logging import DeferredStepLogs
+
+    logger = MetricsLogger(str(tmp_path), use_tensorboard=False)
+    d = DeferredStepLogs(logger, flush_every=1, echo=False)
+    assert d.append(1, {"loss": 1.0}) is True  # flushed immediately
+    logger.close()
+    lines = open(tmp_path / "metrics.jsonl").read().strip().split("\n")
+    assert len(lines) == 1
+
+
 def test_projector_metadata(tmp_path):
     labels = np.array([[1], [2]])
     path = write_projector_metadata(str(tmp_path), labels, ["s1", "s2"],
