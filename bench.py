@@ -537,6 +537,42 @@ def main():
     cached_fused_eps = ev_f / (time.time() - t0)
     _mark(f"fused cached epochs {cached_fused_eps:.0f} ev/s")
 
+    # multi-step dispatch (--steps_per_dispatch): lax.scan K fused
+    # gather+train steps into ONE program — one dispatch RPC + one
+    # stacked KB-scale plan upload per K optimizer steps
+    _mark("multi-step cached dispatch")
+    K_MS = 8
+    multi_cached = make_cached_triplet_step(
+        model, dcache, triplet_per_batch=100, alpha=0.2,
+        steps_per_dispatch=K_MS)
+
+    def collect_windows(n_windows):
+        wins, buf = [], []
+        while len(wins) < n_windows:
+            for plan in dcache.epoch_plans():
+                buf.append(plan)
+                if len(buf) == K_MS:
+                    wins.append((np.stack([p["packed"] for p in buf]),
+                                 sum(p["num_events"] for p in buf)))
+                    buf = []
+                if len(wins) >= n_windows:
+                    break
+        return wins
+
+    ms_wins = collect_windows(6)
+    keys_k = jnp.stack([jax.random.fold_in(key, i) for i in range(K_MS)])
+    fc_state, auxs = multi_cached(fc_state, ms_wins[0][0], keys_k, lr,
+                                  *operands)
+    float(auxs["loss"][-1])  # compile
+    t0 = time.time()
+    ev_m = 0
+    for pk, n_win in ms_wins:
+        fc_state, auxs = multi_cached(fc_state, pk, keys_k, lr, *operands)
+        ev_m += n_win
+    float(auxs["loss"][-1])
+    cached_multi_eps = ev_m / (time.time() - t0)
+    _mark(f"multi-step cached (K={K_MS}) {cached_multi_eps:.0f} ev/s")
+
     # comparator: same step, same B, data already on device (no gather)
     ref_b = next(dcache.epoch_batches())
     n_real = int(ref_b["num_events"])
@@ -597,6 +633,11 @@ def main():
             # single-dispatch variant: gather fused INTO the train program
             "fused_step_cached_fused_gather_events_per_sec": round(
                 cached_fused_eps, 2),
+            # --steps_per_dispatch: K=8 whole optimizer steps per program
+            # (lax.scan over the fused body) — dispatch amortized K x
+            "fused_step_cached_multistep_events_per_sec": round(
+                cached_multi_eps, 2),
+            "multistep_k": K_MS,
             "cached_epoch_vs_on_device_same_batch": round(
                 cached_eps / ondev_small_eps, 3),
             "cached_fused_vs_on_device_same_batch": round(

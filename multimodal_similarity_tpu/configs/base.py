@@ -88,6 +88,12 @@ class BaseConfig:
                 getattr(self, "bf16_features", False):
             raise ValueError("--int8_features and --bf16_features are "
                              "mutually exclusive")
+        if getattr(self, "steps_per_dispatch", 1) > 1 and \
+                not getattr(self, "device_cache", False):
+            raise ValueError("--steps_per_dispatch > 1 requires "
+                             "--device_cache (only the cached feed has "
+                             "per-step operands small enough to stack "
+                             "into one program)")
         return self
 
     # ---- CLI ----------------------------------------------------------
@@ -196,6 +202,17 @@ class TrainConfig(BaseConfig):
     # 1024, 1536-channel conv embeds) whose per-chip weights/activations
     # outgrow pure data parallelism.
     model_parallel: int = 0
+    # framework extension: multi-step dispatch over the device cache.
+    # --steps_per_dispatch K runs K optimizer steps as ONE jitted program
+    # (lax.scan over the fused gather+train body): the host uploads K
+    # stacked KB-scale plans and pays ONE dispatch for K steps.  On a
+    # high-latency link dispatch is the measured governing per-step cost
+    # (RESULTS.md), so throughput approaches K x; on a co-located host it
+    # removes K-1 dispatch overheads per window.  Requires
+    # --device_cache (only the cached feed has per-step operands small
+    # enough to stack).  Preemption/watchdog granularity becomes the
+    # window: a SIGTERM stops at the next window boundary.
+    steps_per_dispatch: int = 1
     # framework extension: deferred step-metrics readback
     # (utils/logging.DeferredStepLogs).  float() on a step's loss blocks
     # until the device returns it; on a co-located host that costs
@@ -279,6 +296,10 @@ class TrainConfig(BaseConfig):
         p.add_argument("--model_parallel", type=int, default=0,
                        help="tensor parallelism: column-shard wide weight "
                             "matrices over N chips (dp x tp mesh)")
+        p.add_argument("--steps_per_dispatch", type=int, default=1,
+                       help="run K optimizer steps per program dispatch "
+                            "(lax.scan over the fused cached step; "
+                            "requires --device_cache)")
         p.add_argument("--log_flush_every", type=int, default=32,
                        help="read step metrics back from the device every "
                             "N steps instead of every step (keeps dispatch "

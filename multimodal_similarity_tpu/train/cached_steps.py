@@ -37,6 +37,7 @@ def make_cached_triplet_step(
     metric: str = "squaredeuclidean",
     normalized: bool = True,
     lambda_l2: float = 0.0,
+    steps_per_dispatch: int = 1,
 ) -> Callable:
     """Fused gather+train step over a DeviceFeatureCache.
 
@@ -46,6 +47,14 @@ def make_cached_triplet_step(
     the same fold structure as cache.epoch_batches, so the two paths
     select identical frames under identical keys (pinned in
     tests/test_device_cache.py).
+
+    With ``steps_per_dispatch`` K > 1 the returned program is
+    ``lax.scan`` of K whole gather+mine+train steps —
+    ``(state, packed [K, ...], keys [K], lr, *operands) ->
+    (state, aux-of-[K]-arrays)`` — one dispatch RPC per K optimizer
+    steps, numerically identical to K sequential K=1 calls under the
+    same key sequence (the cache operands are loop-invariant scan
+    residuals, never copied per step).
     """
     mesh = cache.mesh
     gather_fn = cache.gather_fn
@@ -104,6 +113,26 @@ def make_cached_triplet_step(
             state.params)
         state = state.apply_gradients(grads, learning_rate=learning_rate)
         return state, aux
+
+    if steps_per_dispatch > 1:
+        def multi(state, packed_k, keys_k, learning_rate, seq_len,
+                  label_table, *mods):
+            def body(st, xs):
+                packed, key = xs
+                return step(st, packed, key, learning_rate, seq_len,
+                            label_table, *mods)
+            return jax.lax.scan(body, state, (packed_k, keys_k))
+
+        if mesh is None:
+            return jit_step(multi)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        repl = NamedSharding(mesh, P())
+        packed_ks = NamedSharding(mesh, P(None, "data", None))
+        row = lambda a: NamedSharding(  # noqa: E731
+            mesh, P("data", *([None] * (a.ndim - 1))))
+        operand_s = tuple(row(a) for a in cache.step_operands())
+        return jit_step(multi, in_shardings=(None, packed_ks, repl, repl,
+                                             *operand_s))
 
     if mesh is None:
         return jit_step(step)

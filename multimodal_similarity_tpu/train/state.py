@@ -29,7 +29,13 @@ PRETRAINED_BRANCH_SCOPES = ("modality_sensors", "modality_segment",
 
 
 class TrainState(struct.PyTreeNode):
-    """Pure-functional training state (params + optimizer state + step)."""
+    """Pure-functional training state (params + optimizer state + step).
+
+    ``tx`` is a STATIC (non-pytree) field: it participates in jit cache
+    keys by object identity.  Build the optimizer ONCE per training run
+    and reuse it — creating a fresh ``build_optimizer(...)`` per state
+    silently recompiles every jitted step that takes the state.
+    """
 
     step: Array
     params: Any

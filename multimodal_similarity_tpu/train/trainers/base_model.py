@@ -269,6 +269,17 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                 metric=cfg.metric, normalized=cfg.normalized,
                 lambda_l2=cfg.lambda_l2)
             cache_ops = cache.step_operands()
+            multi_cached = None
+            if cfg.steps_per_dispatch > 1:
+                # --steps_per_dispatch: K whole optimizer steps per
+                # program (lax.scan over the fused body); full windows
+                # ride multi_cached, the epoch tail the K=1 step
+                multi_cached = make_cached_triplet_step(
+                    model, cache, triplet_per_batch=cfg.triplet_per_batch,
+                    alpha=cfg.alpha, num_negative=cfg.num_negative,
+                    metric=cfg.metric, normalized=cfg.normalized,
+                    lambda_l2=cfg.lambda_l2,
+                    steps_per_dispatch=cfg.steps_per_dispatch)
 
     # fused-step path: events/labels/mask are device_put (with the bf16
     # cast host-side) on a background thread one batch ahead, so the
@@ -357,7 +368,55 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
             lr = learning_rate_schedule(epoch, cfg.learning_rate,
                                         cfg.static_epochs, cfg.max_epochs)
             step_at_epoch_start = step_host
-            for batch in itertools.islice(stream, batch_per_epoch):
+            batch_iter = itertools.islice(stream, batch_per_epoch)
+            if cache is not None and cfg.steps_per_dispatch > 1:
+                # windowed multi-step dispatch: K stacked KB-scale plans,
+                # ONE dispatch RPC per K optimizer steps (the measured
+                # governing per-step cost on a high-latency link); the
+                # epoch-tail remainder rides the K=1 fused step so no
+                # batch is dropped.  Falls through to the same epoch
+                # epilogue as the per-batch loop.
+                K = cfg.steps_per_dispatch
+                for win in iter(
+                        lambda: list(itertools.islice(batch_iter, K)), []):
+                    t0 = time.time()
+                    keys = []
+                    for _ in win:
+                        rng, k_step = jax.random.split(rng)
+                        keys.append(k_step)
+                    if len(win) == K:
+                        state, auxs = multi_cached(
+                            state, np.stack([p["packed"] for p in win]),
+                            jnp.stack(keys), jnp.float32(lr), *cache_ops)
+                        aux_list = [{k: v[i] for k, v in auxs.items()}
+                                    for i in range(K)]
+                    else:
+                        aux_list = []
+                        for p, k_step in zip(win, keys):
+                            state, aux = cached_step(
+                                state, p["packed"], k_step,
+                                jnp.float32(lr), *cache_ops)
+                            aux_list.append(aux)
+                    dt = (time.time() - t0) / len(win)
+                    for aux in aux_list:
+                        step_host += 1
+                        profiler.update(step_host)
+                        deferred.append(
+                            step_host, aux,
+                            {"train_time": dt, "learning_rate": lr},
+                            echo_fn=lambda sc, e=epoch, s=step_host: (
+                                f"[{cfg.name}] epoch {e + 1} step {s} "
+                                f"loss {sc['loss']:.4f} "
+                                f"triplets {sc['triplet_num']:.0f} "
+                                f"({sc['train_time']:.2f}s)"))
+                    if watchdog is not None:
+                        watchdog.beat()
+                    stopping = sync_should_stop(guard, pcount,
+                                                step=step_host)
+                    if stopping:
+                        break
+                batch_iter = iter(())  # fully consumed (or stopped) above
+            for batch in batch_iter:
                 t0 = time.time()
                 rng, key = jax.random.split(rng)
                 if cfg.triplet_select == "facenet" and cache is not None:

@@ -32,7 +32,8 @@ from multimodal_similarity_tpu.train.trainers._honda import HondaExperiment
 
 
 def make_balanced_batch_step(model, cfg: TrainConfig, loss_kind: str,
-                             mesh=None, cache=None):
+                             mesh=None, cache=None,
+                             steps_per_dispatch: int = 1):
     """step(state, events [B], labels [B], key, lr) for batch-structured
     losses over a class-balanced batch.
 
@@ -49,7 +50,18 @@ def make_balanced_batch_step(model, cfg: TrainConfig, loss_kind: str,
     ``(state, packed, rows, labels, key, lr, *cache.step_operands())``
     where ``rows`` indexes the balanced selection into the gathered budget
     batch — one KB-scale upload + one dispatch per batch (the cached twin
-    of train/cached_steps.py)."""
+    of train/cached_steps.py).
+
+    With ``steps_per_dispatch`` K > 1 (requires ``cache``), the returned
+    program runs K whole optimizer steps as ONE dispatch —
+    ``lax.scan`` over the fused gather+take+train body with stacked
+    leading-K plan/rows/labels/keys operands:
+    ``(state, packed [K, ...], rows [K, B], labels [K, B], keys [K],
+    lr, *cache.step_operands()) -> (state, aux-of-[K]-arrays)``.
+    Numerically identical to K calls of the K=1 fused step under the
+    same key sequence (scan carries the same state chain); on a
+    high-latency link this divides the measured governing per-step cost
+    (the dispatch RPC) by K."""
     margin = "soft" if (loss_kind == "batchhard" and not cfg.no_soft) \
         else cfg.alpha
     if mesh is not None:
@@ -124,6 +136,30 @@ def make_balanced_batch_step(model, cfg: TrainConfig, loss_kind: str,
                             mesh, P("data", *([None] * (a.ndim - 1))))),
                     events)
             return step(state, events, labels, k_drop, learning_rate)
+
+        if steps_per_dispatch > 1:
+            # K optimizer steps per program: scan the fused body over
+            # stacked [K, ...] plan operands; the cache arrays are
+            # loop-invariant residuals (never copied per step)
+            def cached_multi(state, packed_k, rows_k, labels_k, keys_k,
+                             learning_rate, seq_len, label_table, *mods):
+                def body(st, xs):
+                    packed, rows, labels, key = xs
+                    return cached(st, packed, rows, labels, key,
+                                  learning_rate, seq_len, label_table,
+                                  *mods)
+                return jax.lax.scan(
+                    body, state, (packed_k, rows_k, labels_k, keys_k))
+
+            if mesh is None:
+                return jit_step(cached_multi)
+            packed_ks = NamedSharding(mesh, P(None, "data", None))
+            row = lambda a: NamedSharding(  # noqa: E731
+                mesh, P("data", *([None] * (a.ndim - 1))))
+            operand_s = tuple(row(a) for a in cache.step_operands())
+            return jit_step(cached_multi, in_shardings=(
+                None, packed_ks, repl_s, repl_s, repl_s, repl_s,
+                *operand_s))
 
         if mesh is None:
             return jit_step(cached)
@@ -210,6 +246,14 @@ def train(cfg: TrainConfig, loss_kind: str = "batchhard",
             step_fn = make_balanced_batch_step(model, cfg, loss_kind,
                                                mesh=mesh, cache=cache)
             cache_ops = cache.step_operands()
+            multi_fn = None
+            if cfg.steps_per_dispatch > 1:
+                # --steps_per_dispatch: K whole optimizer steps per
+                # program (lax.scan over the fused body); full windows
+                # ride multi_fn, the epoch-tail remainder rides step_fn
+                multi_fn = make_balanced_batch_step(
+                    model, cfg, loss_kind, mesh=mesh, cache=cache,
+                    steps_per_dispatch=cfg.steps_per_dispatch)
 
     def continuous_selected():
         def epochs():
@@ -274,6 +318,65 @@ def train(cfg: TrainConfig, loss_kind: str = "batchhard",
             lr = learning_rate_schedule(epoch, cfg.learning_rate,
                                         cfg.static_epochs, cfg.max_epochs)
             step_at_epoch_start = step_host
+            if cache is not None and cfg.steps_per_dispatch > 1:
+                # windowed multi-step dispatch: the epoch's (KB-scale)
+                # plans are host-side, so materialize them, stack K at a
+                # time, and pay ONE dispatch per window; the remainder
+                # (< K batches at the epoch tail) rides the K=1 step so
+                # no batch is dropped.  Preemption polls at window
+                # boundaries (documented on --steps_per_dispatch).
+                K = cfg.steps_per_dispatch
+                valid = [b for b in
+                         itertools.islice(stream, exp.batch_per_epoch)
+                         if "empty" not in b]
+                for start in range(0, len(valid), K):
+                    win = valid[start:start + K]
+                    if len(win) == K:
+                        keys_k = jnp.stack([exp.next_key() for _ in win])
+                        state, auxs = multi_fn(
+                            state,
+                            np.stack([b["packed"] for b in win]),
+                            np.stack([b["rows"] for b in win]),
+                            np.stack([b["labels"] for b in win]),
+                            keys_k, jnp.float32(lr), *cache_ops)
+                        for i in range(K):
+                            step_host += 1
+                            exp.log_deferred(
+                                step_host,
+                                {k: v[i] for k, v in auxs.items()},
+                                {"learning_rate": lr},
+                                echo_fn=lambda sc, e=epoch, s=step_host: (
+                                    f"[{cfg.name}] epoch {e + 1} step {s} "
+                                    f"loss {sc['loss']:.4f}"))
+                    else:
+                        for b in win:
+                            state, aux = step_fn(
+                                state, b["packed"], jnp.asarray(b["rows"]),
+                                jnp.asarray(b["labels"]), exp.next_key(),
+                                jnp.float32(lr), *cache_ops)
+                            step_host += 1
+                            exp.log_deferred(
+                                step_host, aux, {"learning_rate": lr},
+                                echo_fn=lambda sc, e=epoch, s=step_host: (
+                                    f"[{cfg.name}] epoch {e + 1} step {s} "
+                                    f"loss {sc['loss']:.4f}"))
+                    if exp._guard.should_stop:
+                        break
+                exp.flush_logs()
+                if exp.preempted(state):
+                    break
+                if step_host == step_at_epoch_start:
+                    print(f"[{cfg.name}] epoch {epoch + 1}: "
+                          "no trainable batch; stopping")
+                    break
+                metrics, _ = validate(embed_fn, state.params,
+                                      exp.val_feats, exp.val_labels)
+                exp.log(step_host, metrics,
+                        f"[{cfg.name}] epoch {epoch + 1} val mAP "
+                        f"{metrics['val_mAP']:.4f}")
+                exp.ckpt.save(state, step_host)
+                epoch = epoch_of_step(step_host, exp.batch_per_epoch)
+                continue
             for batch in itertools.islice(stream, exp.batch_per_epoch):
                 if "empty" in batch:
                     continue  # no balanced batch in this loader draw

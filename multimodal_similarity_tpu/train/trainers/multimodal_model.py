@@ -168,7 +168,7 @@ def build_models(cfg: TrainConfig, sensors_dim: int = 8,
 def make_mm_fused_step(core, sensors_enc, sensors_pddm, segment_enc,
                        segment_pddm, cfg: TrainConfig, mesh=None,
                        hard_only: bool = False, gather_smalls: bool = False,
-                       cache=None):
+                       cache=None, steps_per_dispatch: int = 1):
     """Fully-fused flagship step: ONE jitted program per batch.
 
     Inside the program: eval-mode core embed -> device semi-hard mining of
@@ -349,6 +349,32 @@ def make_mm_fused_step(core, sensors_enc, sensors_pddm, segment_enc,
             return step(state, events, eve_sensors, eve_segment, labels,
                         mask, class_margins, use_multimodal, k_rest,
                         learning_rate)
+
+        if steps_per_dispatch > 1:
+            # --steps_per_dispatch: K whole mine+train steps per program
+            # (lax.scan over the fused cached body; class_margins /
+            # use_multimodal are epoch constants, cache operands are
+            # loop-invariant scan residuals)
+            def cached_multi(state, packed_k, class_margins,
+                             use_multimodal, keys_k, learning_rate,
+                             seq_len, label_table, *mods):
+                def body(st, xs):
+                    packed, key = xs
+                    return cached(st, packed, class_margins,
+                                  use_multimodal, key, learning_rate,
+                                  seq_len, label_table, *mods)
+                return jax.lax.scan(body, state, (packed_k, keys_k))
+
+            if mesh is None:
+                return jit_step(cached_multi)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            packed_ks = NamedSharding(mesh, P(None, "data", None))
+            row = lambda a: NamedSharding(  # noqa: E731
+                mesh, P("data", *([None] * (a.ndim - 1))))
+            operand_s = tuple(row(a) for a in cache.step_operands())
+            return jit_step(cached_multi, in_shardings=(
+                None, packed_ks, repl_s, repl_s, repl_s, repl_s,
+                *operand_s))
 
         if mesh is None:
             return jit_step(cached)
@@ -647,6 +673,16 @@ def train(cfg: TrainConfig, hard_only: bool = False,
                 core, sensors_enc, sensors_pddm, segment_enc, segment_pddm,
                 cfg, mesh=mesh, hard_only=hard_only, cache=cache)
             cache_ops = cache.step_operands()
+            multi_fused = None
+            if cfg.steps_per_dispatch > 1:
+                # --steps_per_dispatch: K whole optimizer steps per
+                # program; full windows ride multi_fused, the epoch-tail
+                # remainder the K=1 fused step
+                multi_fused = make_mm_fused_step(
+                    core, sensors_enc, sensors_pddm, segment_enc,
+                    segment_pddm, cfg, mesh=mesh, hard_only=hard_only,
+                    cache=cache,
+                    steps_per_dispatch=cfg.steps_per_dispatch)
 
     def continuous_batches():
         def epochs():
@@ -732,7 +768,47 @@ def train(cfg: TrainConfig, hard_only: bool = False,
                                   for c in range(n_classes)], jnp.float32)
                 use_mm = jnp.float32(
                     1.0 if epoch >= cfg.multimodal_epochs else 0.0)
-            for batch in itertools.islice(stream, exp.batch_per_epoch):
+            batch_iter = itertools.islice(stream, exp.batch_per_epoch)
+            if device_mining and cache is not None \
+                    and cfg.steps_per_dispatch > 1:
+                # windowed multi-step dispatch: K stacked KB-scale plans,
+                # ONE program invocation per K optimizer steps; the
+                # epoch-tail remainder rides the K=1 fused step.  Stop
+                # polling coarsens to window boundaries (--help note).
+                K = cfg.steps_per_dispatch
+                for win in iter(
+                        lambda: list(itertools.islice(batch_iter, K)), []):
+                    keys_k = jnp.stack([exp.next_key() for _ in win])
+                    if len(win) == K:
+                        state, auxs = multi_fused(
+                            state, np.stack([p["packed"] for p in win]),
+                            cm, use_mm, keys_k, jnp.float32(lr),
+                            *cache_ops)
+                        aux_list = [{k: v[i] for k, v in auxs.items()}
+                                    for i in range(K)]
+                    else:
+                        aux_list = []
+                        for p, k_step in zip(win, list(keys_k)):
+                            state, aux = fused_step(
+                                state, p["packed"], cm, use_mm, k_step,
+                                jnp.float32(lr), *cache_ops)
+                            aux_list.append(aux)
+                    for aux in aux_list:
+                        step_host += 1
+                        exp.log_deferred(
+                            step_host, aux, {"learning_rate": lr},
+                            echo_fn=lambda sc, e=epoch, s=step_host: (
+                                f"[{cfg.name}] epoch {e + 1} step {s} "
+                                f"loss {sc['loss']:.4f} tri/hard/struct "
+                                f"{sc['triplet_count']:.0f}/"
+                                f"{sc['hard_count']:.0f}/"
+                                f"{sc['struct_count']:.0f}"))
+                    stopping = sync_should_stop(guard, pcount,
+                                                step=step_host)
+                    if stopping:
+                        break
+                batch_iter = iter(())  # fully consumed (or stopped) above
+            for batch in batch_iter:
                 if device_mining:
                     if cache is not None:
                         # fused gather+train: one program, one packed upload

@@ -508,6 +508,216 @@ def test_batchhard_cached_fused_step_matches_two_call_path(synth_root):
                                    rtol=1e-6, atol=1e-7)
 
 
+def test_multistep_dispatch_matches_sequential_fused_steps(synth_root):
+    """--steps_per_dispatch: lax.scan-ing K fused gather+take+train steps
+    into one program must be bit-identical to K sequential calls of the
+    K=1 fused step under the same key sequence."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_similarity_tpu.models import build_encoder
+    from multimodal_similarity_tpu.ops.mining import select_batch_balanced
+    from multimodal_similarity_tpu.train.state import (
+        TrainState, build_optimizer)
+    from multimodal_similarity_tpu.train.trainers.base_model_batchhard import (
+        make_balanced_batch_step)
+
+    cfg = TrainConfig(DATA_ROOT=synth_root, feat="sensors",
+                      network="rtsn", n_input=8, emb_dim=16, num_seg=N_SEG,
+                      keep_prob=0.9, silent_mode=True,
+                      device_cache=True, steps_per_dispatch=3).resolve()
+    dataset = prepare_dataset(cfg.feature_root, cfg.train_session,
+                              "sensors", cfg.label_root, "goal")
+    cache = DeviceFeatureCache.build(
+        dataset, n_seg=N_SEG, sess_per_batch=2, event_budget=24, seed=21)
+    model = build_encoder("rtsn", num_seg=N_SEG, emb_dim=16, n_input=8,
+                          keep_prob=0.9)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((2, N_SEG, 8)))["params"]
+
+    def fresh_state():
+        p = jax.tree.map(lambda a: np.array(a), params)
+        return TrainState.create(p, build_optimizer("ADAM", 0.01))
+
+    import random as _random
+    K = 3
+    sel_rng = _random.Random(5)
+    wins = []
+    plans = cache.epoch_plans()
+    while len(wins) < K:
+        plan = next(plans)
+        valid = np.where(plan["mask_host"] > 0)[0]
+        idx = select_batch_balanced(plan["labels_host"][valid], 16,
+                                    rng=sel_rng)
+        if idx.size == 0:
+            continue
+        rows = valid[idx].astype(np.int32)
+        wins.append((plan["packed"], rows, plan["labels_host"][rows]))
+    keys = [jax.random.PRNGKey(100 + i) for i in range(K)]
+    ops = cache.step_operands()
+
+    single = make_balanced_batch_step(model, cfg, "batchhard", cache=cache)
+    s_seq = fresh_state()
+    seq_loss = []
+    for (packed, rows, labels), key in zip(wins, keys):
+        s_seq, aux = single(s_seq, packed, jnp.asarray(rows),
+                            jnp.asarray(labels), key, jnp.float32(0.01),
+                            *ops)
+        seq_loss.append(float(aux["loss"]))
+
+    multi = make_balanced_batch_step(model, cfg, "batchhard", cache=cache,
+                                     steps_per_dispatch=K)
+    s_multi, auxs = multi(
+        fresh_state(),
+        np.stack([w[0] for w in wins]),
+        np.stack([w[1] for w in wins]),
+        np.stack([w[2] for w in wins]),
+        jnp.stack(keys), jnp.float32(0.01), *ops)
+
+    np.testing.assert_allclose(np.asarray(auxs["loss"]), seq_loss,
+                               rtol=1e-6, atol=0)
+    for a, b in zip(jax.tree_util.tree_leaves(s_multi.params),
+                    jax.tree_util.tree_leaves(s_seq.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_batchhard_trainer_with_steps_per_dispatch(synth_root, tmp_path):
+    """End-to-end --device_cache --steps_per_dispatch 2: full windows
+    ride the scanned program, the epoch tail rides the K=1 step, and
+    every optimizer step still lands in metrics.jsonl in order."""
+    import json
+
+    from multimodal_similarity_tpu.train.trainers import base_model_batchhard
+
+    cfg = TrainConfig(DATA_ROOT=synth_root, feat="sensors", network="rtsn",
+                      n_input=8, emb_dim=16, num_seg=N_SEG, batch_size=16,
+                      max_epochs=2, static_epochs=1, device_cache=True,
+                      steps_per_dispatch=2, silent_mode=True).resolve()
+    state, metrics, rd = base_model_batchhard.train(
+        cfg, event_budget=24, result_dir=str(tmp_path / "spd"))
+    assert int(state.step) >= 2
+    assert np.isfinite(metrics["val_mAP"])
+    recs = [json.loads(l) for l in open(rd + "/metrics.jsonl")]
+    train_steps = [r["step"] for r in recs if "loss" in r]
+    assert train_steps == list(range(1, int(state.step) + 1))
+
+
+def test_base_model_trainer_with_steps_per_dispatch(synth_root, tmp_path):
+    """base_model (facenet) --device_cache --steps_per_dispatch 2: the
+    windowed scan path and the K=1 tail both train; every step logged."""
+    import json
+
+    from multimodal_similarity_tpu.train.trainers import base_model
+
+    cfg = TrainConfig(DATA_ROOT=synth_root, feat="sensors", network="rtsn",
+                      n_input=8, emb_dim=16, num_seg=N_SEG,
+                      triplet_select="facenet", triplet_per_batch=8,
+                      max_epochs=2, static_epochs=1, device_cache=True,
+                      steps_per_dispatch=2, silent_mode=True).resolve()
+    state, metrics, rd = base_model.train(
+        cfg, event_budget=24, result_dir=str(tmp_path / "bm_spd"))
+    assert int(state.step) >= 2
+    assert np.isfinite(metrics["val_mAP"])
+    recs = [json.loads(l) for l in open(rd + "/metrics.jsonl")]
+    train_steps = [r["step"] for r in recs if "loss" in r]
+    assert train_steps == list(range(1, int(state.step) + 1))
+
+
+def test_flagship_trainer_with_steps_per_dispatch(synth_root, tmp_path):
+    """flagship --device_mining --device_cache --steps_per_dispatch 2:
+    the scanned three-modality fused step trains; every step logged."""
+    import json
+
+    from multimodal_similarity_tpu.train.trainers import multimodal_model
+    cfg = TrainConfig(
+        DATA_ROOT=synth_root, name="mmspd", network="convrtsn",
+        feat=["resnet", "sensors", "segment"], n_input=8, n_h=2, n_w=2,
+        n_C=4, emb_dim=16, num_seg=N_SEG, sess_per_batch=2, max_epochs=2,
+        triplet_per_batch=12, learning_rate=0.01, keep_prob=0.9,
+        lambda_multimodal=0.5, multimodal_epochs=0, label_num=4,
+        silent_mode=True, device_cache=True,
+        steps_per_dispatch=2).resolve()
+    cfg.feat_dim["segment"] = (16,)
+    state, metrics, rd = multimodal_model.train(
+        cfg, device_mining=True, event_budget=32,
+        result_dir=str(tmp_path / "mmspd"))
+    assert int(state.step) >= 2
+    assert np.isfinite(metrics["val_mAP"])
+    recs = [json.loads(l) for l in open(rd + "/metrics.jsonl")]
+    train_steps = [r["step"] for r in recs if "loss" in r]
+    assert train_steps == list(range(1, int(state.step) + 1))
+
+
+def test_steps_per_dispatch_requires_device_cache(synth_root):
+    with pytest.raises(ValueError, match="steps_per_dispatch"):
+        TrainConfig(DATA_ROOT=synth_root, feat="sensors",
+                    steps_per_dispatch=4).resolve()
+
+
+def test_multistep_dispatch_on_mesh(synth_root):
+    """--steps_per_dispatch composes with the dp mesh: lax.scan over the
+    shard_map gather + ring-loss body compiles and steps K times in one
+    program on 8 virtual devices."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_similarity_tpu.models import build_encoder
+    from multimodal_similarity_tpu.ops.mining import select_batch_balanced
+    from multimodal_similarity_tpu.parallel import create_mesh
+    from multimodal_similarity_tpu.train.state import (
+        TrainState, build_optimizer)
+    from multimodal_similarity_tpu.train.trainers.base_model_batchhard import (
+        make_balanced_batch_step)
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = create_mesh(8)
+    cfg = TrainConfig(DATA_ROOT=synth_root, feat="sensors",
+                      network="rtsn", n_input=8, emb_dim=16, num_seg=N_SEG,
+                      keep_prob=0.9, silent_mode=True, device_cache=True,
+                      steps_per_dispatch=2).resolve()
+    dataset = prepare_dataset(cfg.feature_root, cfg.train_session,
+                              "sensors", cfg.label_root, "goal")
+    cache = DeviceFeatureCache.build(
+        dataset, n_seg=N_SEG, sess_per_batch=2, event_budget=32, seed=4,
+        mesh=mesh)
+    model = build_encoder("rtsn", num_seg=N_SEG, emb_dim=16, n_input=8,
+                          keep_prob=0.9)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    state = jax.device_put(
+        TrainState.create(model.init(jax.random.PRNGKey(0),
+                                     jnp.zeros((2, N_SEG, 8)))["params"],
+                          build_optimizer("ADAM", 0.01)),
+        NamedSharding(mesh, P()))
+
+    import itertools
+    import random as _random
+    sel_rng = _random.Random(5)
+    K = 2
+    wins = []
+    plans = itertools.chain.from_iterable(
+        cache.epoch_plans() for _ in range(8))
+    while len(wins) < K:
+        plan = next(plans)
+        valid = np.where(plan["mask_host"] > 0)[0]
+        idx = select_batch_balanced(plan["labels_host"][valid], 16,
+                                    rng=sel_rng)
+        if idx.size == 0:
+            continue
+        wins.append((plan["packed"], valid[idx].astype(np.int32),
+                     plan["labels_host"][valid[idx]]))
+    multi = make_balanced_batch_step(model, cfg, "batchhard", mesh=mesh,
+                                     cache=cache, steps_per_dispatch=K)
+    state, auxs = multi(
+        state, np.stack([w[0] for w in wins]),
+        np.stack([w[1] for w in wins]),
+        np.stack([w[2] for w in wins]),
+        jnp.stack([jax.random.PRNGKey(7), jax.random.PRNGKey(8)]),
+        jnp.float32(0.01), *cache.step_operands())
+    assert int(state.step) == K
+    assert np.all(np.isfinite(np.asarray(auxs["loss"])))
+
+
 def test_fused_cached_step_on_mesh(synth_root, tmp_path):
     """shard_map gather inside the jitted dp step: one dispatch per batch
     on an 8-device mesh, matching the two-call mesh path."""
