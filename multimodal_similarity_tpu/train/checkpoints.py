@@ -32,6 +32,8 @@ class CheckpointManager:
         self.directory = directory
         self.name = name
         self.max_to_keep = max_to_keep
+        self._writer = None   # in-flight async write (save_async)
+        self._writer_err = None
         os.makedirs(directory, exist_ok=True)
 
     def _path(self, step: int) -> str:
@@ -50,7 +52,7 @@ class CheckpointManager:
         steps = self.all_steps()
         return steps[-1] if steps else None
 
-    def save(self, target: Any, step: int) -> str:
+    def _write(self, target: Any, step: int) -> str:
         # write-then-rename: a crash mid-write must never leave a truncated
         # file at the final path, or latest_step() would resume from it
         path = self._path(step)
@@ -62,7 +64,61 @@ class CheckpointManager:
             os.remove(self._path(old))
         return path
 
+    def save(self, target: Any, step: int) -> str:
+        self.wait()  # never two writers pruning concurrently
+        return self._write(target, step)
+
+    def save_async(self, target: Any, step: int) -> None:
+        """Per-epoch checkpointing off the training path.
+
+        The device->host snapshot is taken HERE, synchronously — so the
+        caller may immediately donate ``target`` into the next step (the
+        same orbax-async split: on production hardware the D2H copy is
+        PCIe-fast while serialization + storage writes are the slow
+        part).  ``copy_to_host_async`` is issued for every device leaf
+        first so the per-leaf transfers overlap each other.  msgpack
+        serialization, the atomic write, and max_to_keep pruning run on
+        a single background writer thread; at most one write is in
+        flight — the next save_async (or save/restore/wait) blocks
+        until it lands, so files appear in order and memory is bounded
+        by one host snapshot.  Writer failures surface at the next
+        wait()/save call."""
+        import threading
+
+        import jax
+        import numpy as np
+
+        for a in jax.tree_util.tree_leaves(target):
+            if hasattr(a, "copy_to_host_async"):
+                a.copy_to_host_async()
+        host = jax.tree.map(
+            lambda a: np.asarray(a)
+            if hasattr(a, "copy_to_host_async") else a, target)
+        self.wait()
+
+        def work():
+            try:
+                self._write(host, step)
+            except Exception as e:  # surfaced at the next wait()
+                self._writer_err = e
+
+        self._writer = threading.Thread(target=work, name="ckpt-writer",
+                                        daemon=True)
+        self._writer.start()
+
+    def wait(self) -> None:
+        """Block until the in-flight async write (if any) has landed;
+        re-raise its failure here.  Call before exiting or before reading
+        checkpoint files."""
+        w, self._writer = self._writer, None
+        if w is not None:
+            w.join()
+        err, self._writer_err = self._writer_err, None
+        if err is not None:
+            raise err
+
     def restore(self, target: Any, step: Optional[int] = None) -> Any:
+        self.wait()  # an in-flight write may BE the latest step
         if step is None:
             step = self.latest_step()
         if step is None:

@@ -221,6 +221,7 @@ class HondaExperiment:
     def close(self):
         if self._deferred is not None:
             self._deferred.close()  # best-effort on the crash path
+        self.ckpt.wait()  # async epoch checkpoint must land before exit
         if self.watchdog is not None:
             self.watchdog.cancel()
         self._guard.restore()

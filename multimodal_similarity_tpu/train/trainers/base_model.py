@@ -536,13 +536,14 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                       f"val mAP {metrics['val_mAP']:.4f} "
                       f"R@1 {metrics['val_recall@1']:.4f}")
             if pid == 0:
-                ckpt.save(state, step_host)
+                ckpt.save_async(state, step_host)
             epoch = epoch_of_step(step_host, batch_per_epoch)
 
     finally:
         # cancel the prefetch worker (it runs one batch ahead)
         # and flush any open trace/logs even when a step raises
         deferred.close()  # best-effort on the crash path
+        ckpt.wait()  # async epoch checkpoint must land before exit
         if watchdog is not None:
             watchdog.cancel()
         guard.restore()

@@ -374,7 +374,7 @@ def train(cfg: TrainConfig, loss_kind: str = "batchhard",
                 exp.log(step_host, metrics,
                         f"[{cfg.name}] epoch {epoch + 1} val mAP "
                         f"{metrics['val_mAP']:.4f}")
-                exp.ckpt.save(state, step_host)
+                exp.ckpt.save_async(state, step_host)
                 epoch = epoch_of_step(step_host, exp.batch_per_epoch)
                 continue
             for batch in itertools.islice(stream, exp.batch_per_epoch):
@@ -409,7 +409,7 @@ def train(cfg: TrainConfig, loss_kind: str = "batchhard",
             exp.log(step_host, metrics,
                     f"[{cfg.name}] epoch {epoch + 1} val mAP "
                     f"{metrics['val_mAP']:.4f}")
-            exp.ckpt.save(state, step_host)
+            exp.ckpt.save_async(state, step_host)
             epoch = epoch_of_step(step_host, exp.batch_per_epoch)
 
     finally:

@@ -938,7 +938,7 @@ def train(cfg: TrainConfig, hard_only: bool = False,
                         pickle.dump(dist_dict, f)
 
             if pid == 0:
-                exp.ckpt.save(state, step_host)
+                exp.ckpt.save_async(state, step_host)
             epoch = epoch_of_step(step_host, exp.batch_per_epoch)
 
     finally:

@@ -83,6 +83,55 @@ def test_checkpoint_roundtrip_and_pruning(tmp_path, rng):
                                np.asarray(params["a"]))
 
 
+def test_checkpoint_save_async_matches_sync(tmp_path, rng):
+    """save_async must produce byte-identical files to save, prune the
+    same way, serialize writes (one in flight), stay donation-safe (the
+    snapshot is host-resident before return), and surface writer errors
+    at wait()."""
+    import jax
+
+    params = {"a": jnp.array(rng.randn(4).astype(np.float32))}
+    tx = build_optimizer("ADAM", 0.01)
+    state = TrainState.create(params, tx)
+
+    sync_mgr = CheckpointManager(str(tmp_path / "sync"), "m", max_to_keep=2)
+    async_mgr = CheckpointManager(str(tmp_path / "async"), "m",
+                                  max_to_keep=2)
+    for step in (1, 2, 3):
+        st = state.replace(step=jnp.int32(step))
+        sync_mgr.save(st, step)
+        async_mgr.save_async(st, step)
+    async_mgr.wait()
+    assert async_mgr.all_steps() == sync_mgr.all_steps() == [2, 3]
+    for step in (2, 3):
+        a = open(tmp_path / "async" / f"m.ckpt-{step}", "rb").read()
+        s = open(tmp_path / "sync" / f"m.ckpt-{step}", "rb").read()
+        assert a == s
+
+    # donation-safety: deleting the device state after save_async returns
+    # must not corrupt the queued write (the snapshot is already on host)
+    st = TrainState.create(
+        {"a": jnp.array(np.asarray(params["a"]))}, tx).replace(
+        step=jnp.int32(7))
+    async_mgr.save_async(st, 7)
+    for leaf in jax.tree_util.tree_leaves(st):
+        if hasattr(leaf, "delete"):
+            leaf.delete()
+    target = TrainState.create({"a": jnp.zeros(4, jnp.float32)}, tx)
+    restored = async_mgr.restore(target)  # restore() waits first
+    assert int(restored.step) == 7
+    np.testing.assert_allclose(np.asarray(restored.params["a"]),
+                               np.asarray(params["a"]))
+
+    # writer errors surface at wait(), not silently
+    bad = CheckpointManager(str(tmp_path / "gone"), "m")
+    import shutil
+    shutil.rmtree(tmp_path / "gone")
+    bad.save_async(state, 1)
+    with pytest.raises(OSError):
+        bad.wait()
+
+
 def test_restore_subtree():
     big = {"modality_core": {"w": jnp.zeros(2)},
            "modality_sensors": {"w": jnp.zeros(2)}}
