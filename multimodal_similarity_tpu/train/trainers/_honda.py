@@ -221,9 +221,12 @@ class HondaExperiment:
     def close(self):
         if self._deferred is not None:
             self._deferred.close()  # best-effort on the crash path
-        self.ckpt.wait()  # async epoch checkpoint must land before exit
         if self.watchdog is not None:
             self.watchdog.cancel()
         self._guard.restore()
         self.profiler.close()
         self.logger.close()
+        # LAST: if the async epoch checkpoint failed, raise only after
+        # the watchdog/signal-handler/logger cleanup has run (a raise
+        # here must not leak an armed watchdog or hijacked SIGTERM)
+        self.ckpt.wait()

@@ -543,13 +543,15 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
         # cancel the prefetch worker (it runs one batch ahead)
         # and flush any open trace/logs even when a step raises
         deferred.close()  # best-effort on the crash path
-        ckpt.wait()  # async epoch checkpoint must land before exit
         if watchdog is not None:
             watchdog.cancel()
         guard.restore()
         stream.close()
         profiler.close()
         logger.close()
+        # LAST: a failed async checkpoint write must raise only after the
+        # watchdog/signal-handler/prefetch cleanup has run
+        ckpt.wait()
     return state, metrics, result_dir
 
 

@@ -318,6 +318,7 @@ def train(cfg: TrainConfig, loss_kind: str = "batchhard",
             lr = learning_rate_schedule(epoch, cfg.learning_rate,
                                         cfg.static_epochs, cfg.max_epochs)
             step_at_epoch_start = step_host
+            batch_iter = itertools.islice(stream, exp.batch_per_epoch)
             if cache is not None and cfg.steps_per_dispatch > 1:
                 # windowed multi-step dispatch: the epoch's (KB-scale)
                 # plans are host-side, so materialize them, stack K at a
@@ -325,10 +326,9 @@ def train(cfg: TrainConfig, loss_kind: str = "batchhard",
                 # (< K batches at the epoch tail) rides the K=1 step so
                 # no batch is dropped.  Preemption polls at window
                 # boundaries (documented on --steps_per_dispatch).
+                # Falls through to the shared epoch epilogue below.
                 K = cfg.steps_per_dispatch
-                valid = [b for b in
-                         itertools.islice(stream, exp.batch_per_epoch)
-                         if "empty" not in b]
+                valid = [b for b in batch_iter if "empty" not in b]
                 for start in range(0, len(valid), K):
                     win = valid[start:start + K]
                     if len(win) == K:
@@ -339,45 +339,27 @@ def train(cfg: TrainConfig, loss_kind: str = "batchhard",
                             np.stack([b["rows"] for b in win]),
                             np.stack([b["labels"] for b in win]),
                             keys_k, jnp.float32(lr), *cache_ops)
-                        for i in range(K):
-                            step_host += 1
-                            exp.log_deferred(
-                                step_host,
-                                {k: v[i] for k, v in auxs.items()},
-                                {"learning_rate": lr},
-                                echo_fn=lambda sc, e=epoch, s=step_host: (
-                                    f"[{cfg.name}] epoch {e + 1} step {s} "
-                                    f"loss {sc['loss']:.4f}"))
+                        aux_list = [{k: v[i] for k, v in auxs.items()}
+                                    for i in range(K)]
                     else:
+                        aux_list = []
                         for b in win:
                             state, aux = step_fn(
                                 state, b["packed"], jnp.asarray(b["rows"]),
                                 jnp.asarray(b["labels"]), exp.next_key(),
                                 jnp.float32(lr), *cache_ops)
-                            step_host += 1
-                            exp.log_deferred(
-                                step_host, aux, {"learning_rate": lr},
-                                echo_fn=lambda sc, e=epoch, s=step_host: (
-                                    f"[{cfg.name}] epoch {e + 1} step {s} "
-                                    f"loss {sc['loss']:.4f}"))
+                            aux_list.append(aux)
+                    for aux in aux_list:
+                        step_host += 1
+                        exp.log_deferred(
+                            step_host, aux, {"learning_rate": lr},
+                            echo_fn=lambda sc, e=epoch, s=step_host: (
+                                f"[{cfg.name}] epoch {e + 1} step {s} "
+                                f"loss {sc['loss']:.4f}"))
                     if exp._guard.should_stop:
                         break
-                exp.flush_logs()
-                if exp.preempted(state):
-                    break
-                if step_host == step_at_epoch_start:
-                    print(f"[{cfg.name}] epoch {epoch + 1}: "
-                          "no trainable batch; stopping")
-                    break
-                metrics, _ = validate(embed_fn, state.params,
-                                      exp.val_feats, exp.val_labels)
-                exp.log(step_host, metrics,
-                        f"[{cfg.name}] epoch {epoch + 1} val mAP "
-                        f"{metrics['val_mAP']:.4f}")
-                exp.ckpt.save_async(state, step_host)
-                epoch = epoch_of_step(step_host, exp.batch_per_epoch)
-                continue
-            for batch in itertools.islice(stream, exp.batch_per_epoch):
+                batch_iter = iter(())  # fully consumed (or stopped) above
+            for batch in batch_iter:
                 if "empty" in batch:
                     continue  # no balanced batch in this loader draw
                 if cache is not None:

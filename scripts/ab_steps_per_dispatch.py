@@ -51,6 +51,9 @@ def main():
         recs = [json.loads(l) for l in open(rd + "/metrics.jsonl")]
         steps = sum(1 for r in recs if "loss" in r)
         vals = [r for r in recs if "val_mAP" in r]
+        if len(vals) < 2:
+            raise SystemExit("need >= 2 epochs: the steady bracket spans "
+                             "validation records (epoch boundaries)")
         span = vals[-1]["time"] - vals[0]["time"]
         span_steps = vals[-1]["step"] - vals[0]["step"]
         results[k] = {

@@ -135,8 +135,10 @@ def main():
                         "events_per_sec": round(n_steps * batch / dt, 1)}
         print(f"k{K}", json.dumps(out[f"k{K}"]))
 
-    out["speedup_k32_vs_k1"] = round(
-        out["k32"]["steps_per_sec"] / out["k1"]["steps_per_sec"], 3)
+    top = max((k for k in out if k.startswith("k")),
+              key=lambda k: int(k[1:]))
+    out[f"speedup_{top}_vs_k1"] = round(
+        out[top]["steps_per_sec"] / out["k1"]["steps_per_sec"], 3)
     print(json.dumps({"bench": "multistep_dispatch", "n_steps": n_steps,
                       "batch": batch, **out}))
 
