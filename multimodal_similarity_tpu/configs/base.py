@@ -304,7 +304,9 @@ class TrainConfig(BaseConfig):
                        help="read step metrics back from the device every "
                             "N steps instead of every step (keeps dispatch "
                             "pipelined on high-latency links; every step "
-                            "is still logged; 1 = synchronous)")
+                            "is still logged; 1 = synchronous; honored by "
+                            "the device-fed loop trainers: base_model, "
+                            "batch-hard/lifted, the fused flagship)")
         p.add_argument("--watchdog_secs", type=float, default=0.0,
                        help="per-step hang watchdog: dump tracebacks and "
                             "checkpoint-and-stop when no step completes "
