@@ -510,3 +510,16 @@ class DeviceFeatureCache:
 
 def cache_budget_bytes(gb: float) -> int:
     return int(gb * 1e9)
+
+
+def notice_window_shortfall(cache, steps_per_dispatch: int, name: str,
+                            silent: bool) -> None:
+    """--steps_per_dispatch K only scans FULL windows of K batches; an
+    epoch shorter than K makes every window a remainder, so the run
+    silently degrades to unscanned K=1 dispatch.  Say so loudly — this
+    exact silent no-op cost a measurement session during development."""
+    if steps_per_dispatch > cache.batches_per_epoch and not silent:
+        print(f"[{name}] --steps_per_dispatch {steps_per_dispatch} exceeds "
+              f"{cache.batches_per_epoch} batches/epoch: every epoch is a "
+              "remainder window and steps run UNSCANNED (K=1).  Lower K "
+              "or raise sessions per epoch to get the scanned program.")

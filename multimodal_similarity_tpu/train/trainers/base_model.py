@@ -280,6 +280,10 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                     metric=cfg.metric, normalized=cfg.normalized,
                     lambda_l2=cfg.lambda_l2,
                     steps_per_dispatch=cfg.steps_per_dispatch)
+                from multimodal_similarity_tpu.data.device_cache import (
+                    notice_window_shortfall)
+                notice_window_shortfall(cache, cfg.steps_per_dispatch,
+                                        cfg.name, cfg.silent_mode)
 
     # fused-step path: events/labels/mask are device_put (with the bf16
     # cast host-side) on a background thread one batch ahead, so the

@@ -254,6 +254,10 @@ def train(cfg: TrainConfig, loss_kind: str = "batchhard",
                 multi_fn = make_balanced_batch_step(
                     model, cfg, loss_kind, mesh=mesh, cache=cache,
                     steps_per_dispatch=cfg.steps_per_dispatch)
+                from multimodal_similarity_tpu.data.device_cache import (
+                    notice_window_shortfall)
+                notice_window_shortfall(cache, cfg.steps_per_dispatch,
+                                        cfg.name, cfg.silent_mode)
 
     def continuous_selected():
         def epochs():

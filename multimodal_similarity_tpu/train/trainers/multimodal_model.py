@@ -683,6 +683,10 @@ def train(cfg: TrainConfig, hard_only: bool = False,
                     segment_pddm, cfg, mesh=mesh, hard_only=hard_only,
                     cache=cache,
                     steps_per_dispatch=cfg.steps_per_dispatch)
+                from multimodal_similarity_tpu.data.device_cache import (
+                    notice_window_shortfall)
+                notice_window_shortfall(cache, cfg.steps_per_dispatch,
+                                        cfg.name, cfg.silent_mode)
 
     def continuous_batches():
         def epochs():
