@@ -97,8 +97,10 @@ class DeviceFeatureCache:
     """
 
     def __init__(self, *, n_seg: int, sess_per_batch: int, event_budget: int,
-                 seed: int, mesh=None):
+                 seed: int, mesh=None,
+                 modality_modes: Optional[Sequence[str]] = None):
         self.n_seg = n_seg
+        self.modality_modes = modality_modes
         self.sess_per_batch = sess_per_batch
         self.event_budget = event_budget
         self.mesh = mesh
@@ -124,8 +126,16 @@ class DeviceFeatureCache:
               mesh=None, transfer: bool = True,
               max_frames: int = MAX_LENGTH,
               budget_bytes: Optional[int] = None,
+              modality_modes: Optional[Sequence[str]] = None,
               verbose: bool = True) -> Optional["DeviceFeatureCache"]:
         """Load + quantize + upload every session of ``dataset``.
+
+        ``modality_modes`` selects the per-epoch on-device re-sampling per
+        modality: ``"tsn"`` (default) gathers fresh TSN segment frames
+        each batch; ``"meanpool"`` reduces each event window to its
+        masked frame mean (the device twin of data.mean_pool_input, which
+        cross_prediction uses as its target-modality prepare) — storage
+        is identical int8 windows either way, only the gather differs.
 
         Returns None (with a notice) when the estimate exceeds
         ``budget_bytes`` — callers keep the streaming feed.
@@ -141,9 +151,18 @@ class DeviceFeatureCache:
             print(f"[device_cache] caching {len(dataset)} sessions "
                   f"(~{est / 1e9:.2f} GB int8) on device")
         self = cls(n_seg=n_seg, sess_per_batch=sess_per_batch,
-                   event_budget=event_budget, seed=seed, mesh=mesh)
+                   event_budget=event_budget, seed=seed, mesh=mesh,
+                   modality_modes=modality_modes)
         self.max_frames = max_frames
         num_modalities = len(dataset[0]) - 1
+        if modality_modes is not None:
+            if len(modality_modes) != num_modalities:
+                raise ValueError(
+                    f"modality_modes {modality_modes} does not match "
+                    f"{num_modalities} modalities")
+            bad = set(modality_modes) - {"tsn", "meanpool"}
+            if bad:
+                raise ValueError(f"unknown modality modes: {sorted(bad)}")
 
         # sessions round-robin over shards (multihost host_local_sessions
         # order), so each shard's plan mirrors a per-host loader
@@ -289,6 +308,7 @@ class DeviceFeatureCache:
         n_seg = self.n_seg
         t = self.max_frames
         n_mod = self.num_modalities
+        modes = self.modality_modes or ("tsn",) * n_mod
 
         def local_gather(key, packed, seq_len, labels, *mods):
             """One shard.  ``packed`` [per + 1] int32 carries this shard's
@@ -302,6 +322,23 @@ class DeviceFeatureCache:
             lens = jnp.take(seq_len, indices, axis=0)
             for m in range(n_mod):
                 q, scale = mods[2 * m], mods[2 * m + 1]
+                if modes[m] == "meanpool":
+                    # masked frame mean of the whole window (device twin
+                    # of data.mean_pool_input): f32 accumulation so the
+                    # only approximation vs the streamed f32 target is
+                    # the int8 storage itself
+                    q_sel = jnp.take(q, indices, axis=0)         # [B, T, ..]
+                    s_sel = jnp.take(scale, indices, axis=0)
+                    x = q_sel.astype(jnp.float32) * s_sel
+                    valid = (jnp.arange(t)[None, :]
+                             < lens[:, None]).astype(jnp.float32)
+                    w = valid.reshape((x.shape[0], t)
+                                      + (1,) * (x.ndim - 2))
+                    denom = jnp.maximum(lens.astype(jnp.float32), 1.0)
+                    pooled = jnp.sum(x * w, axis=1) / denom.reshape(
+                        (x.shape[0],) + (1,) * (x.ndim - 2))
+                    out.append(pooled)
+                    continue
                 # modalities draw independent offsets, matching the
                 # streamed loader (each prepare call advances the rng)
                 offs = tsn_sample_offsets(
@@ -333,6 +370,10 @@ class DeviceFeatureCache:
         for m in range(n_mod):
             mod_specs.extend([row_spec(self.q[m]), row_spec(self.scale[m])])
         out_specs = (tuple(
+            # meanpool outputs are dense [rows, ...feat] (frame axis
+            # reduced); tsn outputs keep the int8 {"q", "scale"} form
+            P("data", *([None] * (self.q[m].ndim - 2)))
+            if modes[m] == "meanpool" else
             {"q": row_spec(self.q[m]), "scale": row_spec(self.scale[m])}
             for m in range(n_mod)), P(), P())
 

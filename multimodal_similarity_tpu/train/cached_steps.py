@@ -114,6 +114,16 @@ def make_cached_triplet_step(
         state = state.apply_gradients(grads, learning_rate=learning_rate)
         return state, aux
 
+    return _jit_cached(step, cache, steps_per_dispatch)
+
+
+def _jit_cached(step, cache, steps_per_dispatch: int):
+    """Shared finalization for fused cached steps: jit with the state
+    donated (+ mesh shardings when the cache is sharded), or the
+    ``lax.scan``-of-K program when ``steps_per_dispatch`` > 1 (one
+    dispatch RPC per K optimizer steps; the cache operands ride as
+    loop-invariant residuals, never copied per step)."""
+    mesh = cache.mesh
     if steps_per_dispatch > 1:
         def multi(state, packed_k, keys_k, learning_rate, seq_len,
                   label_table, *mods):
@@ -144,3 +154,41 @@ def make_cached_triplet_step(
     operand_s = tuple(row(a) for a in cache.step_operands())
     return jit_step(step, in_shardings=(None, packed_s, repl, repl,
                                         *operand_s))
+
+
+def make_cached_body_step(body, cache, *, steps_per_dispatch: int = 1):
+    """Fuse ANY trainer's step body over a DeviceFeatureCache.
+
+    ``body(state, events_tuple, labels, mask, key, learning_rate) ->
+    (state, aux)`` is the trainer's UN-JITTED update; ``events_tuple``
+    carries one entry per cached modality in the cache's storage form —
+    the int8 feed dict ``{"q", "scale"}`` for TSN modalities, a dense
+    pooled array for ``meanpool`` modalities — exactly what
+    ``cache.epoch_batches`` yields, so bodies written against
+    train/steps.dequant_features / take_features consume the streamed
+    and the cached feed identically.
+
+    Returns ``step(state, packed, key, lr, *cache.step_operands())``
+    jitted with the state donated; with ``steps_per_dispatch`` K > 1 the
+    ``lax.scan``-of-K program (``packed`` [K, ...], ``key`` [K]).  The
+    key splits once into (gather, body) halves — the same structure as
+    the two-call path (gather under ``key``'s first split, the body
+    under the second), which is the parity oracle in
+    tests/test_device_cache.py.
+    """
+    mesh = cache.mesh
+    gather_fn = cache.gather_fn
+
+    def step(state, packed, key, learning_rate, seq_len, label_table,
+             *mods):
+        k_gather, k_body = jax.random.split(key)
+        if mesh is None:
+            packed_local = packed[0] if packed.ndim == 2 else packed
+            gathered, labels, mask = gather_fn(
+                k_gather, packed_local, seq_len, label_table, *mods)
+        else:
+            gathered, labels, mask = gather_fn(
+                k_gather, packed, seq_len, label_table, *mods)
+        return body(state, gathered, labels, mask, k_body, learning_rate)
+
+    return _jit_cached(step, cache, steps_per_dispatch)

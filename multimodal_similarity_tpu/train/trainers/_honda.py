@@ -76,6 +76,8 @@ class HondaExperiment:
         self.train_set = train_set
         self.labeled_sessions = set(cfg.train_session[: cfg.label_num])
 
+        self.event_budget = event_budget
+
         # multihost: this process loads only its session shard, but the
         # per-epoch step count stays GLOBAL-lockstep (every host must
         # dispatch the same number of collective steps per epoch)
@@ -98,6 +100,7 @@ class HondaExperiment:
                 f"{cfg.sess_per_batch}"
                 + (f" x {session_shard[1]} processes"
                    if session_shard is not None else ""))
+        self.local_set = local_set
         self.loader = SessionBatchLoader(
             local_set, sess_per_batch=cfg.sess_per_batch,
             event_budget=event_budget,
@@ -161,6 +164,131 @@ class HondaExperiment:
     def next_key(self):
         self.rng, key = jax.random.split(self.rng)
         return key
+
+    # -- device-resident epoch feature cache ---------------------------------
+
+    def build_cache(self, modality_modes=None):
+        """``--device_cache`` for any HondaExperiment trainer: upload this
+        experiment's (possibly multimodal) train windows ONCE as int8 and
+        re-sample TSN segments on device each epoch
+        (data/device_cache.py).  Returns the cache — updating
+        ``batch_per_epoch`` to its plan count — or None (over the
+        ``--device_cache_gb`` budget, or the flag is off): callers keep
+        the streaming loader."""
+        cfg = self.cfg
+        if not getattr(cfg, "device_cache", False):
+            return None
+        if getattr(cfg, "bf16_features", False):
+            raise ValueError("--device_cache stores int8; it excludes "
+                             "--bf16_features")
+        if self._pcount > 1:
+            raise NotImplementedError(
+                "--device_cache is single-process (the cache shards over "
+                "the local mesh; per-host caches are future work)")
+        from multimodal_similarity_tpu.data.device_cache import (
+            DeviceFeatureCache, cache_budget_bytes)
+        cache = DeviceFeatureCache.build(
+            self.local_set, n_seg=cfg.num_seg,
+            sess_per_batch=cfg.sess_per_batch,
+            event_budget=self.event_budget, seed=cfg.seed, mesh=None,
+            budget_bytes=cache_budget_bytes(cfg.device_cache_gb),
+            modality_modes=modality_modes, verbose=not cfg.silent_mode)
+        if cache is not None:
+            self.batch_per_epoch = cache.batches_per_epoch
+        return cache
+
+    def cached_programs(self, cache, body):
+        """Build the fused gather+train program(s) for ``body``
+        (train/cached_steps.make_cached_body_step): the K=1 step, the
+        ``--steps_per_dispatch`` scanned program (or None), and the
+        cache's resident step operands."""
+        from multimodal_similarity_tpu.data.device_cache import (
+            notice_window_shortfall)
+        from multimodal_similarity_tpu.train.cached_steps import (
+            make_cached_body_step)
+        fused = make_cached_body_step(body, cache)
+        multi = None
+        k = getattr(self.cfg, "steps_per_dispatch", 1)
+        if k > 1:
+            multi = make_cached_body_step(body, cache, steps_per_dispatch=k)
+            notice_window_shortfall(cache, k, self.cfg.name,
+                                    self.cfg.silent_mode)
+        return fused, multi, cache.step_operands()
+
+    def run_cached_epoch(self, cache, state, *, fused, multi, cache_ops,
+                         lr, step_host: int, epoch: int, echo=None):
+        """One epoch from the cache's KB-scale index plans through the
+        fused gather+train program: full ``--steps_per_dispatch`` windows
+        ride the scanned program (one dispatch RPC per K optimizer
+        steps), the epoch tail the K=1 step.  Metrics queue through
+        ``log_deferred`` (no per-step device readback); watchdog beats on
+        every dispatch; stop polls at window boundaries.  Returns
+        ``(state, step_host, stopped)`` — ``step_host`` is the
+        authoritative host-side step counter (reading ``state.step``
+        would force the sync this path exists to avoid).  The final
+        step's (device-resident) scalars are kept on
+        ``self.last_cached_aux`` for trainers that report a last-batch
+        metric; read it AFTER this returns (the epoch flush has synced)."""
+        import itertools
+        import time
+
+        import jax.numpy as jnp
+        import numpy as np
+
+        from multimodal_similarity_tpu.utils.preemption import (
+            sync_should_stop)
+
+        cfg = self.cfg
+        k = getattr(cfg, "steps_per_dispatch", 1)
+        stopped = False
+        plan_iter = iter(cache.epoch_plans())
+
+        def emit(aux_list, dt, first_step):
+            s = first_step
+            for aux in aux_list:
+                s += 1
+                self.last_cached_aux = aux
+                self.log_deferred(
+                    s, aux, {"train_time": dt, "learning_rate": lr},
+                    echo_fn=(None if echo is None else
+                             (lambda sc, st=s: echo(epoch, st, sc))))
+            return s
+
+        if multi is not None:
+            for win in iter(
+                    lambda: list(itertools.islice(plan_iter, k)), []):
+                t0 = time.time()
+                keys = [self.next_key() for _ in win]
+                if len(win) == k:
+                    state, auxs = multi(
+                        state, np.stack([p["packed"] for p in win]),
+                        jnp.stack(keys), jnp.float32(lr), *cache_ops)
+                    aux_list = [{n: v[i] for n, v in auxs.items()}
+                                for i in range(k)]
+                else:
+                    aux_list = []
+                    for p, key in zip(win, keys):
+                        state, aux = fused(state, p["packed"], key,
+                                           jnp.float32(lr), *cache_ops)
+                        aux_list.append(aux)
+                dt = (time.time() - t0) / len(win)
+                step_host = emit(aux_list, dt, step_host)
+                stopped = sync_should_stop(self._guard, self._pcount,
+                                           step=step_host)
+                if stopped:
+                    break
+        else:
+            for p in plan_iter:
+                t0 = time.time()
+                state, aux = fused(state, p["packed"], self.next_key(),
+                                   jnp.float32(lr), *cache_ops)
+                step_host = emit([aux], time.time() - t0, step_host)
+                stopped = sync_should_stop(self._guard, self._pcount,
+                                           step=step_host)
+                if stopped:
+                    break
+        self.flush_logs()  # epoch boundary: sync queued step metrics
+        return state, step_host, stopped
 
     def log(self, step: int, scalars, echo: str = ""):
         self.flush_logs()  # keep the JSONL stream step-ordered

@@ -19,7 +19,8 @@ from multimodal_similarity_tpu.data import mean_pool_input
 from multimodal_similarity_tpu.models import OutputLayer, build_encoder
 from multimodal_similarity_tpu.train.state import (
     TrainState, build_optimizer, l2_regularization, learning_rate_schedule)
-from multimodal_similarity_tpu.train.steps import jit_step, make_embed_fn
+from multimodal_similarity_tpu.train.steps import (
+    dequant_features, jit_step, make_embed_fn)
 from multimodal_similarity_tpu.train.trainer import epoch_of_step
 from multimodal_similarity_tpu.train.trainers._honda import HondaExperiment
 
@@ -51,12 +52,15 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
     state = TrainState.create(params, build_optimizer(cfg.optimizer,
                                                       cfg.learning_rate))
 
-    def step_fn_builder():
+    def step_fn_builder(jit=True):
         def step(state, events, targets, mask, key, learning_rate):
             k_drop, k_head = jax.random.split(key)
 
             def loss_fn(params):
-                hidden = core.apply({"params": params["encoder"]}, events,
+                # feed-polymorphic: dense f32 from the loader, or the int8
+                # {"q", "scale"} dict from the device cache's fused gather
+                hidden = core.apply({"params": params["encoder"]},
+                                    dequant_features(events),
                                     train=True, rngs={"dropout": k_drop})
                 logits = head.apply({"params": params["head"]},
                                     jax.nn.relu(hidden), train=True,
@@ -74,36 +78,66 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
             return (state.apply_gradients(grads,
                                           learning_rate=learning_rate), aux)
 
-        return jit_step(step)
+        return jit_step(step) if jit else step
 
     step_fn = step_fn_builder()
     embed_fn = make_embed_fn(core, True)
 
+    # --device_cache: both modalities live in HBM as int8; the video
+    # branch gathers fresh TSN segments per epoch while the target
+    # modality mean-pools its whole window ON DEVICE (the device twin of
+    # the mean_pool_input prepare above)
+    cache = exp.build_cache(modality_modes=("tsn", "meanpool"))
+    if cache is not None:
+        raw = step_fn_builder(jit=False)
+        fused, multi, cache_ops = exp.cached_programs(
+            cache, lambda st, ev, lab, m, k, lr_: raw(
+                st, ev[0], ev[1].reshape(ev[1].shape[0], -1), m, k, lr_))
+
     metrics = {}
-    epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
+    step_host = int(state.step)
+    epoch = epoch_of_step(step_host, exp.batch_per_epoch)
+    last_mse = [float("nan")]
     # exp.close() must run even when the loop raises: it
     # restores the SIGTERM guard and flushes logs/traces
     try:
         while epoch < cfg.max_epochs:
             lr = learning_rate_schedule(epoch, cfg.learning_rate,
                                         cfg.static_epochs, cfg.max_epochs)
-            for batch in exp.loader.epoch():
-                targets = batch["events2"].reshape(batch["events2"].shape[0], -1)
-                state, aux = step_fn(
-                    state, jnp.asarray(batch["events"]), jnp.asarray(targets),
-                    jnp.asarray(batch["mask"]), exp.next_key(), jnp.float32(lr))
-                exp.log(int(state.step),
-                        {**{k: float(v) for k, v in aux.items()},
-                         "learning_rate": lr},
-                        f"[{cfg.name}] epoch {epoch + 1} step {int(state.step)} "
-                        f"mse {float(aux['mse']):.4f}")
-                if exp._guard.should_stop:
-                    break
+            step_at_epoch_start = step_host
+            if cache is not None:
+                state, step_host, _ = exp.run_cached_epoch(
+                    cache, state, fused=fused, multi=multi,
+                    cache_ops=cache_ops, lr=lr, step_host=step_host,
+                    epoch=epoch,
+                    echo=lambda e, s, sc: (
+                        f"[{cfg.name}] epoch {e + 1} step {s} "
+                        f"mse {sc['mse']:.4f}"))
+                if step_host > step_at_epoch_start:
+                    last_mse[0] = float(exp.last_cached_aux["mse"])
+            else:
+                for batch in exp.loader.epoch():
+                    targets = batch["events2"].reshape(
+                        batch["events2"].shape[0], -1)
+                    state, aux = step_fn(
+                        state, jnp.asarray(batch["events"]),
+                        jnp.asarray(targets), jnp.asarray(batch["mask"]),
+                        exp.next_key(), jnp.float32(lr))
+                    exp.log(int(state.step),
+                            {**{k: float(v) for k, v in aux.items()},
+                             "learning_rate": lr},
+                            f"[{cfg.name}] epoch {epoch + 1} step "
+                            f"{int(state.step)} "
+                            f"mse {float(aux['mse']):.4f}")
+                    last_mse[0] = float(aux["mse"])
+                    if exp._guard.should_stop:
+                        break
+                step_host = int(state.step)
             if exp.preempted(state):
                 break
-            metrics = {"train_mse": float(aux["mse"])}
-            exp.ckpt.save(state, int(state.step))
-            epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
+            metrics = {"train_mse": last_mse[0]}
+            exp.ckpt.save(state, step_host)
+            epoch = epoch_of_step(step_host, exp.batch_per_epoch)
 
     finally:
         exp.close()

@@ -29,7 +29,7 @@ from multimodal_similarity_tpu.ops.mining import mine_semihard_triplets
 from multimodal_similarity_tpu.train.state import (
     TrainState, build_optimizer, l2_regularization, learning_rate_schedule)
 from multimodal_similarity_tpu.train.steps import (
-    jit_step, l2_normalize, make_embed_fn)
+    dequant_features, jit_step, l2_normalize, make_embed_fn, take_features)
 from multimodal_similarity_tpu.train.trainer import (
     cached_device, epoch_of_step, validate)
 from multimodal_similarity_tpu.train.trainers._honda import HondaExperiment
@@ -37,9 +37,12 @@ from multimodal_similarity_tpu.train.trainers._honda import HondaExperiment
 _PAD = 1e30
 
 
-def make_pddm_step(encoder, head, cfg: TrainConfig):
+def make_pddm_step(encoder, head, cfg: TrainConfig, jit: bool = True):
     """Fused: embed -> all-pairs PDDM dissim matrix -> semi-hard mining on
-    it -> re-forward -> pddm margin loss + 0.5 triplet."""
+    it -> re-forward -> pddm margin loss + 0.5 triplet.
+
+    ``jit=False`` returns the raw body for the fused device-cache path;
+    ``events`` may be dense or the int8 feed's {"q", "scale"} dict."""
 
     def step(state, events, labels, mask, key, learning_rate):
         k_mine, k_drop = jax.random.split(key)
@@ -53,7 +56,8 @@ def make_pddm_step(encoder, head, cfg: TrainConfig):
             return 1.0 - sim  # prob[:, 0] = dissimilar = 1 - prob[:, 1]
 
         def loss_fn(params):
-            emb_mine = encoder.apply({"params": params["encoder"]}, events)
+            emb_mine = encoder.apply({"params": params["encoder"]},
+                                     dequant_features(events))
             if cfg.normalized:
                 emb_mine = l2_normalize(emb_mine)
             emb_mine = jax.lax.stop_gradient(emb_mine)
@@ -68,7 +72,8 @@ def make_pddm_step(encoder, head, cfg: TrainConfig):
             tri_idx = jnp.concatenate(
                 [mined.anchor, mined.positive, mined.negative])
             tri_emb = encoder.apply(
-                {"params": params["encoder"]}, jnp.take(events, tri_idx, 0),
+                {"params": params["encoder"]},
+                dequant_features(take_features(events, tri_idx)),
                 train=True, rngs={"dropout": k_drop})
             if cfg.normalized:
                 tri_emb = l2_normalize(tri_emb)
@@ -97,7 +102,7 @@ def make_pddm_step(encoder, head, cfg: TrainConfig):
         state = state.apply_gradients(grads, learning_rate=learning_rate)
         return state, aux
 
-    return jit_step(step)
+    return jit_step(step) if jit else step
 
 
 def pddm_similarity_matrix(encoder, head, params, feats, normalized=True,
@@ -151,30 +156,52 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
     embed_fn = make_embed_fn(encoder, cfg.normalized)
     step_fn = make_pddm_step(encoder, head, cfg)
 
+    # --device_cache: the train set lives in HBM as int8; epochs gather
+    # fresh TSN segments on device and the link carries only index plans
+    cache = exp.build_cache()
+    if cache is not None:
+        raw = make_pddm_step(encoder, head, cfg, jit=False)
+        fused, multi, cache_ops = exp.cached_programs(
+            cache, lambda st, ev, lab, m, k, lr_: raw(st, ev[0], lab, m,
+                                                      k, lr_))
+
     metrics = {}
-    epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
+    step_host = int(state.step)
+    epoch = epoch_of_step(step_host, exp.batch_per_epoch)
     # exp.close() must run even when the loop raises: it
     # restores the SIGTERM guard and flushes logs/traces
     try:
         while epoch < cfg.max_epochs:
             lr = learning_rate_schedule(epoch, cfg.learning_rate,
                                         cfg.static_epochs, cfg.max_epochs)
-            step_at_epoch_start = int(state.step)
-            for batch in exp.loader.epoch():
-                state, aux = step_fn(
-                    state, jnp.asarray(batch["events"]),
-                    jnp.asarray(batch["labels"]), jnp.asarray(batch["mask"]),
-                    exp.next_key(), jnp.float32(lr))
-                exp.log(int(state.step),
-                        {**{k: float(v) for k, v in aux.items()},
-                         "learning_rate": lr},
-                        f"[{cfg.name}] epoch {epoch + 1} step {int(state.step)} "
-                        f"loss {float(aux['loss']):.4f}")
-                if exp._guard.should_stop:
-                    break
+            step_at_epoch_start = step_host
+            if cache is not None:
+                state, step_host, _ = exp.run_cached_epoch(
+                    cache, state, fused=fused, multi=multi,
+                    cache_ops=cache_ops, lr=lr, step_host=step_host,
+                    epoch=epoch,
+                    echo=lambda e, s, sc: (
+                        f"[{cfg.name}] epoch {e + 1} step {s} "
+                        f"loss {sc['loss']:.4f}"))
+            else:
+                for batch in exp.loader.epoch():
+                    state, aux = step_fn(
+                        state, jnp.asarray(batch["events"]),
+                        jnp.asarray(batch["labels"]),
+                        jnp.asarray(batch["mask"]),
+                        exp.next_key(), jnp.float32(lr))
+                    exp.log(int(state.step),
+                            {**{k: float(v) for k, v in aux.items()},
+                             "learning_rate": lr},
+                            f"[{cfg.name}] epoch {epoch + 1} step "
+                            f"{int(state.step)} "
+                            f"loss {float(aux['loss']):.4f}")
+                    if exp._guard.should_stop:
+                        break
+                step_host = int(state.step)
             if exp.preempted(state):
                 break
-            if int(state.step) == step_at_epoch_start:
+            if step_host == step_at_epoch_start:
                 print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")
                 break
             metrics, _ = validate(
@@ -184,12 +211,12 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                                          cached_device(exp.val_feats),
                                          cfg.normalized)
             metrics["val_mAP_PDDM"] = mAP_PDDM(sim, exp.val_labels)
-            exp.log(int(state.step), metrics,
+            exp.log(step_host, metrics,
                     f"[{cfg.name}] epoch {epoch + 1} "
                     f"val mAP {metrics['val_mAP']:.4f} "
                     f"mAP_PDDM {metrics['val_mAP_PDDM']:.4f}")
-            exp.ckpt.save(state, int(state.step))
-            epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
+            exp.ckpt.save(state, step_host)
+            epoch = epoch_of_step(step_host, exp.batch_per_epoch)
 
     finally:
         exp.close()

@@ -22,7 +22,7 @@ from multimodal_similarity_tpu.train.state import (
 from multimodal_similarity_tpu.train.trainer import (
     cached_device, epoch_of_step)
 from multimodal_similarity_tpu.train.trainers._honda import HondaExperiment
-from multimodal_similarity_tpu.train.steps import jit_step
+from multimodal_similarity_tpu.train.steps import dequant_features, jit_step
 
 
 def train(cfg: TrainConfig, mode: str = "seq2seq",
@@ -46,11 +46,14 @@ def train(cfg: TrainConfig, mode: str = "seq2seq",
                               build_optimizer(cfg.optimizer,
                                               cfg.learning_rate))
 
-    def step_fn_builder():
+    def step_fn_builder(jit=True):
         def step(state, events, mask, key, learning_rate):
             def loss_fn(params):
-                x = events if mode == "seq2seq" else \
-                    events.reshape(events.shape[0], -1)
+                # feed-polymorphic: dense f32 from the loader, or the int8
+                # {"q", "scale"} dict from the device cache's fused gather
+                feats = dequant_features(events)
+                x = feats if mode == "seq2seq" else \
+                    feats.reshape(feats.shape[0], -1)
                 _, recon = model.apply({"params": params}, x, train=True,
                                        rngs={"dropout": key})
                 sq = jnp.mean(jnp.square(x - recon).reshape(
@@ -67,33 +70,53 @@ def train(cfg: TrainConfig, mode: str = "seq2seq",
             return (state.apply_gradients(grads,
                                           learning_rate=learning_rate), aux)
 
-        return jit_step(step)
+        return jit_step(step) if jit else step
 
     step_fn = step_fn_builder()
+
+    # --device_cache: the train set lives in HBM as int8; epochs gather
+    # fresh TSN segments on device and the link carries only index plans
+    cache = exp.build_cache()
+    if cache is not None:
+        raw = step_fn_builder(jit=False)
+        fused, multi, cache_ops = exp.cached_programs(
+            cache, lambda st, ev, lab, m, k, lr_: raw(st, ev[0], m, k, lr_))
 
     # hoisted so the cached_device one-slot cache sees a stable object
     val_x_host = exp.val_feats if mode == "seq2seq" else \
         exp.val_feats.reshape(exp.val_feats.shape[0], -1)
 
     metrics = {}
-    epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
+    step_host = int(state.step)
+    epoch = epoch_of_step(step_host, exp.batch_per_epoch)
     # exp.close() must run even when the loop raises: it
     # restores the SIGTERM guard and flushes logs/traces
     try:
         while epoch < cfg.max_epochs:
             lr = learning_rate_schedule(epoch, cfg.learning_rate,
                                         cfg.static_epochs, cfg.max_epochs)
-            for batch in exp.loader.epoch():
-                state, aux = step_fn(state, jnp.asarray(batch["events"]),
-                                     jnp.asarray(batch["mask"]), exp.next_key(),
-                                     jnp.float32(lr))
-                exp.log(int(state.step),
-                        {**{k: float(v) for k, v in aux.items()},
-                         "learning_rate": lr},
-                        f"[{cfg.name}] epoch {epoch + 1} step {int(state.step)} "
-                        f"mse {float(aux['mse']):.4f}")
-                if exp._guard.should_stop:
-                    break
+            if cache is not None:
+                state, step_host, _ = exp.run_cached_epoch(
+                    cache, state, fused=fused, multi=multi,
+                    cache_ops=cache_ops, lr=lr, step_host=step_host,
+                    epoch=epoch,
+                    echo=lambda e, s, sc: (
+                        f"[{cfg.name}] epoch {e + 1} step {s} "
+                        f"mse {sc['mse']:.4f}"))
+            else:
+                for batch in exp.loader.epoch():
+                    state, aux = step_fn(state, jnp.asarray(batch["events"]),
+                                         jnp.asarray(batch["mask"]),
+                                         exp.next_key(), jnp.float32(lr))
+                    exp.log(int(state.step),
+                            {**{k: float(v) for k, v in aux.items()},
+                             "learning_rate": lr},
+                            f"[{cfg.name}] epoch {epoch + 1} step "
+                            f"{int(state.step)} "
+                            f"mse {float(aux['mse']):.4f}")
+                    if exp._guard.should_stop:
+                        break
+                step_host = int(state.step)
             if exp.preempted(state):
                 break
             # validation reconstruction error
@@ -101,10 +124,10 @@ def train(cfg: TrainConfig, mode: str = "seq2seq",
             _, recon = model.apply({"params": state.params}, x)
             val_mse = float(jnp.mean(jnp.square(x - recon)))
             metrics = {"val_mse": val_mse}
-            exp.log(int(state.step), metrics,
+            exp.log(step_host, metrics,
                     f"[{cfg.name}] epoch {epoch + 1} val mse {val_mse:.4f}")
-            exp.ckpt.save(state, int(state.step))
-            epoch = epoch_of_step(int(state.step), exp.batch_per_epoch)
+            exp.ckpt.save(state, step_host)
+            epoch = epoch_of_step(step_host, exp.batch_per_epoch)
 
     finally:
         exp.close()

@@ -757,3 +757,182 @@ def test_fused_cached_step_on_mesh(synth_root, tmp_path):
         losses.append(float(aux["loss"]))
     assert losses and all(np.isfinite(l) for l in losses)
     assert int(state.step) == len(losses)
+
+
+# -- generic cached-body path (round 4 widening: every HondaExperiment
+# -- trainer can ride the cache via cached_steps.make_cached_body_step) ----
+
+
+def test_cached_body_step_matches_two_call_path(synth_root):
+    """make_cached_body_step fuses an ARBITRARY trainer body with the
+    cache gather; must match the two-call oracle (cache._gather under the
+    key's first split -> raw body under the second) bit-for-bit.  Uses
+    the multitask triplet+verification body — in-step semi-hard mining,
+    two heads — as the representative."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_similarity_tpu.models import PairSim2, build_encoder
+    from multimodal_similarity_tpu.train.cached_steps import (
+        make_cached_body_step)
+    from multimodal_similarity_tpu.train.state import (
+        TrainState, build_optimizer)
+    from multimodal_similarity_tpu.train.trainers.multitask_model import (
+        make_multitask_step)
+
+    cfg = TrainConfig(
+        DATA_ROOT=synth_root, feat="sensors", network="rtsn", n_input=8,
+        emb_dim=16, num_seg=N_SEG, triplet_per_batch=8, lambda_ver=0.5,
+        keep_prob=0.9).resolve()
+    dataset = prepare_dataset(cfg.feature_root, cfg.train_session,
+                              "sensors", cfg.label_root, "goal")
+    cache = DeviceFeatureCache.build(
+        dataset, n_seg=N_SEG, sess_per_batch=2, event_budget=24, seed=9)
+
+    import jax.random as jrandom
+    encoder = build_encoder("rtsn", num_seg=N_SEG, emb_dim=16, n_input=8,
+                            keep_prob=0.9)
+    ver = PairSim2(n_input=16, keep_prob=0.9)
+    enc_p = encoder.init(jrandom.PRNGKey(0),
+                         jnp.zeros((2, N_SEG, 8)))["params"]
+    e0 = jnp.zeros((2, 16), jnp.float32)
+    ver_p = ver.init(jrandom.PRNGKey(1), e0, e0, method="score")["params"]
+    params = {"encoder": enc_p, "ver": ver_p}
+
+    def fresh_state():
+        p = jax.tree.map(lambda a: np.array(a), params)
+        return TrainState.create(p, build_optimizer("ADAM", 0.01))
+
+    raw = make_multitask_step(encoder, ver, cfg, jit=False)
+    fused = make_cached_body_step(
+        lambda st, ev, lab, m, k, lr: raw(st, ev[0], lab, m, k, lr), cache)
+    plan = next(cache.epoch_plans())
+    key = jrandom.PRNGKey(5)
+    s1, aux1 = fused(fresh_state(), plan["packed"], key, jnp.float32(0.01),
+                     *cache.step_operands())
+
+    k_gather, k_body = jrandom.split(key)
+    gathered, labels, mask = cache._gather(
+        k_gather, jnp.asarray(plan["packed"][0]), *cache.step_operands())
+    s2, aux2 = jax.jit(raw)(fresh_state(), gathered[0], labels, mask,
+                            k_body, jnp.float32(0.01))
+
+    assert float(aux1["loss"]) == float(aux2["loss"])
+    assert float(aux1["ver_acc"]) == float(aux2["ver_acc"])
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_cache_meanpool_modality_matches_host_mean(synth_root):
+    """modality_modes=("tsn", "meanpool"): the pooled modality must equal
+    the masked frame mean of the DEQUANTIZED stored window (the device
+    twin of mean_pool_input; the only approximation vs the streamed f32
+    target is int8 storage itself)."""
+    cfg = TrainConfig(DATA_ROOT=synth_root, feat="sensors").resolve()
+    dataset = prepare_multimodal_dataset(
+        cfg.feature_root, cfg.train_session, ["resnet", "sensors"],
+        cfg.label_root, "goal")
+    cache = DeviceFeatureCache.build(
+        dataset, n_seg=N_SEG, sess_per_batch=2, event_budget=16, seed=3,
+        modality_modes=("tsn", "meanpool"))
+    assert cache is not None
+    windows, lens, _ = _load_all_windows(dataset, 1)   # sensors [N, T, 8]
+    q, s = quantize_features(windows)
+    deq = q.astype(np.float32) * s
+
+    batch = next(cache.epoch_batches())
+    # tsn modality keeps the int8 dict form; pooled modality is dense
+    assert isinstance(batch["events"], dict)
+    pooled = np.asarray(batch["events2"])
+    assert pooled.ndim == 2 and pooled.shape[1] == 8
+    mask = np.asarray(batch["mask"])
+    idx = batch["global_indices"]
+    for i in np.where(mask > 0)[0]:
+        expected = deq[idx[i], : lens[idx[i]]].mean(axis=0)
+        np.testing.assert_allclose(pooled[i], expected, rtol=1e-5,
+                                   atol=1e-6)
+
+
+def test_cache_rejects_bad_modality_modes(synth_root):
+    cfg = TrainConfig(DATA_ROOT=synth_root, feat="sensors").resolve()
+    dataset = prepare_dataset(cfg.feature_root, cfg.train_session,
+                              "sensors", cfg.label_root, "goal")
+    with pytest.raises(ValueError, match="modality_modes"):
+        DeviceFeatureCache.build(dataset, n_seg=N_SEG, sess_per_batch=2,
+                                 event_budget=16, seed=0,
+                                 modality_modes=("tsn", "meanpool"))
+    with pytest.raises(ValueError, match="unknown modality modes"):
+        DeviceFeatureCache.build(dataset, n_seg=N_SEG, sess_per_batch=2,
+                                 event_budget=16, seed=0,
+                                 modality_modes=("maxpool",))
+
+
+def test_multitask_trainer_with_device_cache(synth_root, tmp_path):
+    """--device_cache + --steps_per_dispatch on the multitask trainer:
+    trains end-to-end from the resident cache (scanned K-step windows +
+    the K=1 tail) and validates finitely."""
+    from multimodal_similarity_tpu.train.trainers import multitask_model
+    cfg = TrainConfig(
+        DATA_ROOT=synth_root, name="mtdc", network="rtsn", feat="sensors",
+        n_input=8, emb_dim=16, num_seg=N_SEG, sess_per_batch=2,
+        max_epochs=2, triplet_per_batch=16, lambda_ver=0.5,
+        learning_rate=0.01, keep_prob=0.9, silent_mode=True,
+        device_cache=True, steps_per_dispatch=2).resolve()
+    state, metrics, rd = multitask_model.train(
+        cfg, event_budget=24, result_dir=str(tmp_path / "mtdc"))
+    assert int(state.step) >= 2
+    assert np.isfinite(metrics["val_mAP"])
+    # deferred logging recorded every step in order
+    import json
+    recs = [json.loads(l) for l in
+            open(rd + "/metrics.jsonl").read().strip().split("\n")]
+    train_steps = [r["step"] for r in recs if "loss" in r]
+    assert train_steps == list(range(1, int(state.step) + 1))
+
+
+@pytest.mark.slow
+def test_pddm_trainer_with_device_cache(synth_root, tmp_path):
+    from multimodal_similarity_tpu.train.trainers import pddm_model
+    cfg = TrainConfig(
+        DATA_ROOT=synth_root, name="pddc", network="rtsn", feat="sensors",
+        n_input=8, emb_dim=16, num_seg=N_SEG, sess_per_batch=2,
+        max_epochs=1, triplet_per_batch=16, learning_rate=0.01,
+        keep_prob=0.9, silent_mode=True, device_cache=True).resolve()
+    state, metrics, _ = pddm_model.train(
+        cfg, event_budget=24, result_dir=str(tmp_path / "pddc"))
+    assert int(state.step) >= 1
+    assert np.isfinite(metrics["val_mAP_PDDM"])
+
+
+@pytest.mark.slow
+def test_sae_trainer_with_device_cache(synth_root, tmp_path):
+    from multimodal_similarity_tpu.train.trainers import (
+        unimodal_pretrain_sae)
+    cfg = TrainConfig(
+        DATA_ROOT=synth_root, name="saedc", network="rtsn", feat="sensors",
+        n_input=8, emb_dim=16, num_seg=N_SEG, sess_per_batch=2,
+        max_epochs=1, learning_rate=0.01, keep_prob=0.9,
+        silent_mode=True, device_cache=True).resolve()
+    state, metrics, _ = unimodal_pretrain_sae.train(
+        cfg, event_budget=24, result_dir=str(tmp_path / "saedc"))
+    assert int(state.step) >= 1
+    assert np.isfinite(metrics["val_mse"])
+
+
+@pytest.mark.slow
+def test_cross_prediction_trainer_with_device_cache(synth_root, tmp_path):
+    """--device_cache on cross_prediction: the video modality gathers TSN
+    segments, the target modality mean-pools ON DEVICE."""
+    from multimodal_similarity_tpu.train.trainers import cross_prediction
+    cfg = TrainConfig(
+        DATA_ROOT=synth_root, name="cxdc", network="convrtsn",
+        feat=["resnet", "sensors"], n_h=2, n_w=2, n_C=4, n_input=8,
+        emb_dim=16, num_seg=N_SEG, sess_per_batch=2, max_epochs=1,
+        learning_rate=0.01, keep_prob=0.9, silent_mode=True,
+        device_cache=True).resolve()
+    state, metrics, _ = cross_prediction.train(
+        cfg, event_budget=24, result_dir=str(tmp_path / "cxdc"))
+    assert int(state.step) >= 1
+    assert np.isfinite(metrics["train_mse"])
