@@ -17,13 +17,14 @@ from multimodal_similarity_tpu.data import generate_synthetic_honda
 
 # retrieval-metric tolerance band for A/B runs that share data + config
 # but not triplet index traces (mining is stochastic in both modes).
-# VARIANCE-JUSTIFIED (round-3 study, RESULTS.md "A/B parity"): converged
-# 30-epoch TPU runs over 3 seeds per mode measured per-seed mAP sigma
-# ~0.031 (device) / ~0.036 (host), so a single-run A/B difference has
-# sigma ~0.048 and this band is ~2.4 sigma; the measured MEAN gaps are
-# 0.029 (base) and 0.020 (flagship) — an order of magnitude inside it.
-# A tighter band (e.g. the 0.05 once proposed) would false-fail on seed
-# noise alone unless the gate averaged several seeds per mode.
+# VARIANCE-JUSTIFIED (scripts/ab_mining_study.py, RESULTS.md "A/B
+# parity"): converged TPU runs over 3 seeds per mode measured per-seed
+# mAP sigma 0.038-0.064 across runs/modes, so a single-run A/B
+# difference has sigma ~0.058 (base) / ~0.083 (flagship) and this band
+# is 1.4-2.1 sigma; the measured MEAN gaps are 0.029 (base) and 0.017
+# (flagship) — far inside it.  A tighter band (e.g. the 0.05 once
+# proposed) is under 1 sigma of flagship seed noise and would
+# false-fail regularly unless the gate averaged several seeds per mode.
 MAP_TOLERANCE = 0.12
 
 
