@@ -33,6 +33,11 @@ ENDPOINT_CHANNELS: Dict[str, int] = {
     "Mixed_6a": 1088, "Mixed_7a": 2080, "Conv2d_7b_1x1": 1536,
 }
 
+# pipeline-parallel unit layout (parallel/pipeline.py): the trunk
+# decomposes into 44 sequential units — stem, Mixed_5b, 10x block35,
+# Mixed_6a, 20x block17, Mixed_7a, 9x block8, final Block8+Conv2d_7b.
+N_PIPELINE_UNITS = 44
+
 
 class InceptionResNetV2(nn.Module):
     """Trunk to the Conv2d_7b_1x1 endpoint ([B, 8, 8, 1536] at 299x299)."""
@@ -98,9 +103,7 @@ class InceptionResNetV2(nn.Module):
         out = x + scale * up
         return nn.relu(out) if activate else out
 
-    @nn.compact
-    def __call__(self, x: Array, train: bool = False):
-        endpoints: Dict[str, Array] = {}
+    def _stem(self, x, train: bool, endpoints: Dict[str, Array]):
         h = self._conv_bn("Conv2d_1a_3x3", x, 32, (3, 3), stride=2,
                           padding="VALID", train=train)
         endpoints["Conv2d_1a_3x3"] = h
@@ -116,9 +119,9 @@ class InceptionResNetV2(nn.Module):
         h = self._conv_bn("Conv2d_4a_3x3", h, 192, (3, 3), padding="VALID",
                           train=train)
         endpoints["Conv2d_4a_3x3"] = h
-        h = nn.max_pool(h, (3, 3), strides=(2, 2), padding="VALID")
+        return nn.max_pool(h, (3, 3), strides=(2, 2), padding="VALID")
 
-        # Mixed_5b (Inception-A base)
+    def _mixed_5b(self, h, train: bool):
         r0 = self._conv_bn("Mixed_5b_Branch_0_Conv2d_1x1", h, 96, (1, 1),
                            train=train)
         r1 = self._conv_bn("Mixed_5b_Branch_1_Conv2d_0a_1x1", h, 48, (1, 1),
@@ -138,13 +141,9 @@ class InceptionResNetV2(nn.Module):
                         count_include_pad=False)
         r3 = self._conv_bn("Mixed_5b_Branch_3_Conv2d_0b_1x1", p, 64, (1, 1),
                            train=train)
-        h = jnp.concatenate([r0, r1, r2, r3], -1)
-        endpoints["Mixed_5b"] = h
+        return jnp.concatenate([r0, r1, r2, r3], -1)
 
-        for i in range(1, 11):
-            h = self._block35(f"Repeat_block35_{i}", h, train)
-
-        # Mixed_6a (reduction)
+    def _mixed_6a(self, h, train: bool):
         r0 = self._conv_bn("Mixed_6a_Branch_0_Conv2d_1a_3x3", h, 384,
                            (3, 3), stride=2, padding="VALID", train=train)
         r1 = self._conv_bn("Mixed_6a_Branch_1_Conv2d_0a_1x1", h, 256,
@@ -154,13 +153,9 @@ class InceptionResNetV2(nn.Module):
         r1 = self._conv_bn("Mixed_6a_Branch_1_Conv2d_1a_3x3", r1, 384,
                            (3, 3), stride=2, padding="VALID", train=train)
         r2 = nn.max_pool(h, (3, 3), strides=(2, 2), padding="VALID")
-        h = jnp.concatenate([r0, r1, r2], -1)
-        endpoints["Mixed_6a"] = h
+        return jnp.concatenate([r0, r1, r2], -1)
 
-        for i in range(1, 21):
-            h = self._block17(f"Repeat_1_block17_{i}", h, train)
-
-        # Mixed_7a (reduction)
+    def _mixed_7a(self, h, train: bool):
         r0 = self._conv_bn("Mixed_7a_Branch_0_Conv2d_0a_1x1", h, 256,
                            (1, 1), train=train)
         r0 = self._conv_bn("Mixed_7a_Branch_0_Conv2d_1a_3x3", r0, 384,
@@ -176,14 +171,57 @@ class InceptionResNetV2(nn.Module):
         r2 = self._conv_bn("Mixed_7a_Branch_2_Conv2d_1a_3x3", r2, 320,
                            (3, 3), stride=2, padding="VALID", train=train)
         r3 = nn.max_pool(h, (3, 3), strides=(2, 2), padding="VALID")
-        h = jnp.concatenate([r0, r1, r2, r3], -1)
-        endpoints["Mixed_7a"] = h
+        return jnp.concatenate([r0, r1, r2, r3], -1)
 
+    def _units(self, train: bool, endpoints: Dict[str, Array]):
+        """The trunk as N_PIPELINE_UNITS sequential (name, fn) units.
+
+        Every unit is a pure h -> h closure creating its own (explicitly
+        named) parameters, so any contiguous run [lo, hi) is a valid
+        sub-network: parallel/pipeline.py partitions the units into
+        pipeline stages and inits/applies each stage independently."""
+        units = [("stem", lambda h: self._stem(h, train, endpoints))]
+        units.append(("Mixed_5b", lambda h: self._mixed_5b(h, train)))
+        for i in range(1, 11):
+            units.append((f"block35_{i}",
+                          lambda h, i=i: self._block35(
+                              f"Repeat_block35_{i}", h, train)))
+        units.append(("Mixed_6a", lambda h: self._mixed_6a(h, train)))
+        for i in range(1, 21):
+            units.append((f"block17_{i}",
+                          lambda h, i=i: self._block17(
+                              f"Repeat_1_block17_{i}", h, train)))
+        units.append(("Mixed_7a", lambda h: self._mixed_7a(h, train)))
         for i in range(1, 10):
-            h = self._block8(f"Repeat_2_block8_{i}", h, train)
-        h = self._block8("Block8", h, train, scale=1.0, activate=False)
+            units.append((f"block8_{i}",
+                          lambda h, i=i: self._block8(
+                              f"Repeat_2_block8_{i}", h, train)))
 
-        h = self._conv_bn("Conv2d_7b_1x1", h, 1536, (1, 1), train=train)
+        def final(h):
+            h = self._block8("Block8", h, train, scale=1.0, activate=False)
+            return self._conv_bn("Conv2d_7b_1x1", h, 1536, train=train,
+                                 kernel=(1, 1))
+        units.append(("final", final))
+        assert len(units) == N_PIPELINE_UNITS
+        return units
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False, unit_lo: int = 0,
+                 unit_hi: int = N_PIPELINE_UNITS):
+        """Full forward by default; ``unit_lo``/``unit_hi`` run only the
+        units in [lo, hi) — the segmented form pipeline parallelism
+        applies per stage (the input is then the previous stage's
+        activation, not an image)."""
+        if self.capture_endpoints and (unit_lo, unit_hi) != (
+                0, N_PIPELINE_UNITS):
+            raise ValueError("capture_endpoints needs the full unit range")
+        endpoints: Dict[str, Array] = {}
+        h = x
+        names = {"Mixed_5b", "Mixed_6a", "Mixed_7a"}
+        for name, fn in self._units(train, endpoints)[unit_lo:unit_hi]:
+            h = fn(h)
+            if name in names:
+                endpoints[name] = h
         endpoints["Conv2d_7b_1x1"] = h
         if self.capture_endpoints:
             return h, endpoints

@@ -19,6 +19,10 @@ from multimodal_similarity_tpu.parallel.multihost import (
     host_local_sessions,
     make_global_batch,
 )
+from multimodal_similarity_tpu.parallel.pipeline import (
+    PipelinedBackbone,
+    split_units_balanced,
+)
 from multimodal_similarity_tpu.parallel.ring_lifted import (
     make_ring_lifted_loss,
     make_ring_lifted_stats_grad,
@@ -58,4 +62,6 @@ __all__ = [
     "tp_sharded_leaves",
     "auto_mesh_tp",
     "create_2d_mesh",
+    "PipelinedBackbone",
+    "split_units_balanced",
 ]

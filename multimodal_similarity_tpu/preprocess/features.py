@@ -40,7 +40,10 @@ def _load_frames(frame_dir: str):
 def flax_backbone(name: str = "inception_resnet_v2",
                   slim_checkpoint: Optional[str] = None,
                   image_size: Optional[int] = None,
-                  batch_pad: bool = True) -> Callable:
+                  batch_pad: bool = True,
+                  pipeline_stages: int = 0,
+                  pipeline_microbatch: int = 8,
+                  frame_shape: Optional[tuple] = None) -> Callable:
     """embed_fn running the in-repo slim-exact towers on device.
 
     name: ``inception_resnet_v2`` -> [B, 8, 8, 1536] conv maps at 299
@@ -48,6 +51,10 @@ def flax_backbone(name: str = "inception_resnet_v2",
     ``inception_v1`` -> [B, 1024] pools at 224 (the CUB/Stanford40
     feature contract).  Preprocessing matches the reference exactly:
     uint8 -> /255 -> bilinear resize -> (x - 0.5) * 2.
+
+    ``pipeline_stages > 1`` stage-splits the InceptionResNetV2 trunk over
+    that many devices (parallel/pipeline.py): each device holds ~1/S of
+    the tower and microbatches stream through the stages concurrently.
     """
     import jax
     import jax.numpy as jnp
@@ -69,12 +76,34 @@ def flax_backbone(name: str = "inception_resnet_v2",
         from multimodal_similarity_tpu.models.slim_graft import graft_slim_npz
         variables = graft_slim_npz(variables, slim_checkpoint, prefix)
 
-    @jax.jit
-    def forward(batch):
+    def _pre(batch):
         x = batch.astype(jnp.float32) / 255.0
         x = jax.image.resize(x, (x.shape[0], size, size, 3), "bilinear")
-        x = (x - 0.5) * 2.0
-        return model.apply(variables, x)
+        return (x - 0.5) * 2.0
+
+    if pipeline_stages > 1:
+        if name != "inception_resnet_v2":
+            raise NotImplementedError(
+                "pipeline_stages requires the unit-segmented "
+                "inception_resnet_v2 trunk")
+        from multimodal_similarity_tpu.models.inception_resnet_v2 import (
+            N_PIPELINE_UNITS)
+        from multimodal_similarity_tpu.parallel.pipeline import (
+            INCEPTION_RESNET_V2_UNIT_COSTS, PipelinedBackbone)
+        # frames enter at the camera's native size (frame_shape); the
+        # uint8 -> resize -> scale preprocessing fuses into stage 0's
+        # program so raw bytes, not f32, ride the wire
+        h, w = frame_shape or (size, size)
+        return PipelinedBackbone(
+            model, variables, n_units=N_PIPELINE_UNITS,
+            input_shape=(h, w, 3), n_stages=pipeline_stages,
+            microbatch=pipeline_microbatch,
+            unit_costs=INCEPTION_RESNET_V2_UNIT_COSTS,
+            preprocess=_pre, input_dtype=jnp.uint8)
+
+    @jax.jit
+    def forward(batch):
+        return model.apply(variables, _pre(batch))
 
     def embed_fn(batch: np.ndarray) -> np.ndarray:
         n = batch.shape[0]
@@ -193,11 +222,22 @@ def main(argv=None):  # pragma: no cover
                         "torchvision model name")
     p.add_argument("--slim_checkpoint", default=None,
                    help=".npz of slim variable names -> arrays")
+    p.add_argument("--pipeline_stages", type=int, default=0,
+                   help="stage-split the inception_resnet_v2 trunk over "
+                        "this many devices (pipeline parallelism; 0/1 = "
+                        "single-device)")
+    p.add_argument("--frame_shape", default=None,
+                   help="native HxW of the stored frames (pipeline mode "
+                        "compiles for one fixed input shape)")
     args = p.parse_args(argv)
     with open(args.session_file) as f:
         sessions = f.read().strip().split("\n")
     if args.backbone in ("inception_resnet_v2", "inception_v1"):
-        embed_fn = flax_backbone(args.backbone, args.slim_checkpoint)
+        fs = (tuple(int(v) for v in args.frame_shape.split("x"))
+              if args.frame_shape else None)
+        embed_fn = flax_backbone(args.backbone, args.slim_checkpoint,
+                                 pipeline_stages=args.pipeline_stages,
+                                 frame_shape=fs)
     else:
         embed_fn = torch_backbone(args.backbone)
     extract_sessions(sessions, args.frame_root, args.feature_root,
