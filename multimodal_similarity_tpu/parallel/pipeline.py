@@ -119,6 +119,14 @@ class PipelinedBackbone:
         if devices is None:
             devices = jax.devices()
             if n_stages is not None:
+                if n_stages > len(devices):
+                    # refuse to silently collapse: a 1-chip host asked for
+                    # a 4-stage pipeline would otherwise "measure" a
+                    # layout that never existed
+                    raise ValueError(
+                        f"pipeline needs {n_stages} devices but only "
+                        f"{len(devices)} are visible — pass fewer stages "
+                        f"(or devices= explicitly)")
                 devices = devices[:n_stages]
         self.devices = list(devices)
         n_stages = len(self.devices)
@@ -215,8 +223,11 @@ class PipelinedBackbone:
                 [frames, np.zeros((pad,) + frames.shape[1:], frames.dtype)])
         outs = []
         for i in range(0, frames.shape[0], mb):
-            h = jax.device_put(jnp.asarray(frames[i:i + mb]),
-                               self.devices[0])
+            # put the host slice straight onto stage 0's device — an
+            # intermediate jnp.asarray would commit to the DEFAULT device
+            # first and pay the frame bytes twice when stage 0 lives
+            # elsewhere (the co-tenancy case)
+            h = jax.device_put(frames[i:i + mb], self.devices[0])
             for s, fn in enumerate(self.stage_fns):
                 if s:
                     h = jax.device_put(h, self.devices[s])

@@ -226,18 +226,26 @@ def main(argv=None):  # pragma: no cover
                    help="stage-split the inception_resnet_v2 trunk over "
                         "this many devices (pipeline parallelism; 0/1 = "
                         "single-device)")
-    p.add_argument("--frame_shape", default=None,
-                   help="native HxW of the stored frames (pipeline mode "
-                        "compiles for one fixed input shape)")
+    def _hxw(s):
+        parts = s.lower().split("x")
+        try:
+            h, w = (int(v) for v in parts)
+        except ValueError:
+            raise argparse.ArgumentTypeError(
+                f"expected HxW (e.g. 480x640), got {s!r}")
+        return (h, w)
+
+    p.add_argument("--frame_shape", type=_hxw, default=None,
+                   help="native HxW of the stored frames, e.g. 480x640 "
+                        "(pipeline mode compiles for one fixed input "
+                        "shape)")
     args = p.parse_args(argv)
     with open(args.session_file) as f:
         sessions = f.read().strip().split("\n")
     if args.backbone in ("inception_resnet_v2", "inception_v1"):
-        fs = (tuple(int(v) for v in args.frame_shape.split("x"))
-              if args.frame_shape else None)
         embed_fn = flax_backbone(args.backbone, args.slim_checkpoint,
                                  pipeline_stages=args.pipeline_stages,
-                                 frame_shape=fs)
+                                 frame_shape=args.frame_shape)
     else:
         embed_fn = torch_backbone(args.backbone)
     extract_sessions(sessions, args.frame_root, args.feature_root,

@@ -18,6 +18,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from multimodal_similarity_tpu.ops.losses import triplet_loss_masked
 from multimodal_similarity_tpu.ops.mining import (
@@ -154,6 +155,38 @@ def _jit_cached(step, cache, steps_per_dispatch: int):
     operand_s = tuple(row(a) for a in cache.step_operands())
     return jit_step(step, in_shardings=(None, packed_s, repl, repl,
                                         *operand_s))
+
+
+def dispatch_plan_window(state, win, keys, lr, *, fused, multi, k,
+                         plan_args, extra_args=(), cache_ops=()):
+    """One window of cached-batch plans through the right program.
+
+    A full-K window rides the scanned ``--steps_per_dispatch`` program
+    (ONE dispatch for K optimizer steps); a short window — the epoch
+    tail, or a trainer without the scanned program (``multi`` None) —
+    rides the K=1 fused step, so no batch is ever dropped.  This is the
+    single copy of the stack/de-interleave mechanics every cached
+    trainer loop shares: ``plan_args(plan)`` yields the per-plan host
+    arrays in the fused step's positional order (stacked along a new
+    leading K axis for the scanned form), ``extra_args`` are non-plan
+    operands sitting between them and the PRNG key (e.g. the flagship's
+    class-margin table), ``keys`` is one PRNG key per plan.  Returns
+    ``(state, aux_list)`` with one device-scalars dict per optimizer
+    step, in step order.
+    """
+    if multi is not None and len(win) == k:
+        stacked = (np.stack(c) for c in zip(*(plan_args(p) for p in win)))
+        state, auxs = multi(state, *stacked, *extra_args,
+                            jnp.stack(list(keys)), jnp.float32(lr),
+                            *cache_ops)
+        return state, [{n: v[i] for n, v in auxs.items()}
+                       for i in range(len(win))]
+    aux_list = []
+    for p, key in zip(win, keys):
+        state, aux = fused(state, *plan_args(p), *extra_args, key,
+                           jnp.float32(lr), *cache_ops)
+        aux_list.append(aux)
+    return state, aux_list
 
 
 def make_cached_body_step(body, cache, *, steps_per_dispatch: int = 1):

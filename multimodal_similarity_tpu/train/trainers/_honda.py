@@ -232,9 +232,6 @@ class HondaExperiment:
         import itertools
         import time
 
-        import jax.numpy as jnp
-        import numpy as np
-
         from multimodal_similarity_tpu.utils.preemption import (
             sync_should_stop)
 
@@ -254,39 +251,22 @@ class HondaExperiment:
                              (lambda sc, st=s: echo(epoch, st, sc))))
             return s
 
-        if multi is not None:
-            for win in iter(
-                    lambda: list(itertools.islice(plan_iter, k)), []):
-                t0 = time.time()
-                keys = [self.next_key() for _ in win]
-                if len(win) == k:
-                    state, auxs = multi(
-                        state, np.stack([p["packed"] for p in win]),
-                        jnp.stack(keys), jnp.float32(lr), *cache_ops)
-                    aux_list = [{n: v[i] for n, v in auxs.items()}
-                                for i in range(k)]
-                else:
-                    aux_list = []
-                    for p, key in zip(win, keys):
-                        state, aux = fused(state, p["packed"], key,
-                                           jnp.float32(lr), *cache_ops)
-                        aux_list.append(aux)
-                dt = (time.time() - t0) / len(win)
-                step_host = emit(aux_list, dt, step_host)
-                stopped = sync_should_stop(self._guard, self._pcount,
-                                           step=step_host)
-                if stopped:
-                    break
-        else:
-            for p in plan_iter:
-                t0 = time.time()
-                state, aux = fused(state, p["packed"], self.next_key(),
-                                   jnp.float32(lr), *cache_ops)
-                step_host = emit([aux], time.time() - t0, step_host)
-                stopped = sync_should_stop(self._guard, self._pcount,
-                                           step=step_host)
-                if stopped:
-                    break
+        from multimodal_similarity_tpu.train.cached_steps import (
+            dispatch_plan_window)
+        window = k if multi is not None else 1
+        for win in iter(
+                lambda: list(itertools.islice(plan_iter, window)), []):
+            t0 = time.time()
+            state, aux_list = dispatch_plan_window(
+                state, win, [self.next_key() for _ in win], lr,
+                fused=fused, multi=multi, k=k,
+                plan_args=lambda p: (p["packed"],), cache_ops=cache_ops)
+            dt = (time.time() - t0) / len(win)
+            step_host = emit(aux_list, dt, step_host)
+            stopped = sync_should_stop(self._guard, self._pcount,
+                                       step=step_host)
+            if stopped:
+                break
         self.flush_logs()  # epoch boundary: sync queued step metrics
         return state, step_host, stopped
 

@@ -380,6 +380,8 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                 # epoch-tail remainder rides the K=1 fused step so no
                 # batch is dropped.  Falls through to the same epoch
                 # epilogue as the per-batch loop.
+                from multimodal_similarity_tpu.train.cached_steps import (
+                    dispatch_plan_window)
                 K = cfg.steps_per_dispatch
                 for win in iter(
                         lambda: list(itertools.islice(batch_iter, K)), []):
@@ -388,19 +390,11 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                     for _ in win:
                         rng, k_step = jax.random.split(rng)
                         keys.append(k_step)
-                    if len(win) == K:
-                        state, auxs = multi_cached(
-                            state, np.stack([p["packed"] for p in win]),
-                            jnp.stack(keys), jnp.float32(lr), *cache_ops)
-                        aux_list = [{k: v[i] for k, v in auxs.items()}
-                                    for i in range(K)]
-                    else:
-                        aux_list = []
-                        for p, k_step in zip(win, keys):
-                            state, aux = cached_step(
-                                state, p["packed"], k_step,
-                                jnp.float32(lr), *cache_ops)
-                            aux_list.append(aux)
+                    state, aux_list = dispatch_plan_window(
+                        state, win, keys, lr, fused=cached_step,
+                        multi=multi_cached, k=K,
+                        plan_args=lambda p: (p["packed"],),
+                        cache_ops=cache_ops)
                     dt = (time.time() - t0) / len(win)
                     for aux in aux_list:
                         step_host += 1

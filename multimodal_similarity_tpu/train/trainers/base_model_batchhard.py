@@ -331,28 +331,18 @@ def train(cfg: TrainConfig, loss_kind: str = "batchhard",
                 # no batch is dropped.  Preemption polls at window
                 # boundaries (documented on --steps_per_dispatch).
                 # Falls through to the shared epoch epilogue below.
+                from multimodal_similarity_tpu.train.cached_steps import (
+                    dispatch_plan_window)
                 K = cfg.steps_per_dispatch
                 valid = [b for b in batch_iter if "empty" not in b]
                 for start in range(0, len(valid), K):
                     win = valid[start:start + K]
-                    if len(win) == K:
-                        keys_k = jnp.stack([exp.next_key() for _ in win])
-                        state, auxs = multi_fn(
-                            state,
-                            np.stack([b["packed"] for b in win]),
-                            np.stack([b["rows"] for b in win]),
-                            np.stack([b["labels"] for b in win]),
-                            keys_k, jnp.float32(lr), *cache_ops)
-                        aux_list = [{k: v[i] for k, v in auxs.items()}
-                                    for i in range(K)]
-                    else:
-                        aux_list = []
-                        for b in win:
-                            state, aux = step_fn(
-                                state, b["packed"], jnp.asarray(b["rows"]),
-                                jnp.asarray(b["labels"]), exp.next_key(),
-                                jnp.float32(lr), *cache_ops)
-                            aux_list.append(aux)
+                    state, aux_list = dispatch_plan_window(
+                        state, win, [exp.next_key() for _ in win], lr,
+                        fused=step_fn, multi=multi_fn, k=K,
+                        plan_args=lambda b: (b["packed"], b["rows"],
+                                             b["labels"]),
+                        cache_ops=cache_ops)
                     for aux in aux_list:
                         step_host += 1
                         exp.log_deferred(

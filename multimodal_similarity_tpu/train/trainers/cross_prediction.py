@@ -83,11 +83,13 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
     step_fn = step_fn_builder()
     embed_fn = make_embed_fn(core, True)
 
-    # --device_cache: both modalities live in HBM as int8; the video
-    # branch gathers fresh TSN segments per epoch while the target
-    # modality mean-pools its whole window ON DEVICE (the device twin of
-    # the mean_pool_input prepare above)
-    cache = exp.build_cache(modality_modes=("tsn", "meanpool"))
+    # --device_cache: the modalities live in HBM as int8; the video
+    # branch gathers fresh TSN segments per epoch while the regression
+    # target mean-pools its whole window ON DEVICE (the device twin of
+    # the mean_pool_input prepare above); any extra modalities (loaded
+    # but unused by this trainer, matching the streamed path) ride tsn
+    cache = exp.build_cache(
+        modality_modes=("tsn", "meanpool") + ("tsn",) * (len(modalities) - 2))
     if cache is not None:
         raw = step_fn_builder(jit=False)
         fused, multi, cache_ops = exp.cached_programs(
@@ -97,7 +99,7 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
     metrics = {}
     step_host = int(state.step)
     epoch = epoch_of_step(step_host, exp.batch_per_epoch)
-    last_mse = [float("nan")]
+    last_mse = float("nan")
     # exp.close() must run even when the loop raises: it
     # restores the SIGTERM guard and flushes logs/traces
     try:
@@ -114,7 +116,7 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                         f"[{cfg.name}] epoch {e + 1} step {s} "
                         f"mse {sc['mse']:.4f}"))
                 if step_host > step_at_epoch_start:
-                    last_mse[0] = float(exp.last_cached_aux["mse"])
+                    last_mse = float(exp.last_cached_aux["mse"])
             else:
                 for batch in exp.loader.epoch():
                     targets = batch["events2"].reshape(
@@ -129,13 +131,13 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                             f"[{cfg.name}] epoch {epoch + 1} step "
                             f"{int(state.step)} "
                             f"mse {float(aux['mse']):.4f}")
-                    last_mse[0] = float(aux["mse"])
+                    last_mse = float(aux["mse"])
                     if exp._guard.should_stop:
                         break
                 step_host = int(state.step)
             if exp.preempted(state):
                 break
-            metrics = {"train_mse": last_mse[0]}
+            metrics = {"train_mse": last_mse}
             exp.ckpt.save(state, step_host)
             epoch = epoch_of_step(step_host, exp.batch_per_epoch)
 

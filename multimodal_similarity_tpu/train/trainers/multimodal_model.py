@@ -779,24 +779,16 @@ def train(cfg: TrainConfig, hard_only: bool = False,
                 # ONE program invocation per K optimizer steps; the
                 # epoch-tail remainder rides the K=1 fused step.  Stop
                 # polling coarsens to window boundaries (--help note).
+                from multimodal_similarity_tpu.train.cached_steps import (
+                    dispatch_plan_window)
                 K = cfg.steps_per_dispatch
                 for win in iter(
                         lambda: list(itertools.islice(batch_iter, K)), []):
-                    keys_k = jnp.stack([exp.next_key() for _ in win])
-                    if len(win) == K:
-                        state, auxs = multi_fused(
-                            state, np.stack([p["packed"] for p in win]),
-                            cm, use_mm, keys_k, jnp.float32(lr),
-                            *cache_ops)
-                        aux_list = [{k: v[i] for k, v in auxs.items()}
-                                    for i in range(K)]
-                    else:
-                        aux_list = []
-                        for p, k_step in zip(win, list(keys_k)):
-                            state, aux = fused_step(
-                                state, p["packed"], cm, use_mm, k_step,
-                                jnp.float32(lr), *cache_ops)
-                            aux_list.append(aux)
+                    state, aux_list = dispatch_plan_window(
+                        state, win, [exp.next_key() for _ in win], lr,
+                        fused=fused_step, multi=multi_fused, k=K,
+                        plan_args=lambda p: (p["packed"],),
+                        extra_args=(cm, use_mm), cache_ops=cache_ops)
                     for aux in aux_list:
                         step_host += 1
                         exp.log_deferred(

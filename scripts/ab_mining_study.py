@@ -31,10 +31,19 @@ SEEDS = (3, 11, 42)
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    flagship_only = "--flagship-only" in sys.argv[1:]
-    base_epochs = int(args[0]) if len(args) > 0 else 30
-    mm_epochs = int(args[1]) if len(args) > 1 else 20
+    import argparse
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("epochs", nargs="*", type=int,
+                   help="base_epochs [mm_epochs]; with --flagship-only a "
+                        "single value is the flagship epoch count")
+    p.add_argument("--flagship-only", action="store_true")
+    a = p.parse_args()
+    flagship_only = a.flagship_only
+    if flagship_only and len(a.epochs) == 1:
+        base_epochs, mm_epochs = 30, a.epochs[0]
+    else:
+        base_epochs = a.epochs[0] if len(a.epochs) > 0 else 30
+        mm_epochs = a.epochs[1] if len(a.epochs) > 1 else 20
 
     from multimodal_similarity_tpu.configs import TrainConfig
     from multimodal_similarity_tpu.data import generate_synthetic_honda

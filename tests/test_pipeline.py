@@ -118,6 +118,14 @@ def test_pipeline_microbatch_remainder_and_empty(stub):
     assert empty.shape == (0,) + ref.shape[1:]
 
 
+def test_pipeline_rejects_more_stages_than_devices(stub):
+    model, variables, x = stub
+    with pytest.raises(ValueError, match="are visible"):
+        PipelinedBackbone(model, variables, n_units=N_STUB_UNITS,
+                          input_shape=x.shape[1:],
+                          n_stages=len(jax.devices()) + 1)
+
+
 def test_pipeline_rejects_bad_ranges_and_costs(stub):
     model, variables, x = stub
     with pytest.raises(ValueError, match="do not tile"):
