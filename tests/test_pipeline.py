@@ -147,6 +147,62 @@ def test_profile_unit_costs_orders_heavy_units(stub):
     assert costs[1] > costs[5]
 
 
+def test_pipeline_cotenancy_with_dp_training(stub):
+    """The pipeline's stated deployment case (docs/SCALING.md "pp"):
+    extraction stage-split over devices the training mesh does NOT own,
+    both running interleaved with no interference — extraction output
+    stays parity-exact and training still updates/converges on its own
+    submesh."""
+    from multimodal_similarity_tpu.models import build_encoder
+    from multimodal_similarity_tpu.parallel import (
+        create_mesh, make_dp_triplet_step, replicate, shard_batch)
+    from multimodal_similarity_tpu.train.state import (
+        TrainState, build_optimizer)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    model, variables, x = stub
+    ref = np.asarray(model.apply(variables, x))
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest provisions 8 virtual devices"
+    # training owns devices 0-3; the extraction pipeline gets 4-7
+    mesh = create_mesh(4)
+    pipe = PipelinedBackbone(model, variables, n_units=N_STUB_UNITS,
+                             input_shape=x.shape[1:], devices=devs[4:8],
+                             microbatch=2)
+    for sv in pipe.stage_vars:
+        for leaf in jax.tree_util.tree_leaves(sv):
+            assert leaf.devices().isdisjoint(set(devs[:4]))
+
+    rng = np.random.RandomState(0)
+    n = 16
+    feats = rng.randn(n, 3, 2, 2, 8).astype(np.float32)
+    labels = rng.randint(0, 4, size=n).astype(np.int32)
+    enc = build_encoder("convrtsn", num_seg=3, emb_dim=8, n_input=8,
+                        n_h=2, n_w=2, n_C=4, keep_prob=0.9)
+    state = jax.device_put(
+        TrainState.create(
+            enc.init(jax.random.PRNGKey(0),
+                     jnp.asarray(feats[:2]))["params"],
+            build_optimizer("ADAM", 0.01)),
+        NamedSharding(mesh, P()))
+    step = make_dp_triplet_step(enc, mesh, triplet_per_batch=8)
+    batch = shard_batch({"events": jnp.asarray(feats)}, mesh)
+    lab_r, mask_r, key_r, lr_r = replicate(
+        (jnp.asarray(labels), jnp.ones(n, jnp.float32),
+         jax.random.PRNGKey(1), jnp.float32(0.01)), mesh)
+
+    # interleave: a train step dispatched between every extraction call
+    outs = []
+    for i in range(3):
+        state, aux = step(state, batch["events"], lab_r, mask_r,
+                          key_r, lr_r)
+        outs.append(pipe(np.asarray(x)))
+    assert int(state.step) == 3
+    assert np.isfinite(float(aux["loss"]))
+    for out in outs:
+        np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
 @pytest.mark.slow
 def test_real_tower_pipeline_parity():
     """InceptionResNetV2 stage-split over 4 devices == single-device
