@@ -67,23 +67,33 @@ def _session_event_lengths(label_path: str) -> List[int]:
 
 
 def estimate_cache_bytes(dataset: Sequence[Sequence[str]],
-                         max_frames: int = MAX_LENGTH) -> int:
+                         max_frames: int = MAX_LENGTH,
+                         n_shards: int = 1) -> int:
     """Estimated device bytes for caching every modality of ``dataset``
     (int8 frames + f32 scales), computed from label pickles + npy headers
-    only (no feature data is read)."""
-    total = 0
+    only (no feature data is read).
+
+    ``n_shards`` reproduces build()'s mesh layout: sessions round-robin
+    onto shards and every shard pads to the largest shard's row count,
+    so the resident arrays hold ``n_shards * max(shard_rows)`` rows —
+    counting only real events would pass a budget the padded upload then
+    exceeds."""
     num_modalities = len(dataset[0]) - 1
-    for row in dataset:
-        n_events = len(_session_event_lengths(row[-1]))
-        for m in range(num_modalities):
-            feats = np.load(row[m], mmap_mode="r")
-            frame_elems = int(np.prod(feats.shape[1:]))
-            # scale granularity (device_feed.quantize_features): per
-            # (event, frame, channel) for conv maps, per (event, frame)
-            # for flat features
-            scale_elems = feats.shape[-1] if feats.ndim >= 3 else 1
-            total += n_events * max_frames * (frame_elems + 4 * scale_elems)
-    return total
+    shard_events = [0] * max(n_shards, 1)
+    per_event = 0
+    for i, row in enumerate(dataset):
+        shard_events[i % len(shard_events)] += len(
+            _session_event_lengths(row[-1]))
+        if i == 0:
+            for m in range(num_modalities):
+                feats = np.load(row[m], mmap_mode="r")
+                frame_elems = int(np.prod(feats.shape[1:]))
+                # scale granularity (device_feed.quantize_features): per
+                # (event, frame, channel) for conv maps, per
+                # (event, frame) for flat features
+                scale_elems = feats.shape[-1] if feats.ndim >= 3 else 1
+                per_event += max_frames * (frame_elems + 4 * scale_elems)
+    return max(shard_events) * len(shard_events) * per_event
 
 
 class DeviceFeatureCache:
@@ -140,7 +150,9 @@ class DeviceFeatureCache:
         Returns None (with a notice) when the estimate exceeds
         ``budget_bytes`` — callers keep the streaming feed.
         """
-        est = estimate_cache_bytes(dataset, max_frames)
+        est = estimate_cache_bytes(
+            dataset, max_frames,
+            n_shards=int(mesh.shape["data"]) if mesh is not None else 1)
         if budget_bytes is not None and est > budget_bytes:
             if verbose:
                 print(f"[device_cache] estimated {est / 1e9:.2f} GB exceeds "
@@ -416,6 +428,15 @@ class DeviceFeatureCache:
             mods.extend([self.q[m], self.scale[m]])
         return (self.seq_len, self.label_dev, *mods)
 
+    def _pack_rows(self, rows) -> np.ndarray:
+        """The fused steps' wire format, single-sourced for both feed
+        paths: [n_shards, per + 1] int32 of shard-LOCAL row ids plus the
+        real-row count."""
+        return np.stack([
+            np.concatenate([r[0] % self.shard_rows,
+                            [int(r[2].sum())]]).astype(np.int32)
+            for r in rows])
+
     def epoch_plans(self):
         """One epoch of host-side (packed, key) pairs for fused-gather
         steps (train/cached_steps.py): ``packed`` [n_shards, per + 1]
@@ -428,10 +449,7 @@ class DeviceFeatureCache:
 
         for rows in self._plan_epoch():
             self._key, key = jax.random.split(self._key)
-            packed = np.stack([
-                np.concatenate([r[0] % self.shard_rows,
-                                [int(r[2].sum())]]).astype(np.int32)
-                for r in rows])
+            packed = self._pack_rows(rows)
             yield {"packed": packed, "key": key,
                    "labels_host": np.concatenate([r[1] for r in rows]),
                    "mask_host": np.concatenate([r[2] for r in rows]),
@@ -518,11 +536,7 @@ class DeviceFeatureCache:
 
         def dispatch(item):
             rows, key = item
-            # [n_shards, per + 1]: local row ids + real-row count per shard
-            packed = np.stack([
-                np.concatenate([r[0] % self.shard_rows,
-                                [int(r[2].sum())]]).astype(np.int32)
-                for r in rows])
+            packed = self._pack_rows(rows)
             if packed_sharding is not None:
                 packed_dev = jax.device_put(packed, packed_sharding)
             else:

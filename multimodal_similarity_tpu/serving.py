@@ -203,16 +203,30 @@ class RetrievalIndex:
             "metric": self.metric, "int8_gallery": bool(self.int8_gallery),
             "gallery_chunk": int(self.gallery_chunk),
         }
+
+        def save_npy(name, arr):
+            # write-to-temp + rename, NEVER truncate in place: when this
+            # index was load()ed from ``path`` itself, arr may BE the
+            # mmap of the file being written — np.save's 'wb' open would
+            # truncate the backing file mid-read (SIGBUS / garbage).
+            # os.replace unlinks the old inode, which live mmaps keep
+            # reading safely, and makes every artifact crash-atomic.
+            tmp = os.path.join(path, name + ".tmp.npy")
+            np.save(tmp, arr)
+            os.replace(tmp, os.path.join(path, name + ".npy"))
+
         if self.int8_gallery:
             qg, scale, gsq = (self._quant if self._quant is not None
                               else self._quantize_rows(self._gallery_host()))
-            np.save(os.path.join(path, "q.npy"), qg)
-            np.save(os.path.join(path, "scale.npy"), scale.reshape(-1))
-            np.save(os.path.join(path, "gsq.npy"), gsq)
+            save_npy("q", qg)
+            save_npy("scale", np.asarray(scale).reshape(-1))
+            save_npy("gsq", gsq)
         else:
-            np.save(os.path.join(path, "gallery.npy"), self._gallery_host())
-        with open(os.path.join(path, "meta.pkl"), "wb") as f:
+            save_npy("gallery", self._gallery_host())
+        tmp = os.path.join(path, "meta.pkl.tmp")
+        with open(tmp, "wb") as f:
             pickle.dump(self._meta, f)
+        os.replace(tmp, os.path.join(path, "meta.pkl"))
         tmp = os.path.join(path, "manifest.json.tmp")
         with open(tmp, "w") as f:
             json.dump(manifest, f)

@@ -95,17 +95,24 @@ def make_embed_fn(model, normalized: bool = True,
     return embed
 
 
-def embed_in_chunks(embed_fn, params, events, chunk: int = 256):
+def embed_in_chunks(embed_fn, params, events, chunk: int = 256, beat=None):
     """Fixed-chunk embedding of a host or device array (one compile for
     any N; device inputs are sliced in place, never copied back to host)."""
     return embed_arrays_in_chunks(
-        lambda *blocks: embed_fn(params, *blocks), (events,), chunk=chunk)
+        lambda *blocks: embed_fn(params, *blocks), (events,), chunk=chunk,
+        beat=beat)
 
 
-def embed_arrays_in_chunks(embed_fn, arrays, chunk: int = 256):
+def embed_arrays_in_chunks(embed_fn, arrays, chunk: int = 256, beat=None):
     """Like embed_in_chunks for a row-aligned tuple of input arrays and a
     params-free ``embed_fn(*blocks)`` (the eval CLIs' closed-over-params
-    jits, including two-modality fusions)."""
+    jits, including two-modality fusions).
+
+    ``beat`` (e.g. a StepWatchdog heartbeat) is called after each chunk's
+    host readback: every chunk is real device progress, so a long
+    validation over a big val set does not trip a step-sized hang
+    deadline, while a wedged device still stops the beats within one
+    chunk."""
     import numpy as np
 
     n = arrays[0].shape[0]
@@ -122,6 +129,8 @@ def embed_arrays_in_chunks(embed_fn, arrays, chunk: int = 256):
                      jnp.zeros((pad,) + block.shape[1:], block.dtype)])
             blocks.append(block)
         out.append(np.asarray(embed_fn(*blocks))[:chunk - pad or None])
+        if beat is not None:
+            beat()
     return np.concatenate(out, axis=0)[:n]
 
 

@@ -78,12 +78,17 @@ def cached_device(array):
     return _val_feats_on_device(array)
 
 
-def validate(embed_fn, params, val_feats, val_labels, chunk: int = 256):
+def validate(embed_fn, params, val_feats, val_labels, chunk: int = 256,
+             beat=None):
     """Per-epoch validation: chunked embed + device leave-one-out metrics
-    (replaces base_model.py:307-313's host loop)."""
+    (replaces base_model.py:307-313's host loop).  ``beat`` heartbeats a
+    hang watchdog per embedded chunk so a long (healthy) validation pass
+    is progress, not a false hang."""
     emb = embed_in_chunks(embed_fn, params, _val_feats_on_device(val_feats),
-                          chunk=chunk)
+                          chunk=chunk, beat=beat)
     mAP, mPrec, recalls = retrieval_metrics_device(emb, val_labels.reshape(-1))
+    if beat is not None:
+        beat()
     return {"val_mAP": mAP, "val_mPrec": mPrec,
             "val_recall@1": recalls[1]}, emb
 

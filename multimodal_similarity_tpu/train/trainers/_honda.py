@@ -165,6 +165,14 @@ class HondaExperiment:
         self.rng, key = jax.random.split(self.rng)
         return key
 
+    @property
+    def beat_fn(self):
+        """Heartbeat callable for long epoch-boundary device passes
+        (validation / val-embed chunks), or None when no watchdog is
+        armed — each embedded chunk is real progress, so a big val set
+        must not trip a step-sized hang deadline."""
+        return self.watchdog.beat if self.watchdog is not None else None
+
     # -- device-resident epoch feature cache ---------------------------------
 
     def build_cache(self, modality_modes=None):

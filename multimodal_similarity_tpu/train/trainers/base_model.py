@@ -452,8 +452,10 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                             select_triplets_facenet)
                         from multimodal_similarity_tpu.train.steps import (
                             embed_in_chunks)
-                        emb = embed_in_chunks(embed_fn, state.params,
-                                              batch["events"][:n])
+                        emb = embed_in_chunks(
+                            embed_fn, state.params, batch["events"][:n],
+                            beat=watchdog.beat if watchdog is not None
+                            else None)
                         dists = np.asarray(cdist(all_diffs(
                             jnp.asarray(emb), jnp.asarray(emb)), cfg.metric))
                         idx, _ = select_triplets_facenet(
@@ -522,8 +524,9 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                 # (host-side, redundant-per-host) validation pass
                 val_params = jax.tree.map(
                     lambda a: np.asarray(jax.device_get(a)), state.params)
-            metrics, val_emb = validate(embed_fn, val_params, val_feats,
-                                        val_labels)
+            metrics, val_emb = validate(
+                embed_fn, val_params, val_feats, val_labels,
+                beat=watchdog.beat if watchdog is not None else None)
             logger.log(step_host, metrics)
             if pid == 0:
                 # per-epoch embedding-projector refresh (base_model.py:316-320)

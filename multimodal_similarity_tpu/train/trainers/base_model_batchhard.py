@@ -381,7 +381,7 @@ def train(cfg: TrainConfig, loss_kind: str = "batchhard",
                 print(f"[{cfg.name}] epoch {epoch + 1}: no trainable batch; stopping")
                 break
             metrics, _ = validate(embed_fn, state.params, exp.val_feats,
-                                  exp.val_labels)
+                                  exp.val_labels, beat=exp.beat_fn)
             exp.log(step_host, metrics,
                     f"[{cfg.name}] epoch {epoch + 1} val mAP "
                     f"{metrics['val_mAP']:.4f}")

@@ -188,7 +188,8 @@ def train(cfg: TrainConfig, sensors_only: bool = False,
     def core_embed(params, feats):
         from multimodal_similarity_tpu.train.steps import embed_in_chunks
         return embed_in_chunks(lambda p, x: embed_fn(p, x),
-                               params["modality_core"], feats)
+                               params["modality_core"], feats,
+                               beat=exp.beat_fn)
 
     metrics = {}
     # config-seeded host-miner stream (independent of global RNG)

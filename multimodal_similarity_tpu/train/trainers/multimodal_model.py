@@ -629,7 +629,8 @@ def train(cfg: TrainConfig, hard_only: bool = False,
     def core_embed(params, feats):
         from multimodal_similarity_tpu.train.steps import embed_in_chunks
         return embed_in_chunks(lambda p, x: embed_fn(p, x),
-                               params["modality_core"], feats)
+                               params["modality_core"], feats,
+                               beat=exp.beat_fn)
 
     val_emb = core_embed(state.params, cached_device(exp.val_feats))
     dist_dict = init_dist_dict(val_emb, exp.val_labels, cfg.metric)

@@ -167,7 +167,8 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
             metrics, _ = validate(
                 lambda p, x: embed_fn(p["encoder"], x) if isinstance(p, dict)
                 else embed_fn(p, x),
-                state.params, exp.val_feats, exp.val_labels)
+                state.params, exp.val_feats, exp.val_labels,
+                beat=exp.beat_fn)
             exp.log(step_host, metrics,
                     f"[{cfg.name}] epoch {epoch + 1} val mAP "
                     f"{metrics['val_mAP']:.4f}")

@@ -206,7 +206,8 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                 break
             metrics, _ = validate(
                 lambda p, x: embed_fn(p["encoder"], x),
-                state.params, exp.val_feats, exp.val_labels)
+                state.params, exp.val_feats, exp.val_labels,
+                beat=exp.beat_fn)
             sim = pddm_similarity_matrix(encoder, head, state.params,
                                          cached_device(exp.val_feats),
                                          cfg.normalized)

@@ -123,13 +123,18 @@ class PreemptionGuard:
                 threading.current_thread() is threading.main_thread():
             for sig in self._signals:
                 try:
-                    # don't clobber another live guard's handler (nested
+                    # don't clobber ANOTHER live guard's handler (nested
                     # guards: a library caller wrapping a trainer that
-                    # installs its own) — only re-assert over native/SIG_DFL
-                    # dispositions
+                    # installs its own).  When getsignal returns OUR OWN
+                    # handler we still re-assert: getsignal only reflects
+                    # the Python-level view, so after a native sigaction
+                    # clobber it keeps returning this handler even though
+                    # the OS disposition is gone — skipping here would
+                    # defeat the repair this poll exists for.
                     cur = signal.getsignal(sig)
-                    if isinstance(getattr(cur, "__self__", None),
-                                  PreemptionGuard):
+                    owner = getattr(cur, "__self__", None)
+                    if isinstance(owner, PreemptionGuard) and \
+                            owner is not self:
                         continue
                     signal.signal(sig, self._handle)
                 except (ValueError, OSError):  # pragma: no cover

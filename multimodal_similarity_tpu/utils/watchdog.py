@@ -112,7 +112,10 @@ def install_hang_watchdog(name: str, secs: float,
     step-boundary poll checkpoints the exact step and exits — if the
     wedged step eventually returns, no work is lost; if it never returns,
     the thread dump is the diagnostic.  Size ``secs`` above the first
-    step's compile time.
+    step's compile time — epoch-boundary validation does NOT need to fit
+    in the window, because the chunked val embed beats per chunk
+    (train/trainer.validate's ``beat``), so only a single step, compile,
+    or val chunk must beat the deadline.
     """
     if not secs or secs <= 0:
         return None

@@ -16,7 +16,7 @@ from multimodal_similarity_tpu.data import generate_synthetic_honda
 from multimodal_similarity_tpu.data.datasets import (
     load_data_and_label, prepare_dataset, prepare_multimodal_dataset)
 from multimodal_similarity_tpu.data.device_cache import (
-    DeviceFeatureCache, estimate_cache_bytes)
+    DeviceFeatureCache, _session_event_lengths, estimate_cache_bytes)
 from multimodal_similarity_tpu.data.device_feed import quantize_features
 
 N_SEG = 3
@@ -201,6 +201,16 @@ def test_cache_budget_fallback(synth_root):
         cfg.feature_root, cfg.train_session, ["sensors", "segment"],
         cfg.label_root, "goal")
     assert estimate_cache_bytes(mm) > est
+    # sharded estimate counts build()'s padding: every shard pads to the
+    # largest shard's row count, so per-shard imbalance grows the bytes
+    # the budget is checked against (never less than the unsharded sum)
+    est4 = estimate_cache_bytes(dataset, n_shards=4)
+    assert est4 >= est
+    counts = [len(_session_event_lengths(row[-1])) for row in dataset]
+    shard_events = [0, 0, 0, 0]
+    for i, c in enumerate(counts):
+        shard_events[i % 4] += c
+    assert est4 == est * (max(shard_events) * 4) / sum(counts)
 
 
 @pytest.mark.slow

@@ -408,6 +408,29 @@ def test_retrieval_index_load_onto_mesh(tmp_path):
     np.testing.assert_allclose(d0, d1, atol=1e-5)
 
 
+def test_retrieval_index_save_in_place_over_loaded_dir(tmp_path):
+    """Re-saving into the directory the index was load()ed from must not
+    truncate the mmap-backed artifacts it is still reading (the
+    'reload, then re-save in place' maintenance flow): every file writes
+    to a temp name and renames, so the live mmaps keep their old inode."""
+    from multimodal_similarity_tpu.serving import RetrievalIndex
+
+    rng = np.random.RandomState(7)
+    q = rng.randn(4, 16).astype(np.float32)
+    for int8 in (False, True):
+        g = rng.randn(120, 16).astype(np.float32)
+        idx = RetrievalIndex(emb_dim=16, int8_gallery=int8)
+        idx.add(g, metadata=list(range(120)))
+        d0, i0, _ = idx.query(q, k=5)
+        path = idx.save(str(tmp_path / f"inplace{int8}"))
+
+        loaded = RetrievalIndex.load(path)
+        loaded.save(path)  # same dir: sources ARE the mmap files
+        d1, i1, _ = RetrievalIndex.load(path).query(q, k=5)
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_array_equal(d0, d1)
+
+
 def test_retrieval_index_add_after_load(tmp_path):
     from multimodal_similarity_tpu.serving import RetrievalIndex
 

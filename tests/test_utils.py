@@ -183,6 +183,52 @@ def test_preemption_guard_signal_and_restore():
         _signal.signal(_signal.SIGUSR1, prev)
 
 
+def test_validate_beats_watchdog_per_chunk():
+    """Epoch-boundary validation heartbeats a hang watchdog per embedded
+    chunk (+ once after the metrics pass), so a long healthy validation
+    is progress rather than a false hang."""
+    import jax.numpy as jnp
+    import numpy as np
+    from multimodal_similarity_tpu.train.trainer import validate
+
+    beats = []
+    feats = np.random.RandomState(0).randn(10, 4).astype(np.float32)
+    labels = np.asarray([1, 1, 2, 2, 3, 3, 1, 2, 3, 1])
+    metrics, emb = validate(lambda p, x: jnp.asarray(x) * p, 2.0, feats,
+                            labels, chunk=4, beat=lambda: beats.append(1))
+    assert len(beats) == 3 + 1  # ceil(10/4) chunks + the metrics pass
+    assert np.isfinite(metrics["val_mAP"])
+
+
+def test_preemption_guard_reasserts_own_handler_on_poll(monkeypatch):
+    """The should_stop poll must re-assert the OS disposition even when
+    getsignal already reports THIS guard's handler: getsignal only sees
+    the Python-level view, so after a native sigaction clobber it keeps
+    returning the handler although the OS disposition is gone.  Only
+    ANOTHER live guard's handler is skipped (nested guards)."""
+    import signal as _signal
+    from multimodal_similarity_tpu.utils import preemption as _pre
+
+    with _pre.PreemptionGuard(signals=(_signal.SIGUSR1,)) as guard:
+        asserted = []
+        real_signal = _signal.signal
+        monkeypatch.setattr(
+            _pre.signal, "signal",
+            lambda sig, h: asserted.append((sig, h)) or real_signal(sig, h))
+        guard.should_stop
+        assert (_signal.SIGUSR1, guard._handle) in asserted
+
+        # a different guard owning the signal is NOT clobbered
+        inner = _pre.PreemptionGuard(signals=(_signal.SIGUSR1,)).install()
+        try:
+            asserted.clear()
+            guard.should_stop
+            assert asserted == []
+            assert _signal.getsignal(_signal.SIGUSR1) == inner._handle
+        finally:
+            inner.restore()
+
+
 def test_preemption_guard_inert_off_main_thread():
     import threading
     from multimodal_similarity_tpu.utils.preemption import PreemptionGuard
