@@ -51,6 +51,7 @@ def cub_root(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_cub_cli_base_model(cub_root, tmp_path):
     """The documented CUB one-command path: train + checkpoint from the
     reference directory via argv only."""
@@ -74,6 +75,7 @@ def test_cub_cli_base_model(cub_root, tmp_path):
     assert maps and np.isfinite(maps[-1])
 
 
+@pytest.mark.slow
 def test_cub_cli_pddm_attributes(cub_root):
     """PDDM on the 312-d attribute track via argv (pddm_CUB.py:193-198)."""
     from multimodal_similarity_tpu.train.trainers import pddm_CUB
@@ -192,6 +194,7 @@ def test_honda_cli_baseline_eval(honda_root):
     assert np.isfinite(results["mAP"])
 
 
+@pytest.mark.slow
 def test_honda_cli_pddm_to_multimodal_restore_chain(honda_root):
     """The one reference workflow crossing trainers: pretrain PDDM branch
     checkpoints (train_pddm.sh -> pddm_model.py), then restore them into

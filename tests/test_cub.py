@@ -73,6 +73,7 @@ def test_pddm_cub(cub_data, tmp_path):
     assert "val_recall@1" in metrics
 
 
+@pytest.mark.slow
 def test_base_cub_end_to_end(tmp_path):
     from multimodal_similarity_tpu.train.trainers import base_CUB, debug_CUB
     rng = np.random.RandomState(0)

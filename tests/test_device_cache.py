@@ -328,6 +328,7 @@ def test_lifted_trainer_with_device_cache(synth_root, tmp_path):
     assert np.isfinite(metrics["val_mAP"])
 
 
+@pytest.mark.slow
 def test_fused_cached_step_matches_two_call_path(synth_root, tmp_path):
     """The single-dispatch fused gather+train step must match the
     two-call path (cache._gather -> plain fused step) bit-for-bit under
@@ -381,6 +382,7 @@ def test_fused_cached_step_matches_two_call_path(synth_root, tmp_path):
                                    rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_flagship_cached_fused_step_matches_two_call_path(synth_root):
     """The flagship single-dispatch gather+mine+train step (make_mm_fused_step
     with cache=) must match the two-call path (cache._gather -> plain fused
@@ -634,6 +636,7 @@ def test_base_model_trainer_with_steps_per_dispatch(synth_root, tmp_path):
     assert train_steps == list(range(1, int(state.step) + 1))
 
 
+@pytest.mark.slow
 def test_flagship_trainer_with_steps_per_dispatch(synth_root, tmp_path):
     """flagship --device_mining --device_cache --steps_per_dispatch 2:
     the scanned three-modality fused step trains; every step logged."""
@@ -773,6 +776,7 @@ def test_fused_cached_step_on_mesh(synth_root, tmp_path):
 # -- trainer can ride the cache via cached_steps.make_cached_body_step) ----
 
 
+@pytest.mark.slow
 def test_cached_body_step_matches_two_call_path(synth_root):
     """make_cached_body_step fuses an ARBITRARY trainer body with the
     cache gather; must match the two-call oracle (cache._gather under the

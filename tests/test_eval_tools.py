@@ -74,6 +74,7 @@ def test_check_inconsistent_and_pairsim_eval(setup, tmp_path):
     assert "false_pos" in out2
 
 
+@pytest.mark.slow
 def test_late_fusion_and_hallucination_eval(setup, tmp_path):
     root, ckpt = setup
     from multimodal_similarity_tpu.eval import (
@@ -164,6 +165,7 @@ def test_late_fusion_cross_predicted(setup, tmp_path):
     assert np.isfinite(out["mAP"])
 
 
+@pytest.mark.slow
 def test_check_inconsistent_pddm_head(setup, tmp_path):
     from multimodal_similarity_tpu.eval import check_inconsistent
     from multimodal_similarity_tpu.train.trainers import pddm_model

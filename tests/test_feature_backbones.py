@@ -171,6 +171,7 @@ def test_real_slim_names_map_to_expected_leaves():
                         "InceptionResnetV2") is None
 
 
+@pytest.mark.slow
 def test_pinned_slim_leaves_exist_in_module(rng):
     """The pinned real-checkpoint mappings must land on parameters that
     actually exist in the initialized flax module — a mapping to a
@@ -191,6 +192,7 @@ def test_pinned_slim_leaves_exist_in_module(rng):
         assert leaf in params, leaf
 
 
+@pytest.mark.slow
 def test_flax_backbone_fixed_seed_shapes_dtypes(tmp_path):
     """flax_backbone embed_fns: output shape/dtype contracts on uint8
     frames, deterministic across calls (fixed init seed)."""
@@ -469,6 +471,7 @@ _IV1_GOLDEN = {
 }
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("which", ["v2", "v1"])
 def test_inception_endpoint_golden_stats(which):
     from multimodal_similarity_tpu.models.inception_v2 import InceptionV2

@@ -21,6 +21,7 @@ def init_variables():
     return m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
 
 
+@pytest.mark.slow
 def test_endpoint_shapes_at_224():
     m = InceptionV2(capture_endpoints=True)
     x = jnp.zeros((1, 224, 224, 3))

@@ -123,6 +123,7 @@ def _cb(params, stats, name, x, stride=1):
     return np.maximum(h, 0.0)
 
 
+@pytest.mark.slow
 def test_inception_v1_stem_and_mixed3b_match_numpy_oracle():
     from multimodal_similarity_tpu.models.inception_v1 import InceptionV1
 
@@ -204,6 +205,7 @@ def test_inception_v2_stem_and_mixed3b_match_numpy_oracle():
     np.testing.assert_allclose(got, mixed, rtol=1e-2, atol=2e-3)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("which", ["v1", "v2"])
 def test_avg_endpoint_is_spatial_mean(which):
     """The 1024-d output equals the spatial mean of the last endpoint —

@@ -80,6 +80,7 @@ def test_base_model_host_vs_device_mining(parity_root, tmp_path):
         assert host > base + 0.03, (host, base)
 
 
+@pytest.mark.slow
 def test_multimodal_device_mining_ab(parity_root, tmp_path):
     """Flagship trainer: --device_mining on vs off, same data/config/seed;
     final val mAP within the band (reference flow: multimodal_model.py

@@ -301,6 +301,7 @@ def test_ring_lifted_matches_dense(rng):
                                rtol=2e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_ring_lifted_masked(rng):
     """Validity masking through the ring matches the dense oracle on the
     valid slice."""

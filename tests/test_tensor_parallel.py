@@ -134,6 +134,7 @@ def test_base_model_trainer_model_parallel(tmp_path):
 
 
 @needs8
+@pytest.mark.slow
 def test_flagship_fused_model_parallel(tmp_path):
     """--model_parallel 2 on the flagship fused step (--device_mining):
     the headline trainer runs dp x tp end-to-end."""

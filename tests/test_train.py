@@ -207,6 +207,7 @@ def test_base_trainer_data_parallel(synth_cfg, tmp_path):
     assert np.isfinite(metrics["val_mAP"])
 
 
+@pytest.mark.slow
 def test_base_trainer_resume_is_step_accurate(synth_cfg, tmp_path):
     """model_path restore continues from the saved global step
     (reference base_model.py:216-217 epoch derivation)."""
@@ -223,6 +224,7 @@ def test_base_trainer_resume_is_step_accurate(synth_cfg, tmp_path):
     assert int(state2.step) == 2
 
 
+@pytest.mark.slow
 def test_host_device_miner_metric_parity(tmp_path_factory, tmp_path):
     """SURVEY §7 acceptance: the device miner matches the reference host
     miner on retrieval metrics (not index traces). Train the same model
@@ -497,6 +499,7 @@ def test_base_trainer_int8_features(synth_cfg, tmp_path):
                          result_dir=str(tmp_path / "bad2"))
 
 
+@pytest.mark.slow
 def test_int8_features_quality_parity(tmp_path_factory, tmp_path):
     """int8 feature quantization must not change what the model learns:
     same data/config/seed trained both ways lands at comparable val mAP

@@ -267,6 +267,7 @@ def test_multimodal_fused_staging(synth_root, tmp_path):
         assert l["metric_loss2"] == 0.0
 
 
+@pytest.mark.slow
 def test_multimodal_fused_hard_only(synth_root, tmp_path):
     """--device_mining with the hard-only ablation must DROP the structure
     term entirely (struct_count/loss3 == 0 even past multimodal_epochs) —
@@ -294,6 +295,7 @@ def test_multimodal_fused_hard_only(synth_root, tmp_path):
         assert l["metric_loss3"] == 0.0
 
 
+@pytest.mark.slow
 def test_honda_experiment_trainers_preempt(synth_root, tmp_path, monkeypatch):
     """Every HondaExperiment-based trainer checkpoints and exits on a
     preemption signal instead of running out its epoch budget (the guard
@@ -339,6 +341,7 @@ def test_honda_experiment_trainers_preempt(synth_root, tmp_path, monkeypatch):
             (mod.__name__, ckpts)
 
 
+@pytest.mark.slow
 def test_flagship_device_mining_preempts(synth_root, tmp_path, monkeypatch):
     """The fused --device_mining path (the only --multihost path) must hit
     the preemption poll too — its `continue` used to skip the check,
@@ -379,6 +382,7 @@ def test_flagship_device_mining_preempts(synth_root, tmp_path, monkeypatch):
     assert any(c.endswith(f".ckpt-{int(state.step)}") for c in ckpts), ckpts
 
 
+@pytest.mark.slow
 def test_flagship_device_mining_int8(synth_root, tmp_path):
     from multimodal_similarity_tpu.train.trainers import multimodal_model
     cfg = _cfg(synth_root, network="convrtsn",
