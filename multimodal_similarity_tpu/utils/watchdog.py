@@ -115,7 +115,8 @@ def install_hang_watchdog(name: str, secs: float,
     step's compile time — epoch-boundary validation does NOT need to fit
     in the window, because the chunked val embed beats per chunk
     (train/trainer.validate's ``beat``), so only a single step, compile,
-    or val chunk must beat the deadline.
+    val chunk, or the first validation's one-time val-set upload
+    (cached across epochs) must beat the deadline.
     """
     if not secs or secs <= 0:
         return None
