@@ -28,6 +28,7 @@ EVALS = [
 ]
 PREPROCESS = ["frames", "features", "annotations", "sensors",
               "segmentation"]
+TOOLS = ["import_tf1"]
 
 
 def _usage() -> None:
@@ -41,6 +42,9 @@ def _usage() -> None:
     print("preprocessing (preprocess.<name>):")
     for p in PREPROCESS:
         print(f"  {p}")
+    print("tools (tools.<name>):")
+    for t in TOOLS:
+        print(f"  {t}")
 
 
 def main(argv=None) -> int:
@@ -54,6 +58,7 @@ def main(argv=None) -> int:
         "train": ("multimodal_similarity_tpu.train.trainers.", TRAINERS),
         "eval": ("multimodal_similarity_tpu.eval.", EVALS),
         "preprocess": ("multimodal_similarity_tpu.preprocess.", PREPROCESS),
+        "tools": ("multimodal_similarity_tpu.tools.", TOOLS),
     }
     if group not in module_map or name not in module_map[group][1]:
         print(f"unknown command: {cmd}\n")
