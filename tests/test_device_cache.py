@@ -637,6 +637,38 @@ def test_base_model_trainer_with_steps_per_dispatch(synth_root, tmp_path):
 
 
 @pytest.mark.slow
+def test_cache_multistep_and_model_parallel_compose(synth_root, tmp_path):
+    """The full TPU-first stack in one run: --device_cache (shard-local
+    rows over the 4-wide data axis) + --steps_per_dispatch 2 (scanned
+    K-step windows — sess_per_batch=1 gives 2 batches/epoch so a full
+    window actually dispatches) + --model_parallel 2 (column-sharded
+    params on the dp x tp mesh)."""
+    import jax
+
+    from multimodal_similarity_tpu.train.trainers import base_model
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = TrainConfig(
+        DATA_ROOT=synth_root, name="dctpms", network="rtsn",
+        feat="sensors", n_input=8, emb_dim=32, num_seg=N_SEG,
+        sess_per_batch=1, max_epochs=2, triplet_per_batch=16,
+        learning_rate=0.01, keep_prob=0.9, silent_mode=True,
+        triplet_select="facenet", device_cache=True, model_parallel=2,
+        steps_per_dispatch=2).resolve()
+    state, metrics, _ = base_model.train(
+        cfg, event_budget=32, result_dir=str(tmp_path / "dctpms"))
+    # 8 train sessions / 4 data shards = 2 sessions per shard ->
+    # 2 batches/epoch -> one full K=2 window per epoch, 4 steps total
+    assert int(state.step) == 4
+    assert np.isfinite(metrics["val_mAP"])
+    specs = {ax for p in jax.tree_util.tree_leaves(state.params)
+             if hasattr(p, "sharding")
+             for part in p.sharding.spec if part
+             for ax in (part if isinstance(part, tuple) else (part,))}
+    assert "model" in specs
+
+
+@pytest.mark.slow
 def test_flagship_trainer_with_steps_per_dispatch(synth_root, tmp_path):
     """flagship --device_mining --device_cache --steps_per_dispatch 2:
     the scanned three-modality fused step trains; every step logged."""
