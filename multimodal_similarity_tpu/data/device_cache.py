@@ -66,6 +66,37 @@ def _session_event_lengths(label_path: str) -> List[int]:
     return lengths
 
 
+def _session_label_metadata(label_path: str, transfer: bool,
+                            max_frames: int):
+    """(labels [N] int32, seq_len [N] int32) for one session, from the
+    label pickle ALONE — the same event filters as load_data_and_label
+    (data/datasets.py:176-187) without touching the feature arrays.
+
+    This is what lets every host of a multi-process run agree on the
+    GLOBAL cache layout (shard row counts, label table, frame trim) while
+    loading only its own shards' features: labels are KBs, features GBs.
+    """
+    with open(label_path, "rb") as f:
+        label = pickle.load(f)
+    labs, lens = [], []
+    for i in range(len(label["G"])):
+        length = label["s"][i + 1] - label["s"][i]
+        if length > MIN_LENGTH:
+            if label["G"][i] == 0 and length < MIN_LENGTH_BACKGROUND:
+                continue
+            labs.append(LABEL_TRANSFER[label["G"][i]] if transfer
+                        else int(label["G"][i]))
+            # bounds cap at MAX_LENGTH first (load_data_and_label), then
+            # the cache's window_prepare caps at max_frames
+            lens.append(int(min(length, MAX_LENGTH, max_frames)))
+    if not labs:
+        raise ValueError(
+            f"no event in session {label_path!r} survives the length "
+            f"filters (MIN_LENGTH={MIN_LENGTH}, MIN_LENGTH_BACKGROUND="
+            f"{MIN_LENGTH_BACKGROUND}); {len(label['G'])} raw segments")
+    return (np.asarray(labs, np.int32), np.asarray(lens, np.int32))
+
+
 def estimate_cache_bytes(dataset: Sequence[Sequence[str]],
                          max_frames: int = MAX_LENGTH,
                          n_shards: int = 1) -> int:
@@ -81,18 +112,30 @@ def estimate_cache_bytes(dataset: Sequence[Sequence[str]],
     num_modalities = len(dataset[0]) - 1
     shard_events = [0] * max(n_shards, 1)
     per_event = 0
+    dims0 = None
     for i, row in enumerate(dataset):
         shard_events[i % len(shard_events)] += len(
             _session_event_lengths(row[-1]))
+        # per-session header check (headers only, no data reads): a
+        # heterogeneous corpus would otherwise pass the budget gate sized
+        # from session 0 and OOM at upload (VERDICT r4 weak #7)
+        dims = tuple(np.load(row[m], mmap_mode="r").shape[1:]
+                     for m in range(num_modalities))
         if i == 0:
+            dims0 = dims
             for m in range(num_modalities):
-                feats = np.load(row[m], mmap_mode="r")
-                frame_elems = int(np.prod(feats.shape[1:]))
+                shape = dims[m]
+                frame_elems = int(np.prod(shape))
                 # scale granularity (device_feed.quantize_features): per
                 # (event, frame, channel) for conv maps, per
                 # (event, frame) for flat features
-                scale_elems = feats.shape[-1] if feats.ndim >= 3 else 1
+                scale_elems = shape[-1] if len(shape) >= 2 else 1
                 per_event += max_frames * (frame_elems + 4 * scale_elems)
+        elif dims != dims0:
+            raise ValueError(
+                f"heterogeneous feature dims: session 0 has {dims0}, "
+                f"session {i} ({row[0]!r}) has {dims}; the cache (and its "
+                "HBM budget estimate) requires homogeneous per-frame dims")
     return max(shard_events) * len(shard_events) * per_event
 
 
@@ -119,6 +162,30 @@ class DeviceFeatureCache:
             raise ValueError(
                 f"event_budget {event_budget} not divisible by "
                 f"{self.n_shards} mesh shards")
+        # multi-process (--multihost) locality: each "data" shard must live
+        # entirely on ONE process; this host stages/uploads features only
+        # for its own shards, while the plan/label/layout metadata stays
+        # GLOBAL (computed identically on every host from label pickles)
+        self._local_shards = list(range(self.n_shards))
+        self._multiprocess = False
+        if mesh is not None:
+            import jax
+            pid = jax.process_index()
+            axis = mesh.axis_names.index("data")
+            dev = np.moveaxis(np.asarray(mesh.devices), axis, 0).reshape(
+                self.n_shards, -1)
+            owners = [sorted({d.process_index for d in row}) for row in dev]
+            if any(len(o) > 1 for o in owners):
+                raise NotImplementedError(
+                    "a 'data' mesh shard spans processes; lay the mesh out "
+                    "with whole data shards per host")
+            self._multiprocess = any(o != [pid] for o in owners)
+            if self._multiprocess:
+                self._local_shards = [s for s, o in enumerate(owners)
+                                      if o == [pid]]
+                if not self._local_shards:
+                    raise ValueError(
+                        f"process {pid} owns no 'data' shard of the mesh")
         self.rng = np.random.RandomState(seed)
         import jax
         self._key = jax.random.PRNGKey(seed + 0x5EED)
@@ -211,21 +278,28 @@ class DeviceFeatureCache:
             out[0, : min(window.shape[0], max_frames)] = window[:max_frames]
             return out
 
+        local_set = set(self._local_shards)
         for shard, rows in enumerate(per_shard_rows):
             for row in rows:
-                lab0 = None
-                seq_len = None
-                for m in range(num_modalities):
-                    eve, lab, bounds = load_data_and_label(
-                        row[m], row[-1], window_prepare, transfer)
-                    q, scale = quantize_features(eve)
-                    shard_q[shard][m].append(q)
-                    shard_scale[shard][m].append(scale)
-                    if m == 0:
-                        lab0 = lab.reshape(-1)
-                        seq_len = np.asarray(
-                            [min(e - s, max_frames) for s, e in bounds],
-                            np.int32)
+                # layout metadata for EVERY session, from the label pickle
+                # alone — under --multihost each host derives the identical
+                # global layout without reading other hosts' features
+                lab0, seq_len = _session_label_metadata(
+                    row[-1], transfer, max_frames)
+                if shard in local_set:
+                    for m in range(num_modalities):
+                        eve, lab, bounds = load_data_and_label(
+                            row[m], row[-1], window_prepare, transfer)
+                        q, scale = quantize_features(eve)
+                        shard_q[shard][m].append(q)
+                        shard_scale[shard][m].append(scale)
+                        if m == 0 and not np.array_equal(
+                                lab.reshape(-1), lab0):
+                            raise AssertionError(
+                                f"label metadata diverged from the loaded "
+                                f"session {row[-1]!r}; the pickle-only "
+                                "filters no longer match "
+                                "load_data_and_label")
                 shard_len[shard].append(seq_len)
                 shard_lab[shard].append(lab0)
 
@@ -256,9 +330,12 @@ class DeviceFeatureCache:
         # (frames past each event's seq_len are never gathered)
         t_eff = max(self.n_seg, max(int(lens.max()) for lens in len_parts))
         self.max_frames = t_eff
+        # features pack LOCAL shards only (in local-shard order): under
+        # --multihost these are exactly this process's rows of the global
+        # row-sharded arrays; single-process they are the full arrays
         for m in range(num_modalities):
             q_parts, s_parts = [], []
-            for s in range(self.n_shards):
+            for s in self._local_shards:
                 q = np.concatenate(shard_q[s][m])[:, :t_eff]
                 sc = np.concatenate(shard_scale[s][m])[:, :t_eff]
                 pad = n_max - q.shape[0]
@@ -286,28 +363,62 @@ class DeviceFeatureCache:
         self._build_gather()
         return self
 
+    def _local_rows(self, arr: np.ndarray) -> np.ndarray:
+        """This process's rows of a GLOBAL row-blocked array (shard s owns
+        rows [s*shard_rows, (s+1)*shard_rows))."""
+        blocks = arr.reshape((self.n_shards, self.shard_rows)
+                             + arr.shape[1:])
+        return np.ascontiguousarray(
+            blocks[self._local_shards].reshape((-1,) + arr.shape[1:]))
+
     def _upload(self, q_mods, scale_mods, seq_len):
+        """Make the staged arrays device-resident.
+
+        Under --multihost (``self._multiprocess``): ``q_mods``/
+        ``scale_mods`` hold only THIS process's shard rows (build packs
+        local shards only), while ``seq_len``/``label_table`` are global
+        (derived from label pickles on every host identically) and are
+        sliced here.  Each process contributes its local rows to ONE
+        global row-sharded jax.Array — the DCN carries no feature bytes.
+        """
         import jax
 
-        if self.mesh is not None:
+        n_global = self.n_shards * self.shard_rows
+
+        def put(local, global_rows=None):
+            """local rows -> device array.  ``global_rows`` None means
+            ``local`` already IS the full global array."""
+            if self.mesh is None:
+                return jax.device_put(local)
             from jax.sharding import NamedSharding, PartitionSpec as P
-            row_sharded = lambda a: jax.device_put(  # noqa: E731
-                a, NamedSharding(self.mesh,
-                                 P("data", *([None] * (a.ndim - 1)))))
+            sharding = NamedSharding(
+                self.mesh, P("data", *([None] * (local.ndim - 1))))
+            if not self._multiprocess:
+                return jax.device_put(local, sharding)
+            gshape = ((global_rows or n_global),) + local.shape[1:]
+            return jax.make_array_from_process_local_data(
+                sharding, local, gshape)
+
+        if self._multiprocess:
+            self.q = [put(q) for q in q_mods]
+            self.scale = [put(s) for s in scale_mods]
+            self.seq_len = put(self._local_rows(seq_len))
+            self.label_dev = put(self._local_rows(self.label_table))
         else:
-            row_sharded = jax.device_put
-        self.q = [row_sharded(q) for q in q_mods]
-        self.scale = [row_sharded(s) for s in scale_mods]
-        self.seq_len = row_sharded(seq_len)
-        # labels resident too: per-batch labels/mask derive ON DEVICE from
-        # the index plan, so a batch costs ONE small host->device transfer
-        # (dispatch latency, not payload, dominates small uploads on a
-        # remote-tunnel link)
-        self.label_dev = row_sharded(self.label_table)
+            self.q = [put(q) for q in q_mods]
+            self.scale = [put(s) for s in scale_mods]
+            self.seq_len = put(seq_len)
+            # labels resident too: per-batch labels/mask derive ON DEVICE
+            # from the index plan, so a batch costs ONE small
+            # host->device transfer (dispatch latency, not payload,
+            # dominates small uploads on a remote-tunnel link)
+            self.label_dev = put(self.label_table)
+        # GLOBAL resident bytes (per-host bytes = this / host count when
+        # shards balance)
         self.device_bytes = int(
-            sum(q.nbytes for q in q_mods)
-            + sum(s.nbytes for s in scale_mods) + seq_len.nbytes
-            + self.label_table.nbytes)
+            sum(int(np.prod(a.shape)) * np.dtype(a.dtype).itemsize
+                for a in (*self.q, *self.scale, self.seq_len,
+                          self.label_dev)))
 
     # -- device gather -------------------------------------------------------
 
@@ -437,6 +548,40 @@ class DeviceFeatureCache:
                             [int(r[2].sum())]]).astype(np.int32)
             for r in rows])
 
+    def _put_packed(self, packed: np.ndarray):
+        """Host plan [n_shards, per + 1] (or [K, n_shards, per + 1] for a
+        scanned window) -> the device operand the gather/fused programs
+        take.  Single-process: passthrough / device_put (jit's
+        in_shardings handle numpy).  --multihost: each process feeds its
+        local shards' plan rows into one global array — a host-local
+        numpy plan cannot be auto-sharded over a multi-process mesh."""
+        import jax
+
+        if not self._multiprocess:
+            return packed
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        if packed.ndim == 3:      # scanned [K, n_shards, per + 1]
+            spec = P(None, "data", None)
+            local = np.ascontiguousarray(packed[:, self._local_shards, :])
+        else:                     # [n_shards, per + 1]
+            spec = P("data", None)
+            local = np.ascontiguousarray(packed[self._local_shards, :])
+        return jax.make_array_from_process_local_data(
+            NamedSharding(self.mesh, spec), local, packed.shape)
+
+    def put_plans(self, args, scanned: bool = False):
+        """Convert a fused step's host plan operands for dispatch.  By
+        convention ``args[0]`` is the packed index plan (sharded over
+        "data"); any further plan operands are replicated values identical
+        on every host and pass through (jit replicates uncommitted
+        arrays).  Identity on single-process runs, so trainer loops can
+        pass ``put_plans=cache.put_plans`` unconditionally
+        (train/cached_steps.dispatch_plan_window)."""
+        del scanned  # the packed ndim already distinguishes the forms
+        if not self._multiprocess:
+            return tuple(args)
+        return (self._put_packed(np.asarray(args[0])), *args[1:])
+
     def epoch_plans(self):
         """One epoch of host-side (packed, key) pairs for fused-gather
         steps (train/cached_steps.py): ``packed`` [n_shards, per + 1]
@@ -537,7 +682,9 @@ class DeviceFeatureCache:
         def dispatch(item):
             rows, key = item
             packed = self._pack_rows(rows)
-            if packed_sharding is not None:
+            if self._multiprocess:
+                packed_dev = self._put_packed(packed)
+            elif packed_sharding is not None:
                 packed_dev = jax.device_put(packed, packed_sharding)
             else:
                 packed_dev = jax.device_put(packed[0])

@@ -118,11 +118,28 @@ def main(argv=None) -> None:
     p.add_argument("--n_w", type=int, default=8)
     p.add_argument("--max_time", type=int, default=90,
                    help="ConvLSTM max_time (no trace in param shapes)")
+    p.add_argument("--scope", default="",
+                   help="variable-name prefix to select and strip before "
+                        "mapping (mirrors eval's --variable_name).  The "
+                        "reference flagship saves BOTH branches in one "
+                        "checkpoint (multimodal_model.py:178-217: "
+                        "modality_sensors/RTSN/..., modality_segment/"
+                        "RTSN/...), which makes every suffix ambiguous; "
+                        "--scope modality_sensors picks one branch")
     p.add_argument("--print_vars", action="store_true",
                    help="list checkpoint variables and exit")
     cfg = p.parse_args(argv)
 
     variables = read_tf1_checkpoint(cfg.ckpt)
+    if cfg.scope:
+        prefix = cfg.scope.rstrip("/") + "/"
+        scoped = {name[len(prefix):]: val for name, val in variables.items()
+                  if name.startswith(prefix)}
+        if not scoped:
+            p.error(f"--scope {cfg.scope!r} matches no variable; "
+                    f"prefixes present: "
+                    f"{sorted({n.split('/')[0] for n in variables})}")
+        variables = scoped
     if cfg.print_vars:
         for name in sorted(variables):
             print(f"{name}  {tuple(variables[name].shape)}")

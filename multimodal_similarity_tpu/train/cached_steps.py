@@ -158,7 +158,8 @@ def _jit_cached(step, cache, steps_per_dispatch: int):
 
 
 def dispatch_plan_window(state, win, keys, lr, *, fused, multi, k,
-                         plan_args, extra_args=(), cache_ops=()):
+                         plan_args, extra_args=(), cache_ops=(),
+                         put_plans=None):
     """One window of cached-batch plans through the right program.
 
     A full-K window rides the scanned ``--steps_per_dispatch`` program
@@ -175,7 +176,13 @@ def dispatch_plan_window(state, win, keys, lr, *, fused, multi, k,
     step, in step order.
     """
     if multi is not None and len(win) == k:
-        stacked = (np.stack(c) for c in zip(*(plan_args(p) for p in win)))
+        stacked = tuple(
+            np.stack(c) for c in zip(*(plan_args(p) for p in win)))
+        if put_plans is not None:
+            # --multihost: the packed plan must become a global array
+            # before the multi-process jit sees it (cache.put_plans;
+            # identity on single-process runs)
+            stacked = put_plans(stacked, scanned=True)
         state, auxs = multi(state, *stacked, *extra_args,
                             jnp.stack(list(keys)), jnp.float32(lr),
                             *cache_ops)
@@ -183,7 +190,10 @@ def dispatch_plan_window(state, win, keys, lr, *, fused, multi, k,
                        for i in range(len(win))]
     aux_list = []
     for p, key in zip(win, keys):
-        state, aux = fused(state, *plan_args(p), *extra_args, key,
+        args = plan_args(p)
+        if put_plans is not None:
+            args = put_plans(args)
+        state, aux = fused(state, *args, *extra_args, key,
                            jnp.float32(lr), *cache_ops)
         aux_list.append(aux)
     return state, aux_list

@@ -175,34 +175,73 @@ class HondaExperiment:
 
     # -- device-resident epoch feature cache ---------------------------------
 
-    def build_cache(self, modality_modes=None):
+    def build_cache(self, modality_modes=None, mesh=None):
         """``--device_cache`` for any HondaExperiment trainer: upload this
         experiment's (possibly multimodal) train windows ONCE as int8 and
         re-sample TSN segments on device each epoch
         (data/device_cache.py).  Returns the cache — updating
-        ``batch_per_epoch`` to its plan count — or None (over the
+        ``batch_per_epoch`` (and ``event_budget``, if device-rounding
+        grew it) to the cache's plan — or None (over the
         ``--device_cache_gb`` budget, or the flag is off): callers keep
-        the streaming loader."""
+        the streaming loader.
+
+        Sharding: with no ``mesh`` given, a single-process run builds a
+        local "data" mesh over every visible device (parallel.auto_mesh)
+        so the cache shards its rows and gathers shard-locally — the same
+        layout base_model/the flagship use.  Under ``--multihost`` the
+        caller must pass its GLOBAL mesh; the cache then computes the
+        global layout on every host from label pickles and each process
+        uploads only its own shards' features
+        (data/device_cache.DeviceFeatureCache._upload).
+        """
         cfg = self.cfg
         if not getattr(cfg, "device_cache", False):
             return None
         if getattr(cfg, "bf16_features", False):
             raise ValueError("--device_cache stores int8; it excludes "
                              "--bf16_features")
-        if self._pcount > 1:
-            raise NotImplementedError(
-                "--device_cache is single-process (the cache shards over "
-                "the local mesh; per-host caches are future work)")
         from multimodal_similarity_tpu.data.device_cache import (
             DeviceFeatureCache, cache_budget_bytes)
+        dataset = self.local_set
+        budget = self.event_budget
+        if self._pcount > 1:
+            if mesh is None:
+                raise ValueError(
+                    "--device_cache under --multihost needs the trainer's "
+                    "global mesh passed to build_cache")
+            # global layout from the FULL session list (each host loads
+            # only its own shards' features); the experiment's budget was
+            # divided per host — the cache plans globally
+            dataset = self.train_set
+            budget = self.event_budget * self._pcount
+        elif mesh is None:
+            from multimodal_similarity_tpu.parallel import auto_mesh
+            mesh, budget = auto_mesh(budget, verbose=not cfg.silent_mode)
         cache = DeviceFeatureCache.build(
-            self.local_set, n_seg=cfg.num_seg,
+            dataset, n_seg=cfg.num_seg,
             sess_per_batch=cfg.sess_per_batch,
-            event_budget=self.event_budget, seed=cfg.seed, mesh=None,
+            event_budget=budget, seed=cfg.seed, mesh=mesh,
             budget_bytes=cache_budget_bytes(cfg.device_cache_gb),
             modality_modes=modality_modes, verbose=not cfg.silent_mode)
+        if cache is None and mesh is not None and self._pcount == 1:
+            # the sharded build declined (fewer sessions than shards, or
+            # the shard-padding pushed the estimate over budget): a
+            # single-device cache may still fit — better than losing the
+            # cache entirely
+            if not cfg.silent_mode:
+                print(f"[{cfg.name}] sharded cache declined; retrying "
+                      "unsharded")
+            mesh, budget = None, self.event_budget
+            cache = DeviceFeatureCache.build(
+                dataset, n_seg=cfg.num_seg,
+                sess_per_batch=cfg.sess_per_batch,
+                event_budget=budget, seed=cfg.seed, mesh=None,
+                budget_bytes=cache_budget_bytes(cfg.device_cache_gb),
+                modality_modes=modality_modes,
+                verbose=not cfg.silent_mode)
         if cache is not None:
             self.batch_per_epoch = cache.batches_per_epoch
+            self.event_budget = budget
         return cache
 
     def cached_programs(self, cache, body):
@@ -268,7 +307,8 @@ class HondaExperiment:
             state, aux_list = dispatch_plan_window(
                 state, win, [self.next_key() for _ in win], lr,
                 fused=fused, multi=multi, k=k,
-                plan_args=lambda p: (p["packed"],), cache_ops=cache_ops)
+                plan_args=lambda p: (p["packed"],), cache_ops=cache_ops,
+                put_plans=cache.put_plans)
             dt = (time.time() - t0) / len(win)
             step_host = emit(aux_list, dt, step_host)
             stopped = sync_should_stop(self._guard, self._pcount,

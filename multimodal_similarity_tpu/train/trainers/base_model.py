@@ -246,14 +246,18 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
         if cfg.bf16_features:
             raise ValueError("--device_cache stores int8; it excludes "
                              "--bf16_features")
-        if pcount > 1:
-            raise NotImplementedError(
-                "--device_cache is single-process (the cache shards over "
-                "the local mesh; per-host caches are future work)")
         from multimodal_similarity_tpu.data.device_cache import (
             DeviceFeatureCache, cache_budget_bytes)
+        # --multihost: the cache computes the GLOBAL layout from the full
+        # session list (sessions round-robin over the mesh's "data"
+        # shards, replacing host_local_sessions' host split) and each
+        # process loads + uploads only its own shards' features; plans,
+        # labels, and step counts stay identical on every host, so the
+        # fused cached step runs in lockstep exactly like the streamed
+        # multihost feed
         cache = DeviceFeatureCache.build(
-            local_set, n_seg=cfg.num_seg, sess_per_batch=cfg.sess_per_batch,
+            train_set if pcount > 1 else local_set, n_seg=cfg.num_seg,
+            sess_per_batch=cfg.sess_per_batch,
             event_budget=event_budget, seed=cfg.seed, mesh=mesh,
             budget_bytes=cache_budget_bytes(cfg.device_cache_gb),
             verbose=not cfg.silent_mode)
@@ -394,7 +398,7 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                         state, win, keys, lr, fused=cached_step,
                         multi=multi_cached, k=K,
                         plan_args=lambda p: (p["packed"],),
-                        cache_ops=cache_ops)
+                        cache_ops=cache_ops, put_plans=cache.put_plans)
                     dt = (time.time() - t0) / len(win)
                     for aux in aux_list:
                         step_host += 1
@@ -419,8 +423,10 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
                 rng, key = jax.random.split(rng)
                 if cfg.triplet_select == "facenet" and cache is not None:
                     # fused gather+train: one program, one packed upload
-                    state, aux = cached_step(state, batch["packed"], key,
-                                             jnp.float32(lr), *cache_ops)
+                    # (put_plans: global plan array under --multihost)
+                    state, aux = cached_step(
+                        state, *cache.put_plans((batch["packed"],)), key,
+                        jnp.float32(lr), *cache_ops)
                 elif cfg.triplet_select == "facenet":
                     # events/labels/mask arrive device-resident (and bf16-cast
                     # when requested) from the prefetch thread

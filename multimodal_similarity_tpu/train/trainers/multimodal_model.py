@@ -654,12 +654,13 @@ def train(cfg: TrainConfig, hard_only: bool = False,
         if cfg.bf16_features:
             raise ValueError("--device_cache stores int8; it excludes "
                              "--bf16_features")
-        if pcount > 1:
-            raise NotImplementedError(
-                "--device_cache is single-process (per-host caches are "
-                "future work)")
         from multimodal_similarity_tpu.data.device_cache import (
             DeviceFeatureCache, cache_budget_bytes)
+        # --multihost: exp.train_set is the FULL session list — the cache
+        # round-robins sessions over the global mesh's "data" shards
+        # (replacing host_local_sessions' host split) and each process
+        # loads + uploads only its own shards' features; plans/labels/
+        # step counts stay identical on every host (lockstep preserved)
         cache = DeviceFeatureCache.build(
             exp.train_set, n_seg=cfg.num_seg,
             sess_per_batch=cfg.sess_per_batch,
@@ -789,7 +790,8 @@ def train(cfg: TrainConfig, hard_only: bool = False,
                         state, win, [exp.next_key() for _ in win], lr,
                         fused=fused_step, multi=multi_fused, k=K,
                         plan_args=lambda p: (p["packed"],),
-                        extra_args=(cm, use_mm), cache_ops=cache_ops)
+                        extra_args=(cm, use_mm), cache_ops=cache_ops,
+                        put_plans=cache.put_plans)
                     for aux in aux_list:
                         step_host += 1
                         exp.log_deferred(
@@ -808,10 +810,12 @@ def train(cfg: TrainConfig, hard_only: bool = False,
             for batch in batch_iter:
                 if device_mining:
                     if cache is not None:
-                        # fused gather+train: one program, one packed upload
+                        # fused gather+train: one program, one packed
+                        # upload (put_plans: global plan under --multihost)
                         state, aux = fused_step(
-                            state, batch["packed"], cm, use_mm,
-                            exp.next_key(), jnp.float32(lr), *cache_ops)
+                            state, *cache.put_plans((batch["packed"],)),
+                            cm, use_mm, exp.next_key(), jnp.float32(lr),
+                            *cache_ops)
                     else:
                         # batch tensors arrive device-resident from the
                         # prefetch thread (bf16-cast host-side when

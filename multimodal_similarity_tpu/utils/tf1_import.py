@@ -180,9 +180,11 @@ MAPPINGS: Dict[str, Tuple[Spec, ...]] = {
 MAPPINGS["pairsim2"] = MAPPINGS["pairsim"]
 
 # TF1 optimizer slot / bookkeeping variables a full training checkpoint
-# carries next to the model weights — dropped on read.
-_SLOT_MARKERS = ("/Adam", "/RMSProp", "/Momentum", "beta1_power",
-                 "beta2_power", "global_step", "save_counter")
+# carries next to the model weights — dropped on read.  Covers every
+# optimizer the reference's factory offers (utils.py:12-15: ADAM,
+# ADADELTA, ADAGRAD, MOMENTUM, SGD — SGD keeps no slots) plus RMSProp.
+_SLOT_MARKERS = ("/Adam", "/Adadelta", "/Adagrad", "/RMSProp", "/Momentum",
+                 "beta1_power", "beta2_power", "global_step", "save_counter")
 
 
 def read_tf1_checkpoint(path: str) -> Dict[str, np.ndarray]:

@@ -309,6 +309,237 @@ def test_partial_explicit_coordinator_raises():
         initialize_distributed(None, None, 1)
 
 
+_DC_WORKER = textwrap.dedent("""
+    import sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+
+    coord, pid, root, outdir = (sys.argv[1], int(sys.argv[2]), sys.argv[3],
+                                sys.argv[4])
+    from multimodal_similarity_tpu.configs import TrainConfig
+    from multimodal_similarity_tpu.train.trainers import base_model
+
+    cfg = TrainConfig(
+        DATA_ROOT=root, name="mhdc", network="rtsn", feat="sensors",
+        n_input=8, emb_dim=8, num_seg=3, sess_per_batch=1, max_epochs=2,
+        triplet_per_batch=12, learning_rate=0.01, keep_prob=1.0,
+        triplet_select="facenet", device_cache=True,
+        multihost=True, coordinator_address=coord, num_processes=2,
+        process_id=pid).resolve()
+    state, metrics, _ = base_model.train(cfg, event_budget=32,
+                                         result_dir=outdir)
+    assert jax.process_count() == 2, jax.process_count()
+    print(f"WORKER_{pid}_TRAINED step={int(state.step)} "
+          f"mAP={metrics['val_mAP']:.4f}")
+""")
+
+
+_DC_SINGLE = textwrap.dedent("""
+    import sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 4)
+
+    root, outdir = sys.argv[1], sys.argv[2]
+    from multimodal_similarity_tpu.configs import TrainConfig
+    from multimodal_similarity_tpu.train.trainers import base_model
+
+    cfg = TrainConfig(
+        DATA_ROOT=root, name="dcref", network="rtsn", feat="sensors",
+        n_input=8, emb_dim=8, num_seg=3, sess_per_batch=1, max_epochs=2,
+        triplet_per_batch=12, learning_rate=0.01, keep_prob=1.0,
+        triplet_select="facenet", device_cache=True).resolve()
+    state, metrics, _ = base_model.train(cfg, event_budget=32,
+                                         result_dir=outdir)
+    print(f"REF_TRAINED step={int(state.step)} "
+          f"mAP={metrics['val_mAP']:.4f}")
+""")
+
+
+def _step_losses(result_dir):
+    import json
+    losses = {}
+    with open(os.path.join(result_dir, "metrics.jsonl")) as fh:
+        for line in fh:
+            rec = json.loads(line)
+            if "loss" in rec:
+                losses[rec["step"]] = rec["loss"]
+    return [losses[s] for s in sorted(losses)]
+
+
+@pytest.mark.skipif(os.environ.get("MSIM_SKIP_SUBPROCESS") == "1",
+                    reason="subprocess tests disabled")
+def test_two_process_device_cache_training(tmp_path):
+    """--device_cache under --multihost (VERDICT r4 directive #1): 2
+    jax.distributed CPU processes (2 devices each -> 4-shard global
+    mesh), per-host int8 shard caches built from the GLOBAL session
+    layout (each host loads/uploads only its own shards' features), the
+    K=1 fused cached step running in lockstep — and the per-step LOSS
+    TRACE matching a single-process 4-device cached run of the same
+    config (identical global plans/gathers; only collective transport
+    differs).  The K=2 scanned window rides the flagship test below."""
+    from multimodal_similarity_tpu.data import generate_synthetic_honda
+
+    root = str(tmp_path / "honda")
+    # 9 sessions at (0.95, 0.04) splits -> 8 train sessions: every one of
+    # the 4 global "data" shards gets 2 sessions (sessions < shards would
+    # silently fall back to the streamed feed, see the output assert)
+    generate_synthetic_honda(
+        root, n_sessions=9, frames_per_session=260,
+        modal_dims={"sensors": (8,)}, class_scale=1.0, noise_scale=1.0,
+        seed=3, splits=(0.95, 0.04))
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.getcwd()] + env.get("PYTHONPATH", "").split(os.pathsep))
+
+    worker = tmp_path / "dc_worker.py"
+    worker.write_text(_DC_WORKER)
+    single = tmp_path / "dc_single.py"
+    single.write_text(_DC_SINGLE)
+
+    # the single-process 4-device reference run (the parity oracle) plus
+    # the two multihost workers
+    ref = subprocess.Popen(
+        [sys.executable, str(single), root, str(tmp_path / "dcref")],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env)
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), coord, str(pid), root,
+         str(tmp_path / f"dcout{pid}")],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env) for pid in (0, 1)]
+    outs = []
+    for pid, p in enumerate(procs + [ref]):
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs + [ref]:
+                q.kill()
+            raise
+        outs.append(out)
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+
+    import re
+    steps = []
+    for pid in (0, 1):
+        # the cache must really have been built per host — a silent
+        # fallback to the streamed feed would pass the training asserts
+        assert "[device_cache] caching 8 sessions" in outs[pid], outs[pid]
+        assert "falling back" not in outs[pid], outs[pid]
+        m = re.search(rf"WORKER_{pid}_TRAINED step=(\d+) mAP=([\d.na]+)",
+                      outs[pid])
+        assert m, outs[pid]
+        steps.append(int(m.group(1)))
+        assert m.group(2) != "nan"
+    assert steps[0] == steps[1] > 0
+    m = re.search(r"REF_TRAINED step=(\d+)", outs[2])
+    assert m and int(m.group(1)) == steps[0], outs[2]
+
+    # loss parity vs the single-process cached run: same seed -> same
+    # global session->shard layout, same epoch plans, same TSN gathers,
+    # same mining — the traces match to collective-reduction noise
+    mh = _step_losses(str(tmp_path / "dcout0"))
+    ref_losses = _step_losses(str(tmp_path / "dcref"))
+    assert len(mh) == len(ref_losses) == steps[0]
+    import numpy as np
+    np.testing.assert_allclose(np.asarray(mh), np.asarray(ref_losses),
+                               rtol=1e-4, atol=1e-5)
+
+
+_MM_DC_WORKER = textwrap.dedent("""
+    import sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+
+    coord, pid, root, outdir = (sys.argv[1], int(sys.argv[2]), sys.argv[3],
+                                sys.argv[4])
+    from multimodal_similarity_tpu.configs import TrainConfig
+    from multimodal_similarity_tpu.train.trainers import multimodal_model
+
+    cfg = TrainConfig(
+        DATA_ROOT=root, name="mhmmdc", network="rtsn", n_input=8,
+        emb_dim=16, num_seg=3, sess_per_batch=1, max_epochs=2,
+        triplet_per_batch=12, learning_rate=0.01, keep_prob=1.0,
+        lambda_multimodal=1.0, multimodal_epochs=0,
+        task="semi-supervised", device_cache=True, steps_per_dispatch=2,
+        multihost=True, coordinator_address=coord, num_processes=2,
+        process_id=pid).resolve()
+    state, metrics, _ = multimodal_model.train(
+        cfg, device_mining=True, event_budget=32, result_dir=outdir)
+    assert jax.process_count() == 2, jax.process_count()
+    print(f"WORKER_{pid}_TRAINED step={int(state.step)} "
+          f"mAP={metrics['val_mAP']:.4f}")
+""")
+
+
+@pytest.mark.skipif(os.environ.get("MSIM_SKIP_SUBPROCESS") == "1",
+                    reason="subprocess tests disabled")
+def test_two_process_flagship_device_cache(tmp_path):
+    """The FLAGSHIP fused step from per-host 3-modality device caches
+    under --multihost: both the K=1 fused cached program and the K=2
+    scanned window dispatch global plans, hosts finish in lockstep with
+    finite metrics, process 0 owns the checkpoints."""
+    from multimodal_similarity_tpu.data import generate_synthetic_honda
+
+    root = str(tmp_path / "honda")
+    generate_synthetic_honda(
+        root, n_sessions=9, frames_per_session=400,
+        modal_dims={"resnet": (8,), "sensors": (8,), "segment": (16,)},
+        class_scale=1.0, noise_scale=1.0, seed=0, splits=(0.95, 0.04))
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+
+    worker = tmp_path / "mmdc_worker.py"
+    worker.write_text(_MM_DC_WORKER)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.getcwd()] + env.get("PYTHONPATH", "").split(os.pathsep))
+
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), coord, str(pid), root,
+         str(tmp_path / f"mmdcout{pid}")],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env) for pid in (0, 1)]
+    outs = []
+    for pid, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+
+    import re
+    steps = []
+    for pid, out in enumerate(outs):
+        assert "[device_cache] caching 8 sessions" in out, out
+        assert "falling back" not in out, out
+        m = re.search(rf"WORKER_{pid}_TRAINED step=(\d+) mAP=([\d.na]+)",
+                      out)
+        assert m, out
+        steps.append(int(m.group(1)))
+        assert m.group(2) != "nan"
+    assert steps[0] == steps[1] > 0
+    assert any((tmp_path / "mmdcout0").glob("*.ckpt-*"))
+
+
 _PREEMPT_WORKER = textwrap.dedent("""
     import sys
     import jax

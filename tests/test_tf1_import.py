@@ -215,6 +215,63 @@ def test_cli_import_from_npz(tmp_path):
     assert got.shape == (2, emb) and np.all(np.isfinite(np.asarray(got)))
 
 
+def test_cli_scope_selects_flagship_branch(tmp_path):
+    """--scope on a flagship-style two-branch checkpoint: the reference
+    saves modality_sensors/RTSN/... AND modality_segment/RTSN/... in one
+    file (multimodal_model.py:178-217), so every suffix is ambiguous
+    without it; --scope filters + strips the prefix (ADVICE r4)."""
+    from multimodal_similarity_tpu.tools import import_tf1 as cli
+    n_in, emb = 5, 8
+    r = np.random.RandomState(3)
+    f = lambda *s: r.randn(*s).astype(np.float32)  # noqa: E731
+    branch = lambda scope: {  # noqa: E731
+        f"{scope}/RTSN/W_1": f(n_in, emb),
+        f"{scope}/RTSN/b_1": f(emb),
+        f"{scope}/RTSN/lstm_cell/kernel": f(2 * emb, 4 * emb),
+        f"{scope}/RTSN/lstm_cell/bias": f(4 * emb)}
+    npz = str(tmp_path / "flagship.npz")
+    np.savez(npz, **branch("modality_sensors"), **branch("modality_segment"))
+    out = str(tmp_path / "sensors.msgpack")
+
+    # without --scope: the ambiguity is loud, naming both candidates
+    with pytest.raises(KeyError, match="ambiguous"):
+        cli.main(["--ckpt", npz, "--model", "rtsn", "--output", out])
+
+    cli.main(["--ckpt", npz, "--model", "rtsn", "--output", out,
+              "--scope", "modality_sensors"])
+    params = load_pytree(out, None)["params"]
+    model = encoders.RTSN(n_seg=3, emb_dim=emb, n_input=n_in)
+    x = jnp.asarray(np.random.RandomState(4)
+                    .randn(2, 3, n_in).astype(np.float32))
+    got = model.apply({"params": params}, x)
+    assert got.shape == (2, emb) and np.all(np.isfinite(np.asarray(got)))
+
+    # a scope matching nothing dies loudly, listing what IS there
+    with pytest.raises(SystemExit):
+        cli.main(["--ckpt", npz, "--model", "rtsn", "--output", out,
+                  "--scope", "modality_nope"])
+
+
+def test_all_reference_optimizer_slots_dropped(tmp_path):
+    """read_tf1_checkpoint drops slot variables for EVERY optimizer the
+    reference factory offers (utils.py:12-15: ADAM/ADADELTA/ADAGRAD/
+    MOMENTUM/SGD) — Adadelta/Adagrad were missing (ADVICE r4), polluting
+    --print_vars and the 'available:' error listings."""
+    from multimodal_similarity_tpu.utils.tf1_import import (
+        read_tf1_checkpoint)
+    npz = str(tmp_path / "slots.npz")
+    w = np.ones((2, 2), np.float32)
+    np.savez(npz, **{
+        "W_1": w, "b_1": np.ones(2, np.float32),
+        "W_1/Adam": w, "W_1/Adam_1": w,
+        "W_1/Adadelta": w, "W_1/Adadelta_1": w,
+        "W_1/Adagrad": w,
+        "W_1/Momentum": w, "W_1/RMSProp": w,
+        "beta1_power": np.float32(0.9), "global_step": np.int64(7)})
+    got = read_tf1_checkpoint(npz)
+    assert sorted(got) == ["W_1", "b_1"], sorted(got)
+
+
 def _variables_for(model):
     """TF1-layout variables (reference shapes) for each supported model."""
     n_in, emb, n_c, n_h, n_w = 5, 8, 4, 2, 3
