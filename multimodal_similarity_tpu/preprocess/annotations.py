@@ -5,8 +5,9 @@ event tier of the .eaf file (pympi), map annotation names to ids, write a
 frame-label vector at 3 fps (second -> frame x3, +-3 s annotation noise is
 accepted), dropping 'park' events and events shorter than 5 frames; then
 run-length encode to {'label', 's', 'G'} and pickle as
-<session>_<label_type>.pkl.  pympi is optional (gated import); the
-RLE/label machinery is importable and tested without it.
+<session>_<label_type>.pkl.  pympi is optional: when absent, a stdlib
+XML reader covers the time-aligned event tiers this pipeline consumes
+(fixture-tested end-to-end in tests/test_data.py).
 """
 
 from __future__ import annotations
@@ -73,16 +74,45 @@ def annotations_to_frame_labels(
     return label
 
 
+def _parse_eaf_minimal(eaf_path: str, tier: str):
+    """Dependency-free ELAN reader for the subset the Honda annotations
+    use: time-aligned (ALIGNABLE_ANNOTATION) events on a named tier.  EAF
+    is plain XML — TIME_ORDER/TIME_SLOT ids carry the milliseconds,
+    annotations reference a start and end slot.  Document order is
+    preserved (it determines label_dict first-seen ids and which event
+    wins an overlap, reference parse_annotation.py:66-97)."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(eaf_path).getroot()
+    times = {ts.get("TIME_SLOT_ID"): int(ts.get("TIME_VALUE"))
+             for ts in root.iter("TIME_SLOT")
+             if ts.get("TIME_VALUE") is not None}
+    out = []
+    found = False
+    for t in root.iter("TIER"):
+        if t.get("TIER_ID") != tier:
+            continue
+        found = True
+        for ann in t.iter("ALIGNABLE_ANNOTATION"):
+            val = ann.find("ANNOTATION_VALUE")
+            out.append((times[ann.get("TIME_SLOT_REF1")],
+                        times[ann.get("TIME_SLOT_REF2")],
+                        val.text if val is not None and val.text else ""))
+    if not found:
+        raise KeyError(f"tier {tier!r} not present in {eaf_path!r}")
+    return out
+
+
 def parse_eaf(eaf_path: str, tier: str):
     """Read one tier of an ELAN file -> [(start_ms, end_ms, name)].
-    Requires the optional pympi dependency."""
+
+    Uses pympi when installed (it handles every EAF variant); otherwise
+    falls back to the stdlib reader above, which covers the time-aligned
+    event tiers this pipeline consumes."""
     try:
         import pympi
-    except ImportError as e:  # pragma: no cover
-        raise ImportError(
-            "pympi is required for .eaf parsing; install pympi-ling or "
-            "provide annotations as (start_ms, end_ms, name) tuples to "
-            "annotations_to_frame_labels") from e
+    except ImportError:
+        return _parse_eaf_minimal(eaf_path, tier)
     eafob = pympi.Elan.Eaf(eaf_path)
     return [(a[0], a[1], a[2]) for a in
             eafob.get_annotation_data_for_tier(tier)]

@@ -203,6 +203,72 @@ def test_pipeline_cotenancy_with_dp_training(stub):
         np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
 
 
+def test_pipeline_cotenancy_on_shared_devices(stub):
+    """The stronger co-tenancy claim (RESULTS.md: 'extraction shares
+    chips with training at 1/S footprint', VERDICT r4 directive #8): the
+    training mesh owns ALL devices and the extraction pipeline's stages
+    sit on four of the SAME devices.  Interleaved dispatch on shared
+    chips must leave both correct — extraction parity-exact against the
+    whole-tower forward, training stepping/finite — because each program
+    owns its own buffers and the runtime serializes per-device work."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multimodal_similarity_tpu.models import build_encoder
+    from multimodal_similarity_tpu.parallel import (
+        create_mesh, make_dp_triplet_step, replicate, shard_batch)
+    from multimodal_similarity_tpu.train.state import (
+        TrainState, build_optimizer)
+
+    model, variables, x = stub
+    ref = np.asarray(model.apply(variables, x))
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest provisions 8 virtual devices"
+    # training data-parallel over ALL 8 devices; the pipeline overlaps
+    # devices 0-3 (a true shared-chip tenancy, unlike the disjoint split
+    # above)
+    mesh = create_mesh(8)
+    pipe = PipelinedBackbone(model, variables, n_units=N_STUB_UNITS,
+                             input_shape=x.shape[1:], devices=devs[:4],
+                             microbatch=2)
+    overlap = {d for sv in pipe.stage_vars
+               for leaf in jax.tree_util.tree_leaves(sv)
+               for d in leaf.devices()}
+    assert overlap & set(devs[:4]), "pipeline must share training devices"
+
+    rng = np.random.RandomState(0)
+    n = 16
+    feats = rng.randn(n, 3, 2, 2, 8).astype(np.float32)
+    labels = rng.randint(0, 4, size=n).astype(np.int32)
+    enc = build_encoder("convrtsn", num_seg=3, emb_dim=8, n_input=8,
+                        n_h=2, n_w=2, n_C=4, keep_prob=0.9)
+    state = jax.device_put(
+        TrainState.create(
+            enc.init(jax.random.PRNGKey(0),
+                     jnp.asarray(feats[:2]))["params"],
+            build_optimizer("ADAM", 0.01)),
+        NamedSharding(mesh, P()))
+    step = make_dp_triplet_step(enc, mesh, triplet_per_batch=8)
+    batch = shard_batch({"events": jnp.asarray(feats)}, mesh)
+    lab_r, mask_r, key_r, lr_r = replicate(
+        (jnp.asarray(labels), jnp.ones(n, jnp.float32),
+         jax.random.PRNGKey(1), jnp.float32(0.01)), mesh)
+
+    # tighter interleave than the disjoint case: dispatch the train step
+    # and the extraction BEFORE synchronizing either, so both workloads
+    # are genuinely in flight on the shared devices at once
+    losses, outs = [], []
+    for i in range(3):
+        state, aux = step(state, batch["events"], lab_r, mask_r,
+                          key_r, lr_r)
+        out = pipe(np.asarray(x))      # syncs extraction
+        losses.append(aux["loss"])     # train result read AFTER
+        outs.append(out)
+    assert int(state.step) == 3
+    assert all(np.isfinite(float(l)) for l in losses)
+    for out in outs:
+        np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
 @pytest.mark.slow
 def test_real_tower_pipeline_parity():
     """InceptionResNetV2 stage-split over 4 devices == single-device
