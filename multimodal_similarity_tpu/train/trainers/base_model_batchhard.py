@@ -198,15 +198,38 @@ def train(cfg: TrainConfig, loss_kind: str = "batchhard",
     embed_fn = make_embed_fn(model, cfg.normalized)
     batch_size = cfg.batch_size if cfg.batch_size > 8 else 64
     # >1 device: shard the balanced batch and run the ring batch-hard pass
-    from multimodal_similarity_tpu.parallel import auto_mesh
-    mesh, batch_size = auto_mesh(batch_size, verbose=not cfg.silent_mode)
-    if mesh is not None:
-        state = jax.device_put(state, jax.sharding.NamedSharding(
-            mesh, jax.sharding.PartitionSpec()))
+    if cfg.model_parallel > 1:
+        # dp x tp: the encoder's wide kernels (and Adam moments) column-
+        # shard over "model" while the O(B^2) loss still rides the ring
+        # over "data" — the ring's shard_map specs never mention "model",
+        # so each tp column runs the (KB-scale) reduction replicated
+        from multimodal_similarity_tpu.parallel import (
+            auto_mesh_tp, shard_state_tp, tp_sharded_leaves)
+        mesh, batch_size = auto_mesh_tp(batch_size, cfg.model_parallel,
+                                        verbose=not cfg.silent_mode)
+        sharded = tp_sharded_leaves(state.params, mesh)
+        if not sharded:
+            raise ValueError(
+                f"--model_parallel {cfg.model_parallel}: no parameter has "
+                f"a trailing dim divisible by {cfg.model_parallel} "
+                f"(emb_dim {cfg.emb_dim}); tensor parallelism would be a "
+                "silent no-op")
+        state = shard_state_tp(state, mesh)
         if not cfg.silent_mode:
-            print(f"[{cfg.name}] {loss_kind} data-parallel over "
-                  f"{mesh.shape['data']} devices"
-                  + (" (ring mining)" if loss_kind == "batchhard" else ""))
+            print(f"[{cfg.name}] {loss_kind}: {len(sharded)} weight "
+                  f"tensors column-sharded over {cfg.model_parallel} "
+                  f"chips x {mesh.shape['data']}-way data parallel")
+    else:
+        from multimodal_similarity_tpu.parallel import auto_mesh
+        mesh, batch_size = auto_mesh(batch_size,
+                                     verbose=not cfg.silent_mode)
+        if mesh is not None:
+            state = jax.device_put(state, jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec()))
+    if mesh is not None and not cfg.silent_mode:
+        print(f"[{cfg.name}] {loss_kind} data-parallel over "
+              f"{mesh.shape['data']} devices"
+              + (" (ring mining)" if loss_kind == "batchhard" else ""))
     step_fn = make_balanced_batch_step(model, cfg, loss_kind, mesh=mesh)
 
     # the balanced selection needs only host-resident labels, so it runs

@@ -134,6 +134,60 @@ def test_base_model_trainer_model_parallel(tmp_path):
 
 
 @needs8
+def test_batchhard_trainer_model_parallel(tmp_path):
+    """--model_parallel 2 through base_model_batchhard (VERDICT r4
+    directive #5: batch-hard had no tp surface): the encoder's wide
+    kernels column-shard over 'model' while the O(B^2) loss rides the
+    ring over 'data' — both the batchhard and lifted loss kinds train
+    under the 4 x 2 dp x tp mesh with column-sharded final states."""
+    from multimodal_similarity_tpu.configs import TrainConfig
+    from multimodal_similarity_tpu.data import generate_synthetic_honda
+    from multimodal_similarity_tpu.train.trainers import base_model_batchhard
+
+    root = str(tmp_path / "honda")
+    generate_synthetic_honda(root, n_sessions=5, frames_per_session=300,
+                             modal_dims={"sensors": (8,)}, seed=0)
+    for kind in ("batchhard", "lifted"):
+        cfg = TrainConfig(
+            DATA_ROOT=root, name=f"bh_{kind}", network="rtsn",
+            feat="sensors", n_input=8, emb_dim=32, num_seg=3,
+            sess_per_batch=2, max_epochs=1, batch_size=32,
+            learning_rate=0.01, keep_prob=0.9, silent_mode=True,
+            model_parallel=2).resolve()
+        state, metrics, _ = base_model_batchhard.train(
+            cfg, loss_kind=kind, event_budget=24,
+            result_dir=str(tmp_path / f"bh_{kind}"))
+        assert int(state.step) >= 1
+        assert np.isfinite(metrics["val_mAP"])
+        kernels = [p for p in jax.tree_util.tree_leaves(state.params)
+                   if getattr(p, "ndim", 0) >= 2]
+        assert any("model" in _spec_names(k) for k in kernels), kind
+
+
+@needs8
+def test_batchhard_model_parallel_rejects_no_op(tmp_path):
+    """An emb_dim that can't split must fail loudly in batchhard too."""
+    from multimodal_similarity_tpu.configs import TrainConfig
+    from multimodal_similarity_tpu.data import generate_synthetic_honda
+    from multimodal_similarity_tpu.train.trainers import base_model_batchhard
+
+    root = str(tmp_path / "honda")
+    generate_synthetic_honda(root, n_sessions=5, frames_per_session=200,
+                             modal_dims={"sensors": (8,)}, seed=0)
+    # model_parallel=8 (pure tp): emb_dim=3 leaves no trailing dim
+    # divisible by 8 anywhere (W_1 [8,3]; lstm kernel [6,12]) — with
+    # mp=2 the LSTM's 4*emb_dim trailing dim always splits
+    cfg = TrainConfig(
+        DATA_ROOT=root, name="bhno", network="rtsn", feat="sensors",
+        n_input=8, emb_dim=3, num_seg=3, sess_per_batch=2, max_epochs=1,
+        batch_size=32, learning_rate=0.01, keep_prob=0.9,
+        silent_mode=True, model_parallel=8).resolve()
+    with pytest.raises(ValueError, match="model_parallel"):
+        base_model_batchhard.train(cfg, event_budget=24,
+                                   result_dir=str(tmp_path / "bhno"))
+
+
+@needs8
 @pytest.mark.slow
 def test_flagship_fused_model_parallel(tmp_path):
     """--model_parallel 2 on the flagship fused step (--device_mining):
