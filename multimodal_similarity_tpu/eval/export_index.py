@@ -78,11 +78,19 @@ def run(cfg: EvalConfig, index_dir: str, int8_gallery: bool = False,
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     extra = argparse.ArgumentParser(add_help=False)
-    extra.add_argument("--index_dir", type=str, required=True)
+    # not `required=True`: --help must reach EvalConfig's parser below
+    # instead of dying on the missing --index_dir
+    extra.add_argument("--index_dir", type=str, default="")
     extra.add_argument("--int8_gallery", action="store_true")
     extra.add_argument("--index_split", type=str, default="test",
                        choices=("train", "val", "test", "all"))
     ns, rest = extra.parse_known_args(argv)
+    if "--help" in rest or "-h" in rest:
+        print("export_index extras: --index_dir DIR (required), "
+              "--int8_gallery, --index_split {train,val,test,all}\n"
+              "plus every EvalConfig flag:")
+    elif not ns.index_dir:
+        extra.error("the following arguments are required: --index_dir")
     cfg = EvalConfig.parse(rest)
     run(cfg, ns.index_dir, int8_gallery=ns.int8_gallery,
         split=ns.index_split)
