@@ -31,13 +31,27 @@ def tp_spec_for(path, leaf, mesh: Mesh, axis: str = "model"):
     return P()
 
 
+def _put(leaf, sharding: NamedSharding):
+    """Place one leaf.  Multi-process meshes cannot be device_put from
+    one host; each process contributes via
+    ``make_array_from_process_local_data`` instead.  Every sharding this
+    module produces is either replicated or model-column sharded —
+    never split over a cross-host axis — so each process's addressable
+    shards are covered by the FULL host-local value (identical on every
+    host, same seed), which is exactly what the call expects."""
+    if len({d.process_index for d in sharding.mesh.devices.flat}) == 1:
+        return jax.device_put(leaf, sharding)
+    return jax.make_array_from_process_local_data(
+        sharding, np.asarray(leaf), np.shape(leaf))
+
+
 def shard_params_tp(params, mesh: Mesh, axis: str = "model"):
     """Place a param pytree with trailing-dim (column) sharding over
     ``axis``.  Pure placement: values are unchanged."""
 
     def put(path, leaf):
         spec = tp_spec_for(path, leaf, mesh, axis)
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
+        return _put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(put, params)
 
@@ -60,9 +74,9 @@ def shard_state_tp(state, mesh: Mesh, axis: str = "model"):
 
     def put(path, leaf):
         if not hasattr(leaf, "ndim") or leaf.ndim == 0:
-            return jax.device_put(leaf, NamedSharding(mesh, P()))
-        return jax.device_put(
-            leaf, NamedSharding(mesh, tp_spec_for(path, leaf, mesh, axis)))
+            return _put(leaf, NamedSharding(mesh, P()))
+        return _put(leaf,
+                    NamedSharding(mesh, tp_spec_for(path, leaf, mesh, axis)))
 
     return jax.tree_util.tree_map_with_path(put, state)
 
@@ -95,6 +109,16 @@ def auto_mesh_tp(batch_axis_size: int, model_parallel: int,
         raise ValueError(
             f"--model_parallel {model_parallel} does not divide the "
             f"{n_devices} visible devices")
+    if jax.process_count() > 1 and \
+            jax.local_device_count() % model_parallel:
+        # keep every model-column group (and therefore every data row)
+        # within one host: tp collectives ride ICI, the data axis aligns
+        # to processes (the per-host feed and the device cache both
+        # require whole data shards per host)
+        raise ValueError(
+            f"--model_parallel {model_parallel} does not divide the "
+            f"{jax.local_device_count()} devices per host; a tp group "
+            "must not span hosts")
     data = n_devices // model_parallel
     rounded = -(-batch_axis_size // data) * data
     if verbose:

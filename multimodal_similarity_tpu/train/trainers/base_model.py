@@ -95,10 +95,11 @@ def train(cfg: TrainConfig, event_budget: Optional[int] = None,
         if cfg.model_parallel > 1:
             # dp x tp: batch on "data", wide weight-matrix columns on
             # "model" (parallel/tensor_parallel.py); XLA SPMD inserts the
-            # ICI collectives where activations rejoin
-            if cfg.multihost:
-                raise NotImplementedError(
-                    "--model_parallel is single-process for now")
+            # ICI collectives where activations rejoin.  Composes with
+            # --multihost: tp groups stay within a host (auto_mesh_tp
+            # validates), the data axis aligns to processes, and
+            # shard_state_tp contributes each host's columns via
+            # make_array_from_process_local_data
             from multimodal_similarity_tpu.parallel import auto_mesh_tp
             mesh, event_budget = auto_mesh_tp(
                 event_budget, cfg.model_parallel,

@@ -521,10 +521,9 @@ def train(cfg: TrainConfig, hard_only: bool = False,
     if device_mining:
         if cfg.model_parallel > 1:
             # dp x tp mesh: event batch on "data", the core encoder's wide
-            # weight-matrix columns on "model" (state sharded below)
-            if cfg.multihost:
-                raise NotImplementedError(
-                    "--model_parallel is single-process for now")
+            # weight-matrix columns on "model" (state sharded below).
+            # Composes with --multihost: tp groups stay within a host,
+            # the data axis aligns to processes
             from multimodal_similarity_tpu.parallel import auto_mesh_tp
             mesh, event_budget = auto_mesh_tp(
                 event_budget or cfg.event_per_batch, cfg.model_parallel,

@@ -315,16 +315,18 @@ _DC_WORKER = textwrap.dedent("""
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 2)
 
-    coord, pid, root, outdir = (sys.argv[1], int(sys.argv[2]), sys.argv[3],
-                                sys.argv[4])
+    coord, pid, root, outdir, mp = (sys.argv[1], int(sys.argv[2]),
+                                    sys.argv[3], sys.argv[4],
+                                    int(sys.argv[5]))
     from multimodal_similarity_tpu.configs import TrainConfig
     from multimodal_similarity_tpu.train.trainers import base_model
 
     cfg = TrainConfig(
         DATA_ROOT=root, name="mhdc", network="rtsn", feat="sensors",
-        n_input=8, emb_dim=8, num_seg=3, sess_per_batch=1, max_epochs=2,
-        triplet_per_batch=12, learning_rate=0.01, keep_prob=1.0,
-        triplet_select="facenet", device_cache=True,
+        n_input=8, emb_dim=32 if mp else 8, num_seg=3, sess_per_batch=1,
+        max_epochs=2, triplet_per_batch=12, learning_rate=0.01,
+        keep_prob=1.0, triplet_select="facenet", device_cache=True,
+        model_parallel=mp,
         multihost=True, coordinator_address=coord, num_processes=2,
         process_id=pid).resolve()
     state, metrics, _ = base_model.train(cfg, event_budget=32,
@@ -341,15 +343,16 @@ _DC_SINGLE = textwrap.dedent("""
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 4)
 
-    root, outdir = sys.argv[1], sys.argv[2]
+    root, outdir, mp = sys.argv[1], sys.argv[2], int(sys.argv[3])
     from multimodal_similarity_tpu.configs import TrainConfig
     from multimodal_similarity_tpu.train.trainers import base_model
 
     cfg = TrainConfig(
         DATA_ROOT=root, name="dcref", network="rtsn", feat="sensors",
-        n_input=8, emb_dim=8, num_seg=3, sess_per_batch=1, max_epochs=2,
-        triplet_per_batch=12, learning_rate=0.01, keep_prob=1.0,
-        triplet_select="facenet", device_cache=True).resolve()
+        n_input=8, emb_dim=32 if mp else 8, num_seg=3, sess_per_batch=1,
+        max_epochs=2, triplet_per_batch=12, learning_rate=0.01,
+        keep_prob=1.0, triplet_select="facenet", device_cache=True,
+        model_parallel=mp).resolve()
     state, metrics, _ = base_model.train(cfg, event_budget=32,
                                          result_dir=outdir)
     print(f"REF_TRAINED step={int(state.step)} "
@@ -370,7 +373,8 @@ def _step_losses(result_dir):
 
 @pytest.mark.skipif(os.environ.get("MSIM_SKIP_SUBPROCESS") == "1",
                     reason="subprocess tests disabled")
-def test_two_process_device_cache_training(tmp_path):
+@pytest.mark.parametrize("mp", [0, 2], ids=["dp", "dp_x_tp"])
+def test_two_process_device_cache_training(tmp_path, mp):
     """--device_cache under --multihost (VERDICT r4 directive #1): 2
     jax.distributed CPU processes (2 devices each -> 4-shard global
     mesh), per-host int8 shard caches built from the GLOBAL session
@@ -409,12 +413,13 @@ def test_two_process_device_cache_training(tmp_path):
     # the single-process 4-device reference run (the parity oracle) plus
     # the two multihost workers
     ref = subprocess.Popen(
-        [sys.executable, str(single), root, str(tmp_path / "dcref")],
+        [sys.executable, str(single), root, str(tmp_path / "dcref"),
+         str(mp)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         env=env)
     procs = [subprocess.Popen(
         [sys.executable, str(worker), coord, str(pid), root,
-         str(tmp_path / f"dcout{pid}")],
+         str(tmp_path / f"dcout{pid}"), str(mp)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         env=env) for pid in (0, 1)]
     outs = []
