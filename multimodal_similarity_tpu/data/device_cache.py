@@ -204,6 +204,7 @@ class DeviceFeatureCache:
               max_frames: int = MAX_LENGTH,
               budget_bytes: Optional[int] = None,
               modality_modes: Optional[Sequence[str]] = None,
+              beat=None,
               verbose: bool = True) -> Optional["DeviceFeatureCache"]:
         """Load + quantize + upload every session of ``dataset``.
 
@@ -213,6 +214,13 @@ class DeviceFeatureCache:
         masked frame mean (the device twin of data.mean_pool_input, which
         cross_prediction uses as its target-modality prepare) — storage
         is identical int8 windows either way, only the gather differs.
+
+        ``beat`` (optional callable) fires once per loaded session: the
+        build is the longest host-side stretch a trainer runs with an
+        armed hang watchdog (tens of seconds of disk reads + quantize on
+        a big corpus), and each session is real progress — without the
+        heartbeat a step-sized --watchdog_secs would false-fire during
+        the one-time build.
 
         Returns None (with a notice) when the estimate exceeds
         ``budget_bytes`` — callers keep the streaming feed.
@@ -302,6 +310,8 @@ class DeviceFeatureCache:
                                 "load_data_and_label")
                 shard_len[shard].append(seq_len)
                 shard_lab[shard].append(lab0)
+                if beat is not None:
+                    beat()  # session loaded: real progress, reset deadline
 
         # pack shards to a common length (pad rows are never selected by
         # the plan; their seq_len of n_seg keeps the sampler in range)

@@ -222,7 +222,8 @@ class HondaExperiment:
             sess_per_batch=cfg.sess_per_batch,
             event_budget=budget, seed=cfg.seed, mesh=mesh,
             budget_bytes=cache_budget_bytes(cfg.device_cache_gb),
-            modality_modes=modality_modes, verbose=not cfg.silent_mode)
+            modality_modes=modality_modes, beat=self.beat_fn,
+            verbose=not cfg.silent_mode)
         if cache is None and mesh is not None and self._pcount == 1:
             # the sharded build declined (fewer sessions than shards, or
             # the shard-padding pushed the estimate over budget): a
@@ -237,7 +238,7 @@ class HondaExperiment:
                 sess_per_batch=cfg.sess_per_batch,
                 event_budget=budget, seed=cfg.seed, mesh=None,
                 budget_bytes=cache_budget_bytes(cfg.device_cache_gb),
-                modality_modes=modality_modes,
+                modality_modes=modality_modes, beat=self.beat_fn,
                 verbose=not cfg.silent_mode)
         if cache is not None:
             self.batch_per_epoch = cache.batches_per_epoch

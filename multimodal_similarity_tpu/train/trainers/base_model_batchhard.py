@@ -259,7 +259,7 @@ def train(cfg: TrainConfig, loss_kind: str = "batchhard",
         cache = DeviceFeatureCache.build(
             exp.train_set, n_seg=cfg.num_seg,
             sess_per_batch=cfg.sess_per_batch, event_budget=budget,
-            seed=cfg.seed, mesh=mesh,
+            seed=cfg.seed, mesh=mesh, beat=exp.beat_fn,
             budget_bytes=cache_budget_bytes(cfg.device_cache_gb),
             verbose=not cfg.silent_mode)
         if cache is not None:

@@ -665,7 +665,8 @@ def train(cfg: TrainConfig, hard_only: bool = False,
             sess_per_batch=cfg.sess_per_batch,
             event_budget=event_budget or cfg.event_per_batch, seed=cfg.seed,
             mesh=mesh, budget_bytes=cache_budget_bytes(cfg.device_cache_gb),
-            verbose=not cfg.silent_mode)
+            beat=exp.beat_fn,  # a step-sized watchdog must survive the
+            verbose=not cfg.silent_mode)  # one-time multi-GB build
         if cache is not None:
             exp.batch_per_epoch = cache.batches_per_epoch
             # single-dispatch path: rebuild the fused step with the TSN

@@ -1001,6 +1001,23 @@ def test_multitask_trainer_with_device_cache(synth_root, tmp_path):
     assert train_steps == list(range(1, int(state.step) + 1))
 
 
+def test_cache_build_beats_watchdog_per_session(synth_root):
+    """The build is the longest host stretch a trainer runs with an
+    armed hang watchdog (tens of seconds of disk reads + quantize on a
+    real corpus); the ``beat`` hook must fire once per loaded session so
+    a step-sized --watchdog_secs never false-fires during it.  All
+    trainer cache builds pass exp.beat_fn through."""
+    cfg = TrainConfig(DATA_ROOT=synth_root, feat="sensors").resolve()
+    dataset = prepare_dataset(cfg.feature_root, cfg.train_session,
+                              "sensors", cfg.label_root, "goal")
+    beats = []
+    cache = DeviceFeatureCache.build(
+        dataset, n_seg=N_SEG, sess_per_batch=2, event_budget=24, seed=7,
+        beat=lambda: beats.append(1))
+    assert cache is not None
+    assert len(beats) == len(dataset)
+
+
 def test_aux_trainer_cache_is_mesh_sharded(synth_root, tmp_path):
     """HondaExperiment.build_cache shards the aux trainers' caches over a
     local auto_mesh (VERDICT r4 directive #5 — it used to hard-code
