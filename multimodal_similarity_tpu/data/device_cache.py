@@ -204,7 +204,7 @@ class DeviceFeatureCache:
               max_frames: int = MAX_LENGTH,
               budget_bytes: Optional[int] = None,
               modality_modes: Optional[Sequence[str]] = None,
-              beat=None,
+              beat=None, workers: int = 4,
               verbose: bool = True) -> Optional["DeviceFeatureCache"]:
         """Load + quantize + upload every session of ``dataset``.
 
@@ -221,6 +221,13 @@ class DeviceFeatureCache:
         a big corpus), and each session is real progress — without the
         heartbeat a step-sized --watchdog_secs would false-fire during
         the one-time build.
+
+        ``workers`` sizes a thread pool over session loads (numpy IO +
+        quantize release the GIL, so reads overlap compute); results
+        drain in submission order, so the staged layout — and therefore
+        every plan, gather, and uploaded byte — is identical to the
+        sequential build (``workers=1``), pinned in
+        tests/test_device_cache.py.
 
         Returns None (with a notice) when the estimate exceeds
         ``budget_bytes`` — callers keep the streaming feed.
@@ -287,31 +294,59 @@ class DeviceFeatureCache:
             return out
 
         local_set = set(self._local_shards)
-        for shard, rows in enumerate(per_shard_rows):
-            for row in rows:
-                # layout metadata for EVERY session, from the label pickle
-                # alone — under --multihost each host derives the identical
-                # global layout without reading other hosts' features
-                lab0, seq_len = _session_label_metadata(
-                    row[-1], transfer, max_frames)
-                if shard in local_set:
-                    for m in range(num_modalities):
-                        eve, lab, bounds = load_data_and_label(
-                            row[m], row[-1], window_prepare, transfer)
-                        q, scale = quantize_features(eve)
+
+        def load_session(args):
+            """One session's staging payload.  Thread-safe: numpy load /
+            slicing / quantize release the GIL for the bulk of the work,
+            so a small pool overlaps disk reads with quantize — the
+            build is the dominant one-time cost of --device_cache
+            (BENCH device_cache_detail.build_upload_s)."""
+            shard, row = args
+            # layout metadata for EVERY session, from the label pickle
+            # alone — under --multihost each host derives the identical
+            # global layout without reading other hosts' features
+            lab0, seq_len = _session_label_metadata(
+                row[-1], transfer, max_frames)
+            mods = []
+            if shard in local_set:
+                for m in range(num_modalities):
+                    eve, lab, _ = load_data_and_label(
+                        row[m], row[-1], window_prepare, transfer)
+                    mods.append(quantize_features(eve))
+                    if m == 0 and not np.array_equal(
+                            lab.reshape(-1), lab0):
+                        raise AssertionError(
+                            f"label metadata diverged from the loaded "
+                            f"session {row[-1]!r}; the pickle-only "
+                            "filters no longer match load_data_and_label")
+            return shard, lab0, seq_len, mods
+
+        tasks = [(shard, row) for shard, rows in enumerate(per_shard_rows)
+                 for row in rows]
+        if workers > 1 and len(tasks) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                loaded = pool.map(load_session, tasks)
+                # results consumed in submission order (pool.map) -> the
+                # staging layout is bit-identical to the sequential build
+                for shard, lab0, seq_len, mods in loaded:
+                    for m, (q, scale) in enumerate(mods):
                         shard_q[shard][m].append(q)
                         shard_scale[shard][m].append(scale)
-                        if m == 0 and not np.array_equal(
-                                lab.reshape(-1), lab0):
-                            raise AssertionError(
-                                f"label metadata diverged from the loaded "
-                                f"session {row[-1]!r}; the pickle-only "
-                                "filters no longer match "
-                                "load_data_and_label")
+                    shard_len[shard].append(seq_len)
+                    shard_lab[shard].append(lab0)
+                    if beat is not None:
+                        beat()  # session loaded: reset the hang deadline
+        else:
+            for task in tasks:
+                shard, lab0, seq_len, mods = load_session(task)
+                for m, (q, scale) in enumerate(mods):
+                    shard_q[shard][m].append(q)
+                    shard_scale[shard][m].append(scale)
                 shard_len[shard].append(seq_len)
                 shard_lab[shard].append(lab0)
                 if beat is not None:
-                    beat()  # session loaded: real progress, reset deadline
+                    beat()  # session loaded: reset the hang deadline
 
         # pack shards to a common length (pad rows are never selected by
         # the plan; their seq_len of n_seg keeps the sampler in range)
