@@ -461,8 +461,6 @@ def main():
     # data at the SAME batch size — the gap between the two is the
     # gather + plan overhead the cache adds over raw on-device data.
     _mark("device-cache epoch feed")
-    import os
-
     from multimodal_similarity_tpu.data import generate_synthetic_honda
     from multimodal_similarity_tpu.data.datasets import prepare_dataset
     from multimodal_similarity_tpu.data.device_cache import (

@@ -53,8 +53,7 @@ def main():
     # partners); hard point: class_scale 1.0 vs noise 2.4
     generate_synthetic_honda(
         root, n_sessions=8, frames_per_session=500,
-        modal_dims={"resnet": (2, 2, 8), "sensors": (8,),
-                    "segment": (16,)},
+        modal_dims={"sensors": (8,), "segment": (16,)},
         class_scale=1.0, noise_scale=noise, seed=7, splits=(0.5, 0.25))
 
     results = {}
@@ -82,8 +81,9 @@ def main():
     print("|---|" + "---|" * (len(seeds) + 2))
     for mode in modes:
         vals = [results[f"{mode}/s{s}"] for s in seeds]
+        sig = f"{np.std(vals, ddof=1):.3f}" if len(vals) > 1 else "n/a"
         print(f"| {mode} | " + " | ".join(f"{v:.3f}" for v in vals)
-              + f" | {np.mean(vals):.3f} | {np.std(vals, ddof=1):.3f} |")
+              + f" | {np.mean(vals):.3f} | {sig} |")
     print(json.dumps({"epochs": epochs, "noise": noise, **results}))
 
 
