@@ -230,23 +230,49 @@ class DeviceFeatureCache:
         tests/test_device_cache.py.
 
         Returns None (with a notice) when the estimate exceeds
-        ``budget_bytes`` — callers keep the streaming feed.
+        ``budget_bytes`` — callers keep the streaming feed.  The budget
+        is PER HOST: under --multihost each process compares only its
+        own shards' share of the global estimate (a 4-host pod holding a
+        20 GB corpus is 5 GB resident per host — exactly the deployment
+        the per-host caches exist for; gating on the global figure would
+        silently decline it).
         """
+        self = cls(n_seg=n_seg, sess_per_batch=sess_per_batch,
+                   event_budget=event_budget, seed=seed, mesh=mesh,
+                   modality_modes=modality_modes)
         est = estimate_cache_bytes(
-            dataset, max_frames,
-            n_shards=int(mesh.shape["data"]) if mesh is not None else 1)
-        if budget_bytes is not None and est > budget_bytes:
+            dataset, max_frames, n_shards=self.n_shards)
+        # the go/no-go must be IDENTICAL on every host (a lone decliner
+        # would deadlock its lockstep peers), so gate on the WORST
+        # host's share — computable from the mesh alone.  est is
+        # max-padded, so per-shard bytes are uniform.
+        if self._multiprocess:
+            counts: Dict[int, int] = {}
+            axis = self.mesh.axis_names.index("data")
+            dev = np.moveaxis(np.asarray(self.mesh.devices), axis,
+                              0).reshape(self.n_shards, -1)
+            for row in dev:
+                pid = row[0].process_index
+                counts[pid] = counts.get(pid, 0) + 1
+            max_local = max(counts.values())
+        else:
+            max_local = len(self._local_shards)
+        est_local = est * max_local // self.n_shards
+        if budget_bytes is not None and est_local > budget_bytes:
             if verbose:
-                print(f"[device_cache] estimated {est / 1e9:.2f} GB exceeds "
-                      f"budget {budget_bytes / 1e9:.2f} GB; falling back to "
+                share = (" this host's share of"
+                         if self._multiprocess else "")
+                print(f"[device_cache] estimated{share} "
+                      f"{est_local / 1e9:.2f} GB exceeds budget "
+                      f"{budget_bytes / 1e9:.2f} GB; falling back to "
                       f"the streaming feed")
             return None
         if verbose:
             print(f"[device_cache] caching {len(dataset)} sessions "
-                  f"(~{est / 1e9:.2f} GB int8) on device")
-        self = cls(n_seg=n_seg, sess_per_batch=sess_per_batch,
-                   event_budget=event_budget, seed=seed, mesh=mesh,
-                   modality_modes=modality_modes)
+                  f"(~{est / 1e9:.2f} GB int8"
+                  + (f" global, ~{est_local / 1e9:.2f} GB this host"
+                     if self._multiprocess else "")
+                  + ") on device")
         self.max_frames = max_frames
         num_modalities = len(dataset[0]) - 1
         if modality_modes is not None:
@@ -325,7 +351,8 @@ class DeviceFeatureCache:
                  for row in rows]
         if workers > 1 and len(tasks) > 1:
             from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(max_workers=workers) as pool:
+            pool = ThreadPoolExecutor(max_workers=workers)
+            try:
                 loaded = pool.map(load_session, tasks)
                 # results consumed in submission order (pool.map) -> the
                 # staging layout is bit-identical to the sequential build
@@ -337,6 +364,14 @@ class DeviceFeatureCache:
                     shard_lab[shard].append(lab0)
                     if beat is not None:
                         beat()  # session loaded: reset the hang deadline
+            except BaseException:
+                # fail FAST: a corrupt session must surface now, not
+                # after the pool drains the remaining (possibly hundreds
+                # of) queued loads — which would also starve the
+                # watchdog beats and mask the real error
+                pool.shutdown(wait=False, cancel_futures=True)
+                raise
+            pool.shutdown(wait=True)
         else:
             for task in tasks:
                 shard, lab0, seq_len, mods = load_session(task)
@@ -430,9 +465,10 @@ class DeviceFeatureCache:
 
         n_global = self.n_shards * self.shard_rows
 
-        def put(local, global_rows=None):
-            """local rows -> device array.  ``global_rows`` None means
-            ``local`` already IS the full global array."""
+        def put(local):
+            """local rows -> device array (under multi-process,
+            ``local`` holds exactly this host's shard rows of the
+            n_global-row global array)."""
             if self.mesh is None:
                 return jax.device_put(local)
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -440,7 +476,7 @@ class DeviceFeatureCache:
                 self.mesh, P("data", *([None] * (local.ndim - 1))))
             if not self._multiprocess:
                 return jax.device_put(local, sharding)
-            gshape = ((global_rows or n_global),) + local.shape[1:]
+            gshape = (n_global,) + local.shape[1:]
             return jax.make_array_from_process_local_data(
                 sharding, local, gshape)
 

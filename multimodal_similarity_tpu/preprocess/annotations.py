@@ -95,8 +95,17 @@ def _parse_eaf_minimal(eaf_path: str, tier: str):
         found = True
         for ann in t.iter("ALIGNABLE_ANNOTATION"):
             val = ann.find("ANNOTATION_VALUE")
-            out.append((times[ann.get("TIME_SLOT_REF1")],
-                        times[ann.get("TIME_SLOT_REF2")],
+            refs = (ann.get("TIME_SLOT_REF1"), ann.get("TIME_SLOT_REF2"))
+            if any(r not in times for r in refs):
+                # legal ELAN allows value-less TIME_SLOTs (partially
+                # aligned / subdivided tiers); that is beyond this
+                # stdlib subset — say so instead of a bare KeyError
+                raise ValueError(
+                    f"annotation {ann.get('ANNOTATION_ID')!r} in "
+                    f"{eaf_path!r} references TIME_SLOT(s) without a "
+                    f"TIME_VALUE ({refs}); this file needs the full "
+                    "ELAN reader — install pympi-ling")
+            out.append((times[refs[0]], times[refs[1]],
                         val.text if val is not None and val.text else ""))
     if not found:
         raise KeyError(f"tier {tier!r} not present in {eaf_path!r}")

@@ -242,7 +242,12 @@ class HondaExperiment:
                 verbose=not cfg.silent_mode)
         if cache is not None:
             self.batch_per_epoch = cache.batches_per_epoch
-            self.event_budget = budget
+            if self._pcount == 1:
+                # single-process: adopt the device-rounded budget.  Under
+                # --multihost, `budget` is the GLOBAL figure the cache
+                # plans with (cache.event_budget); self.event_budget
+                # keeps its per-host meaning for everything else
+                self.event_budget = budget
         return cache
 
     def cached_programs(self, cache, body):

@@ -364,6 +364,19 @@ def test_eaf_parse_end_to_end(tmp_path):
     with pytest.raises(KeyError, match="tier"):
         A.parse_eaf(str(tmp_path / "202103010000-event.eaf"), "nope")
 
+    # value-less TIME_SLOT references (legal ELAN, beyond the stdlib
+    # subset) name the fix instead of a bare KeyError
+    bad = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<ANNOTATION_DOCUMENT AUTHOR="t" FORMAT="3.0" VERSION="3.0">'
+        '<TIME_ORDER><TIME_SLOT TIME_SLOT_ID="ts1" TIME_VALUE="0"/>'
+        '<TIME_SLOT TIME_SLOT_ID="ts2"/></TIME_ORDER>'
+        f'<TIER TIER_ID="{A.TIER_STIMULI}">{ann(9, 1, 2, "x")}</TIER>'
+        '</ANNOTATION_DOCUMENT>')
+    (tmp_path / "bad.eaf").write_text(bad, encoding="utf-8")
+    with pytest.raises(ValueError, match="pympi"):
+        A.parse_eaf(str(tmp_path / "bad.eaf"), A.TIER_STIMULI)
+
 
 def test_sensor_normalization_recipe(rng):
     from multimodal_similarity_tpu.preprocess.sensors import (

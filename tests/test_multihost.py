@@ -315,18 +315,21 @@ _DC_WORKER = textwrap.dedent("""
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 2)
 
-    coord, pid, root, outdir, mp = (sys.argv[1], int(sys.argv[2]),
-                                    sys.argv[3], sys.argv[4],
-                                    int(sys.argv[5]))
+    coord, pid, root, outdir, mp, budget_gb = (
+        sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4],
+        int(sys.argv[5]), float(sys.argv[6]))
     from multimodal_similarity_tpu.configs import TrainConfig
     from multimodal_similarity_tpu.train.trainers import base_model
 
+    # budget_gb sits BETWEEN this host's share and the global estimate:
+    # the per-host gate must let the cache engage where a global gate
+    # would have silently declined it
     cfg = TrainConfig(
         DATA_ROOT=root, name="mhdc", network="rtsn", feat="sensors",
         n_input=8, emb_dim=32 if mp else 8, num_seg=3, sess_per_batch=1,
         max_epochs=2, triplet_per_batch=12, learning_rate=0.01,
         keep_prob=1.0, triplet_select="facenet", device_cache=True,
-        model_parallel=mp,
+        device_cache_gb=budget_gb, model_parallel=mp,
         multihost=True, coordinator_address=coord, num_processes=2,
         process_id=pid).resolve()
     state, metrics, _ = base_model.train(cfg, event_budget=32,
@@ -410,6 +413,18 @@ def test_two_process_device_cache_training(tmp_path, mp):
     single = tmp_path / "dc_single.py"
     single.write_text(_DC_SINGLE)
 
+    # a budget between one host's share (est/2) and the global estimate:
+    # the workers' per-host gate passes; a global gate would decline
+    from multimodal_similarity_tpu.configs import TrainConfig
+    from multimodal_similarity_tpu.data.datasets import prepare_dataset
+    from multimodal_similarity_tpu.data.device_cache import (
+        estimate_cache_bytes)
+    dcfg = TrainConfig(DATA_ROOT=root, feat="sensors").resolve()
+    dataset = prepare_dataset(dcfg.feature_root, dcfg.train_session,
+                              "sensors", dcfg.label_root, dcfg.label_type)
+    est = estimate_cache_bytes(dataset, n_shards=(2 if mp else 4))
+    budget_gb = est * 0.75 / 1e9
+
     # the single-process 4-device reference run (the parity oracle) plus
     # the two multihost workers
     ref = subprocess.Popen(
@@ -419,7 +434,7 @@ def test_two_process_device_cache_training(tmp_path, mp):
         env=env)
     procs = [subprocess.Popen(
         [sys.executable, str(worker), coord, str(pid), root,
-         str(tmp_path / f"dcout{pid}"), str(mp)],
+         str(tmp_path / f"dcout{pid}"), str(mp), str(budget_gb)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         env=env) for pid in (0, 1)]
     outs = []
