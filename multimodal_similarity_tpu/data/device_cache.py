@@ -204,7 +204,7 @@ class DeviceFeatureCache:
               max_frames: int = MAX_LENGTH,
               budget_bytes: Optional[int] = None,
               modality_modes: Optional[Sequence[str]] = None,
-              beat=None, workers: int = 4,
+              beat=None, workers: Optional[int] = None,
               verbose: bool = True) -> Optional["DeviceFeatureCache"]:
         """Load + quantize + upload every session of ``dataset``.
 
@@ -223,10 +223,13 @@ class DeviceFeatureCache:
         the one-time build.
 
         ``workers`` sizes a thread pool over session loads (numpy IO +
-        quantize release the GIL, so reads overlap compute); results
-        drain in submission order, so the staged layout — and therefore
-        every plan, gather, and uploaded byte — is identical to the
-        sequential build (``workers=1``), pinned in
+        quantize release the GIL, so reads overlap compute); the default
+        is ``min(4, cpu_count)`` — threads only help with cores to run
+        them (measured on the 1-core dev box: forcing 4 threads made the
+        build 1.4x SLOWER from contention; quantize is CPU-bound).
+        Results drain in submission order, so the staged layout — and
+        therefore every plan, gather, and uploaded byte — is identical
+        to the sequential build (``workers=1``), pinned in
         tests/test_device_cache.py.
 
         Returns None (with a notice) when the estimate exceeds
@@ -349,6 +352,8 @@ class DeviceFeatureCache:
 
         tasks = [(shard, row) for shard, rows in enumerate(per_shard_rows)
                  for row in rows]
+        if workers is None:
+            workers = min(4, os.cpu_count() or 1)
         if workers > 1 and len(tasks) > 1:
             from concurrent.futures import ThreadPoolExecutor
             pool = ThreadPoolExecutor(max_workers=workers)
