@@ -139,6 +139,37 @@ def estimate_cache_bytes(dataset: Sequence[Sequence[str]],
     return max(shard_events) * len(shard_events) * per_event
 
 
+def _mesh_locality(mesh, n_shards: int):
+    """(local_shards, multiprocess, shards_per_process) for a mesh's
+    "data" axis — the single source of the shard-to-process layout the
+    constructor, the budget gate, and the uploads all share.  Every
+    "data" shard must live entirely on ONE process (this host stages and
+    uploads only its own shards' features)."""
+    if mesh is None:
+        return list(range(n_shards)), False, {0: n_shards}
+    import jax
+
+    pid = jax.process_index()
+    axis = mesh.axis_names.index("data")
+    dev = np.moveaxis(np.asarray(mesh.devices), axis, 0).reshape(
+        n_shards, -1)
+    owners = [sorted({d.process_index for d in row}) for row in dev]
+    if any(len(o) > 1 for o in owners):
+        raise NotImplementedError(
+            "a 'data' mesh shard spans processes; lay the mesh out "
+            "with whole data shards per host")
+    per_process: Dict[int, int] = {}
+    for (o,) in owners:
+        per_process[o] = per_process.get(o, 0) + 1
+    multiprocess = any(o != [pid] for o in owners)
+    local = ([s for s, o in enumerate(owners) if o == [pid]]
+             if multiprocess else list(range(n_shards)))
+    if not local:
+        raise ValueError(
+            f"process {pid} owns no 'data' shard of the mesh")
+    return local, multiprocess, per_process
+
+
 class DeviceFeatureCache:
     """Int8 event windows resident in HBM, re-sampled on device per epoch.
 
@@ -166,26 +197,8 @@ class DeviceFeatureCache:
         # entirely on ONE process; this host stages/uploads features only
         # for its own shards, while the plan/label/layout metadata stays
         # GLOBAL (computed identically on every host from label pickles)
-        self._local_shards = list(range(self.n_shards))
-        self._multiprocess = False
-        if mesh is not None:
-            import jax
-            pid = jax.process_index()
-            axis = mesh.axis_names.index("data")
-            dev = np.moveaxis(np.asarray(mesh.devices), axis, 0).reshape(
-                self.n_shards, -1)
-            owners = [sorted({d.process_index for d in row}) for row in dev]
-            if any(len(o) > 1 for o in owners):
-                raise NotImplementedError(
-                    "a 'data' mesh shard spans processes; lay the mesh out "
-                    "with whole data shards per host")
-            self._multiprocess = any(o != [pid] for o in owners)
-            if self._multiprocess:
-                self._local_shards = [s for s, o in enumerate(owners)
-                                      if o == [pid]]
-                if not self._local_shards:
-                    raise ValueError(
-                        f"process {pid} owns no 'data' shard of the mesh")
+        (self._local_shards, self._multiprocess,
+         self._shards_per_process) = _mesh_locality(mesh, self.n_shards)
         self.rng = np.random.RandomState(seed)
         import jax
         self._key = jax.random.PRNGKey(seed + 0x5EED)
@@ -233,38 +246,27 @@ class DeviceFeatureCache:
         tests/test_device_cache.py.
 
         Returns None (with a notice) when the estimate exceeds
-        ``budget_bytes`` — callers keep the streaming feed.  The budget
-        is PER HOST: under --multihost each process compares only its
-        own shards' share of the global estimate (a 4-host pod holding a
-        20 GB corpus is 5 GB resident per host — exactly the deployment
-        the per-host caches exist for; gating on the global figure would
-        silently decline it).
+        ``budget_bytes`` — callers keep the streaming feed (the gate
+        runs BEFORE any validation that raises, preserving "the cache is
+        an optimization, never a correctness gate").  The budget is PER
+        HOST: under --multihost each process gates on the WORST host's
+        shard share of the global estimate (a 4-host pod holding a 20 GB
+        corpus is 5 GB resident per host — exactly the deployment the
+        per-host caches exist for; gating on the global figure would
+        silently decline it).  Using the worst share keeps the go/no-go
+        IDENTICAL on every host — a lone decliner would deadlock its
+        lockstep peers.  est is max-padded, so per-shard bytes are
+        uniform and the share is exact.
         """
-        self = cls(n_seg=n_seg, sess_per_batch=sess_per_batch,
-                   event_budget=event_budget, seed=seed, mesh=mesh,
-                   modality_modes=modality_modes)
-        est = estimate_cache_bytes(
-            dataset, max_frames, n_shards=self.n_shards)
-        # the go/no-go must be IDENTICAL on every host (a lone decliner
-        # would deadlock its lockstep peers), so gate on the WORST
-        # host's share — computable from the mesh alone.  est is
-        # max-padded, so per-shard bytes are uniform.
-        if self._multiprocess:
-            counts: Dict[int, int] = {}
-            axis = self.mesh.axis_names.index("data")
-            dev = np.moveaxis(np.asarray(self.mesh.devices), axis,
-                              0).reshape(self.n_shards, -1)
-            for row in dev:
-                pid = row[0].process_index
-                counts[pid] = counts.get(pid, 0) + 1
-            max_local = max(counts.values())
-        else:
-            max_local = len(self._local_shards)
-        est_local = est * max_local // self.n_shards
+        n_shards = int(mesh.shape["data"]) if mesh is not None else 1
+        _, multiprocess, per_process = _mesh_locality(mesh, n_shards)
+        est = estimate_cache_bytes(dataset, max_frames, n_shards=n_shards)
+        max_local = max(per_process.values())
+        est_local = est * max_local // n_shards
         if budget_bytes is not None and est_local > budget_bytes:
             if verbose:
-                share = (" this host's share of"
-                         if self._multiprocess else "")
+                share = (" the largest host share of"
+                         if multiprocess else "")
                 print(f"[device_cache] estimated{share} "
                       f"{est_local / 1e9:.2f} GB exceeds budget "
                       f"{budget_bytes / 1e9:.2f} GB; falling back to "
@@ -273,9 +275,12 @@ class DeviceFeatureCache:
         if verbose:
             print(f"[device_cache] caching {len(dataset)} sessions "
                   f"(~{est / 1e9:.2f} GB int8"
-                  + (f" global, ~{est_local / 1e9:.2f} GB this host"
-                     if self._multiprocess else "")
+                  + (f" global, <= {est_local / 1e9:.2f} GB per host"
+                     if multiprocess else "")
                   + ") on device")
+        self = cls(n_seg=n_seg, sess_per_batch=sess_per_batch,
+                   event_budget=event_budget, seed=seed, mesh=mesh,
+                   modality_modes=modality_modes)
         self.max_frames = max_frames
         num_modalities = len(dataset[0]) - 1
         if modality_modes is not None:
@@ -353,7 +358,13 @@ class DeviceFeatureCache:
         tasks = [(shard, row) for shard, rows in enumerate(per_shard_rows)
                  for row in rows]
         if workers is None:
-            workers = min(4, os.cpu_count() or 1)
+            try:  # cores actually RUNNABLE (affinity/cgroup aware) —
+                # os.cpu_count() would size the pool to the machine and
+                # recreate the 1-core contention on a pinned container
+                avail = len(os.sched_getaffinity(0))
+            except AttributeError:  # non-Linux
+                avail = os.cpu_count() or 1
+            workers = min(4, avail)
         if workers > 1 and len(tasks) > 1:
             from concurrent.futures import ThreadPoolExecutor
             pool = ThreadPoolExecutor(max_workers=workers)

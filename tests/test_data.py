@@ -365,7 +365,9 @@ def test_eaf_parse_end_to_end(tmp_path):
         A.parse_eaf(str(tmp_path / "202103010000-event.eaf"), "nope")
 
     # value-less TIME_SLOT references (legal ELAN, beyond the stdlib
-    # subset) name the fix instead of a bare KeyError
+    # subset) name the fix instead of a bare KeyError — tested against
+    # the minimal reader DIRECTLY: parse_eaf dispatches to pympi when
+    # installed, which handles these files itself
     bad = (
         '<?xml version="1.0" encoding="UTF-8"?>'
         '<ANNOTATION_DOCUMENT AUTHOR="t" FORMAT="3.0" VERSION="3.0">'
@@ -375,7 +377,7 @@ def test_eaf_parse_end_to_end(tmp_path):
         '</ANNOTATION_DOCUMENT>')
     (tmp_path / "bad.eaf").write_text(bad, encoding="utf-8")
     with pytest.raises(ValueError, match="pympi"):
-        A.parse_eaf(str(tmp_path / "bad.eaf"), A.TIER_STIMULI)
+        A._parse_eaf_minimal(str(tmp_path / "bad.eaf"), A.TIER_STIMULI)
 
 
 def test_sensor_normalization_recipe(rng):

@@ -1019,8 +1019,9 @@ def test_cache_build_beats_watchdog_per_session(synth_root):
 
 
 def test_cache_build_workers_bit_identical(synth_root):
-    """The threaded build (workers=4, the default) stages in submission
-    order, so every uploaded byte and every plan matches the sequential
+    """The threaded build (workers=4; the default is min(4, runnable
+    cores), so multi-core hosts take this path) stages in submission
+    order: every uploaded byte and every plan matches the sequential
     workers=1 build exactly — multimodal, on the 8-shard mesh."""
     import jax
 
