@@ -475,6 +475,104 @@ def test_two_process_device_cache_training(tmp_path, mp):
                                rtol=1e-4, atol=1e-5)
 
 
+_DC_BATCHES_WORKER = textwrap.dedent("""
+    import sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+
+    coord, pid, root = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+    import numpy as np
+    from multimodal_similarity_tpu.configs import TrainConfig
+    from multimodal_similarity_tpu.data.datasets import prepare_dataset
+    from multimodal_similarity_tpu.data.device_cache import (
+        DeviceFeatureCache)
+    from multimodal_similarity_tpu.parallel.multihost import (
+        initialize_distributed)
+
+    initialize_distributed(coordinator_address=coord, num_processes=2,
+                           process_id=pid)
+    from multimodal_similarity_tpu.parallel import create_mesh
+    mesh = create_mesh(jax.device_count())
+    assert jax.process_count() == 2
+
+    cfg = TrainConfig(DATA_ROOT=root, feat="sensors").resolve()
+    dataset = prepare_dataset(cfg.feature_root, cfg.train_session,
+                              "sensors", cfg.label_root, cfg.label_type)
+    cache = DeviceFeatureCache.build(
+        dataset, n_seg=3, sess_per_batch=1, event_budget=32, seed=5,
+        mesh=mesh)
+    assert cache is not None and cache._multiprocess
+    assert len(cache._local_shards) == 2, cache._local_shards
+
+    # the two-call path on the multi-process mesh: gathered labels/mask
+    # come back REPLICATED (readable on every host) and must match the
+    # host-side plan exactly; feature outputs stay data-sharded with
+    # only this host's rows addressable
+    n_batches = 0
+    for batch in cache.epoch_batches():
+        lab_dev = np.asarray(batch["labels"])
+        np.testing.assert_array_equal(
+            lab_dev, batch["labels_host"] * (batch["mask_host"] > 0))
+        np.testing.assert_array_equal(np.asarray(batch["mask"]),
+                                      batch["mask_host"])
+        ev = batch["events"]["q"]
+        assert ev.shape[0] == 32  # global batch rows
+        local_rows = sum(int(np.prod(s.data.shape[:1]))
+                         for s in ev.addressable_shards)
+        assert local_rows == 16, local_rows  # half the rows live here
+        n_batches += 1
+    assert n_batches == cache.batches_per_epoch > 0
+    print(f"WORKER_{pid}_BATCHES_OK {n_batches}")
+""")
+
+
+@pytest.mark.skipif(os.environ.get("MSIM_SKIP_SUBPROCESS") == "1",
+                    reason="subprocess tests disabled")
+def test_two_process_cache_epoch_batches(tmp_path):
+    """The cache's two-call feed (epoch_batches) on a real 2-process
+    mesh: per-host plan uploads via make_array_from_process_local_data,
+    shard-local gathers, replicated labels/mask matching the host plan
+    bit-for-bit on BOTH hosts."""
+    from multimodal_similarity_tpu.data import generate_synthetic_honda
+
+    root = str(tmp_path / "honda")
+    generate_synthetic_honda(
+        root, n_sessions=9, frames_per_session=260,
+        modal_dims={"sensors": (8,)}, class_scale=1.0, noise_scale=1.0,
+        seed=3, splits=(0.95, 0.04))
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+
+    worker = tmp_path / "dcb_worker.py"
+    worker.write_text(_DC_BATCHES_WORKER)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.getcwd()] + env.get("PYTHONPATH", "").split(os.pathsep))
+
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), coord, str(pid), root],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env) for pid in (0, 1)]
+    outs = []
+    for pid, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+    for pid in (0, 1):
+        assert f"WORKER_{pid}_BATCHES_OK" in outs[pid], outs[pid]
+
+
 _MM_DC_WORKER = textwrap.dedent("""
     import sys
     import jax
