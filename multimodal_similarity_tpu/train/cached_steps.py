@@ -171,7 +171,10 @@ def dispatch_plan_window(state, win, keys, lr, *, fused, multi, k,
     arrays in the fused step's positional order (stacked along a new
     leading K axis for the scanned form), ``extra_args`` are non-plan
     operands sitting between them and the PRNG key (e.g. the flagship's
-    class-margin table), ``keys`` is one PRNG key per plan.  Returns
+    class-margin table), ``keys`` is one PRNG key per plan.
+    ``put_plans`` (pass ``cache.put_plans``) converts the packed plan
+    into a global array under --multihost — identity on single-process
+    runs, so callers wire it unconditionally.  Returns
     ``(state, aux_list)`` with one device-scalars dict per optimizer
     step, in step order.
     """
